@@ -1,0 +1,57 @@
+"""Crawl configuration (atra/src/config/crawl.rs:38-158, budgets :236-254).
+
+A plain dataclass serialized to JSON; broadcast to executors by the
+round loop. Defaults mirror the reference defaults where they exist.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+
+from .urlkit import NORMAL, Budget
+
+
+@dataclass
+class CrawlConfig:
+    # budgets (config/crawl.rs:236-254): default + per-origin overrides
+    default_budget: Budget = field(
+        default_factory=lambda: Budget(kind=NORMAL, depth_on_website=3, distance_to_seed=1)
+    )
+    per_host_budget: dict[str, Budget] = field(default_factory=dict)
+
+    # politeness (crawl/crawler/intervals.rs:66-82): robots crawl-delay
+    # if present, else this, else 1000 ms
+    delay_ms: int = 1000
+    # how much host-serial fetch time one round represents; admissions
+    # per host per round k(host) = max(1, round_budget_ms // delay(host))
+    round_budget_ms: int = 10_000
+
+    # queue hygiene (config/crawl.rs:94-96,150): 0 = never drop
+    max_queue_age: int = 20
+
+    respect_robots_txt: bool = True
+    respect_nofollow: bool = True
+    use_aggressive_extractors: bool = False  # media/src, form action, js
+
+    blacklist: list[str] = field(default_factory=list)  # regex strings
+
+    max_rounds: int = 32
+    user_agent: str = "atra-spark/0.1"
+
+    # recrawl (recrawl_management): None disables
+    recrawl_interval_s: int | None = None
+
+    def budget_for(self, host: str) -> Budget:
+        return self.per_host_budget.get(host, self.default_budget)
+
+    def to_json(self) -> str:
+        d = asdict(self)
+        return json.dumps(d, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "CrawlConfig":
+        d = json.loads(s)
+        d["default_budget"] = Budget(**d["default_budget"])
+        d["per_host_budget"] = {k: Budget(**v) for k, v in d["per_host_budget"].items()}
+        return cls(**d)

@@ -1,0 +1,317 @@
+"""The extraction pipeline: decode -> format sniff -> DOM text ->
+link extraction -> language ID, as one Arrow-batched stage.
+
+Re-implements, from spec (SURVEY.md §2.7), the reference pipeline of
+atra/src/crawl/crawler.rs:440-461:
+
+- encoding ladder        atra/src/decoding/mod.rs:83-261
+  (BOM -> html <meta charset> -> UTF-8 strict -> windows-1252 lossy)
+- format sniffing        atra/src/format/information.rs:50-72,
+                         atra/src/format/supported.rs:94-132
+- DOM text               atra/src/toolkit/language_detection.rs:131-137
+  (concatenation of text nodes of the document in document order —
+  the byte-identical per-url invariant of BASELINE.json)
+- HTML link extraction   atra/src/extraction/html.rs:38-166
+  (selectors a/area/link[href] (+media/form/js when aggressive),
+  <base href>, rel=nofollow, meta robots nofollow, data: links)
+- JS href scan           atra/src/extraction/js.rs:14-60
+- plaintext linkify      atra/src/extraction/extractor_method.rs:371-404
+- link packing           atra/src/extraction/links.rs:115-151
+  (OnSeed vs Outgoing by host, Data for data: URLs, self-link filter)
+
+Everything is plain-Python per document inside ``mapInPandas`` Arrow
+batches — no row-at-a-time Spark UDFs.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+from html.parser import HTMLParser
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from ..urlkit import canonicalize, host_of
+from .langdata import detect_lang
+
+# --------------------------------------------------------------------------
+# decode ladder
+# --------------------------------------------------------------------------
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?([A-Za-z0-9_\-]+)""", re.IGNORECASE
+)
+_BOMS = (
+    (codecs.BOM_UTF8, "utf-8"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+)
+
+
+def decode_bytes(raw: bytes | None) -> tuple[str | None, str, bool]:
+    """(text, encoding_name, had_errors) per the decode ladder."""
+    if raw is None:
+        return None, "none", False
+    for bom, enc in _BOMS:
+        if raw.startswith(bom):
+            try:
+                return raw[len(bom):].decode(enc), enc, False
+            except UnicodeDecodeError:
+                return raw[len(bom):].decode(enc, errors="replace"), enc, True
+    m = _META_CHARSET_RE.search(raw[:1024])
+    if m:
+        enc = m.group(1).decode("ascii", errors="replace").lower()
+        try:
+            codecs.lookup(enc)
+            try:
+                return raw.decode(enc), enc, False
+            except UnicodeDecodeError:
+                return raw.decode(enc, errors="replace"), enc, True
+        except LookupError:
+            pass
+    try:
+        return raw.decode("utf-8"), "utf-8", False
+    except UnicodeDecodeError:
+        return raw.decode("windows-1252", errors="replace"), "windows-1252", True
+
+
+# --------------------------------------------------------------------------
+# format sniffing (simplified ladder: mime -> magic -> extension -> html
+# heuristic; the graft input is HTML by construction but the operator is
+# kept, SURVEY.md §2.7)
+# --------------------------------------------------------------------------
+_HTML_HINT_RE = re.compile(rb"^\s*(?:<!DOCTYPE\s+html|<html)", re.IGNORECASE)
+
+
+def sniff_format(content_type: str | None, prefix: bytes | None, url: str | None) -> str:
+    ct = (content_type or "").lower().split(";")[0].strip()
+    if ct:
+        if "html" in ct:
+            return "HTML"
+        if ct == "application/json":
+            return "JSON"
+        if ct in ("text/xml", "application/xml"):
+            return "XML"
+        if ct == "application/pdf":
+            return "PDF"
+        if ct.startswith("image/"):
+            return "IMAGE"
+        if ct == "text/plain":
+            return "PlainText"
+    p = prefix or b""
+    if p.startswith(b"%PDF-"):
+        return "PDF"
+    if p.startswith(b"\x89PNG") or p.startswith(b"\xff\xd8\xff") or p.startswith(b"GIF8"):
+        return "IMAGE"
+    if p.startswith(b"PK\x03\x04"):
+        return "ZIP"
+    if _HTML_HINT_RE.match(p):
+        return "HTML"
+    lowered = (url or "").lower().split("?")[0]
+    for ext, fmt in (
+        (".html", "HTML"), (".htm", "HTML"), (".json", "JSON"), (".xml", "XML"),
+        (".pdf", "PDF"), (".txt", "PlainText"), (".js", "JavaScript"),
+    ):
+        if lowered.endswith(ext):
+            return fmt
+    stripped = p.lstrip()
+    if stripped.startswith(b"{") or stripped.startswith(b"["):
+        return "JSON"
+    if stripped.startswith(b"<?xml"):
+        return "XML"
+    if stripped.startswith(b"<"):
+        return "HTML"
+    return "Decodeable"
+
+
+# --------------------------------------------------------------------------
+# HTML parsing: one pass collects text nodes, links, base href, meta
+# robots — mirroring the single parsed-DOM reuse in the reference.
+# --------------------------------------------------------------------------
+_HREF_TAGS = {"a", "area", "link"}
+_SRC_TAGS = {"audio", "embed", "iframe", "img", "input", "source", "track", "video", "script"}
+_VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+_JS_HREF_RE = re.compile(r"""href\s*[=:]?\s*["']([^"'\s]+)["']""")
+_ONCLICK_RE = re.compile(r"""location\.href\s*=\s*["']([^"']+)["']""")
+_LINKIFY_RE = re.compile(r"""https?://[^\s<>"')\]]+""")
+
+
+class _PageParser(HTMLParser):
+    """Single-pass HTML5 parser: text nodes in document order + raw links.
+
+    Text spec (the byte-identity invariant): the concatenation of all
+    character-data nodes in document order, entities decoded, comments
+    and tags excluded, script/style character data INCLUDED (html5ever
+    represents script bodies as text nodes and scraper's ``.text()``
+    yields them — language_detection.rs:131-137).
+    """
+
+    def __init__(self, aggressive: bool) -> None:
+        super().__init__(convert_charrefs=True)
+        self.aggressive = aggressive
+        self.text_parts: list[str] = []
+        self.raw_links: list[tuple[str, str]] = []  # (raw_url, method)
+        self.base_href: str | None = None
+        self.meta_nofollow = False
+        self._suppress_links = False  # set once meta nofollow seen
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        a = dict(attrs)
+        if tag == "base" and self.base_href is None and a.get("href"):
+            self.base_href = a["href"]
+        elif tag == "meta":
+            if (a.get("name") or "").lower() == "robots" and "nofollow" in (
+                (a.get("content") or "").lower()
+            ):
+                self.meta_nofollow = True
+        elif tag in _HREF_TAGS:
+            href = a.get("href")
+            if href:
+                rel = (a.get("rel") or "").lower()
+                if "nofollow" in rel.split():
+                    return  # rel=nofollow anchor (extraction/html.rs:109-116)
+                self.raw_links.append((href, "html_a"))
+        elif self.aggressive:
+            if tag in _SRC_TAGS and a.get("src"):
+                self.raw_links.append((a["src"], "html_media"))
+            elif tag == "form" and a.get("action"):
+                self.raw_links.append((a["action"], "html_form"))
+            if a.get("onclick"):
+                for m in _ONCLICK_RE.finditer(a["onclick"]):
+                    self.raw_links.append((m.group(1), "js"))
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        self.handle_starttag(tag, attrs)
+
+    def handle_data(self, data: str) -> None:
+        self.text_parts.append(data)
+
+
+def extract_html(
+    html_text: str,
+    page_url: str,
+    respect_nofollow: bool = True,
+    aggressive: bool = False,
+) -> tuple[str, list[tuple[str, str, str]]]:
+    """(dom_text, [(canonical_url, kind, method)]) for one HTML page."""
+    p = _PageParser(aggressive=aggressive)
+    try:
+        p.feed(html_text)
+        p.close()
+    except Exception:
+        pass
+    text = "".join(p.text_parts)
+    if respect_nofollow and p.meta_nofollow:
+        return text, []  # page-level nofollow: no links (html.rs:73-78)
+    base = p.base_href or page_url
+    # first-level docs resolve against <base> (extractor_method.rs:89-103)
+    if p.base_href is not None:
+        base = canonicalize(p.base_href, base=page_url) or page_url
+    page_host = host_of(page_url)
+    links: list[tuple[str, str, str]] = []
+    seen: set[str] = set()
+    for raw, method in p.raw_links:
+        raw = raw.strip()
+        if not raw:
+            continue
+        if raw.startswith("data:"):  # Data link (links.rs:115-140)
+            if raw not in seen:
+                seen.add(raw)
+                links.append((raw, "data", method))
+            continue
+        cu = canonicalize(raw, base=base)
+        if cu is None or cu == page_url:  # self-link filter (links.rs:68-75)
+            continue
+        if cu in seen:
+            continue  # per-page dedup (extraction/html.rs:80)
+        seen.add(cu)
+        kind = "onseed" if host_of(cu) == page_host else "outgoing"
+        links.append((cu, kind, method))
+    return text, links
+
+
+def extract_js(js_text: str, page_url: str) -> list[tuple[str, str, str]]:
+    """String literals following an href identifier (extraction/js.rs:14-60)."""
+    out = []
+    seen: set[str] = set()
+    for m in _JS_HREF_RE.finditer(js_text):
+        cu = canonicalize(m.group(1), base=page_url)
+        if cu and cu != page_url and cu not in seen:
+            seen.add(cu)
+            out.append((cu, "onseed" if host_of(cu) == host_of(page_url) else "outgoing", "js"))
+    return out
+
+
+def extract_plaintext(text: str, page_url: str) -> list[tuple[str, str, str]]:
+    """linkify-style absolute-URL scan (extractor_method.rs:371-404)."""
+    out = []
+    seen: set[str] = set()
+    page_host = host_of(page_url)
+    for m in _LINKIFY_RE.finditer(text):
+        cu = canonicalize(m.group(0).rstrip(".,;:"))
+        if cu and cu != page_url and cu not in seen:
+            seen.add(cu)
+            out.append((cu, "onseed" if host_of(cu) == page_host else "outgoing", "text"))
+    return out
+
+
+# --------------------------------------------------------------------------
+# the batched stage: mapInPandas over (url, html[, content_type])
+# --------------------------------------------------------------------------
+def extract_pages_batch(
+    batches: Iterable[pd.DataFrame],
+    respect_nofollow: bool = True,
+    aggressive: bool = False,
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: pages batch -> EXTRACTED_SCHEMA batch.
+
+    Extractor dispatch (extraction/extractor/mod.rs:37-158): format
+    decides which extractor runs; HTML -> DOM pass, JavaScript -> token
+    scan, PlainText/Decodeable -> linkify, else no links.
+    """
+    for pdf in batches:
+        rows = []
+        has_ct = "content_type" in pdf.columns
+        for i in range(len(pdf)):
+            url = pdf["url"].iat[i]
+            raw = pdf["html"].iat[i]
+            raw = bytes(raw) if raw is not None else None
+            ct = pdf["content_type"].iat[i] if has_ct else None
+            text, enc, had_err = decode_bytes(raw)
+            fmt = sniff_format(ct, raw[:1024] if raw else None, url)
+            if text is None:
+                rows.append((url, enc, had_err, None, None, None, fmt, []))
+                continue
+            if fmt == "HTML":
+                dom_text, links = extract_html(
+                    text, url, respect_nofollow=respect_nofollow, aggressive=aggressive
+                )
+            elif fmt == "JavaScript":
+                dom_text, links = text, extract_js(text, url)
+            elif fmt in ("PlainText", "Decodeable", "StructuredPlainText"):
+                dom_text, links = text, extract_plaintext(text, url)
+            else:
+                dom_text, links = text, []
+            lang, conf = detect_lang(dom_text)
+            rows.append(
+                (
+                    url,
+                    enc,
+                    had_err,
+                    dom_text,
+                    lang,
+                    conf,
+                    fmt,
+                    [{"url": u, "kind": k, "method": m} for (u, k, m) in links],
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "url", "encoding", "had_decode_errors", "text",
+                "lang", "lang_confidence", "format", "links",
+            ],
+        )

@@ -1,0 +1,158 @@
+"""Frontier admission filters — the reference's UrlChecker pipeline
+(atra/src/crawl/crawler.rs:653-704) as ordered column predicates.
+
+Filter order is deliberate and mirrors the reference's cheap-first
+ordering (SURVEY.md §4 "Predicate ordering"): age/state (columnar) ->
+blacklist regex -> budget (columnar) -> robots (join + vectorized
+prefix check). Catalyst will not reorder across the UDF boundary, so
+the cheap columnar predicates run first and prune the scan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BooleanType, LongType, StringType, StructField, StructType
+
+from ..config import CrawlConfig
+from ..schemas import KIND_DISCOVERED
+
+
+def filter_age(df: DataFrame, max_queue_age: int) -> DataFrame:
+    """Drop stale queue elements (polling.rs:101-105; 0 = never)."""
+    if max_queue_age <= 0:
+        return df
+    return df.filter(F.col("age") <= F.lit(max_queue_age))
+
+
+def filter_state(frontier: DataFrame, seen: DataFrame) -> DataFrame:
+    """State-based drop on dequeue (polling.rs:180-204): only URLs whose
+    seen-state is Discovered proceed; everything else is in-flight,
+    done, or failed elsewhere. Inner join on the bucketed seen table
+    (both sides share the host-hash layout -> co-partitioned)."""
+    discovered = seen.filter(F.col("kind") == KIND_DISCOVERED).select("url")
+    return frontier.join(discovered, on="url", how="left_semi")
+
+
+def filter_blacklist(df: DataFrame, patterns: list[str]) -> DataFrame:
+    """RegexSet drop (blacklist/manager_impl.rs:43-120) — JVM-side rlike,
+    no Python in the hot path."""
+    out = df
+    for p in patterns:
+        out = out.filter(~F.col("url").rlike(p))
+    return out
+
+
+def filter_budget(df: DataFrame, config: CrawlConfig) -> DataFrame:
+    """Budget predicate (config/crawl.rs:445-470) as pure column logic.
+
+    Per-host overrides (CrawlBudget.get_budget_for, :244-253) become a
+    broadcast CASE over the override hosts; 0 bounds mean unlimited.
+    """
+    def pred(kind: str, dow: int, dts: int, total: int):
+        c_dow, c_dts, c_tot = (
+            F.col("depth_on_website"),
+            F.col("distance_to_seed"),
+            F.col("total_distance_to_seed"),
+        )
+        if kind == "single_page":
+            return c_tot == 0
+        if kind == "absolute":
+            return F.lit(total == 0) | (c_tot < F.lit(total))
+        on_site = F.lit(dow == 0) | (c_dow < F.lit(dow))
+        if kind == "seed_only":
+            return (c_dts == 0) & on_site
+        # normal
+        dist_ok = F.lit(dts == 0) | (c_dts <= F.lit(dts))
+        return on_site & dist_ok
+
+    b = config.default_budget
+    expr = pred(b.kind, b.depth_on_website, b.distance_to_seed, b.total_distance)
+    for host, hb in sorted(config.per_host_budget.items()):
+        expr = F.when(
+            F.col("host") == F.lit(host),
+            pred(hb.kind, hb.depth_on_website, hb.distance_to_seed, hb.total_distance),
+        ).otherwise(expr)
+    return df.filter(expr)
+
+
+# --------------------------------------------------------------------------
+# robots: parse once per host (vectorized), broadcast-join, prefix check
+# --------------------------------------------------------------------------
+ROBOTS_PARSED_SCHEMA = StructType(
+    [
+        StructField("crawl_delay_ms", LongType(), True),
+        StructField("disallow", ArrayType(StringType()), False),
+    ]
+)
+
+
+@F.pandas_udf(ROBOTS_PARSED_SCHEMA)
+def parse_robots_udf(robots_txt: pd.Series, status: pd.Series) -> pd.DataFrame:
+    """robots.txt bytes -> (crawl_delay_ms, disallow prefixes) for UA *.
+
+    4xx/5xx or absent -> everything allowed, no delay
+    (robots/manager_impl.rs:120-125).
+    """
+    delays, disallows = [], []
+    for raw, st in zip(robots_txt, status):
+        if raw is None or (st is not None and st >= 400):
+            delays.append(None)
+            disallows.append([])
+            continue
+        text = bytes(raw).decode("utf-8", errors="replace")
+        delay = None
+        prefixes = []
+        for line in text.splitlines():
+            line = line.strip()
+            low = line.lower()
+            if low.startswith("crawl-delay:"):
+                try:
+                    delay = int(float(line.split(":", 1)[1].strip()) * 1000)
+                except ValueError:
+                    pass
+            elif low.startswith("disallow:"):
+                p = line.split(":", 1)[1].strip()
+                if p:
+                    prefixes.append(p)
+        delays.append(delay)
+        disallows.append(prefixes)
+    return pd.DataFrame({"crawl_delay_ms": pd.array(delays, dtype="Int64"), "disallow": disallows})
+
+
+def parse_robots(robots: DataFrame) -> DataFrame:
+    """robots table -> (host, crawl_delay_ms, disallow) — computed once
+    per crawl, cached, broadcast into the admission join."""
+    parsed = robots.withColumn("parsed", parse_robots_udf(F.col("robots_txt"), F.col("status")))
+    return parsed.select(
+        "host",
+        F.col("parsed.crawl_delay_ms").alias("crawl_delay_ms"),
+        F.col("parsed.disallow").alias("disallow"),
+    )
+
+
+@F.pandas_udf(BooleanType())
+def _path_allowed_udf(urls: pd.Series, hosts: pd.Series, disallow: pd.Series) -> pd.Series:
+    out = []
+    for url, host, prefixes in zip(urls, hosts, disallow):
+        if prefixes is None or len(prefixes) == 0:
+            out.append(True)
+            continue
+        # path component after the host
+        idx = url.find(host)
+        path = url[idx + len(host):] if idx >= 0 else "/"
+        if not path.startswith("/"):
+            path = "/" + path
+        out.append(not any(path.startswith(p) for p in prefixes))
+    return pd.Series(out)
+
+
+def filter_robots(df: DataFrame, robots_parsed: DataFrame) -> DataFrame:
+    """Admission robots check (crawler.rs:664-667): broadcast join the
+    per-host parsed rules, vectorized prefix test. Hosts with no robots
+    row are fully allowed (NoRobots)."""
+    joined = df.join(F.broadcast(robots_parsed.select("host", "disallow")), on="host", how="left")
+    return joined.filter(
+        _path_allowed_udf(F.col("url"), F.col("host"), F.col("disallow"))
+    ).drop("disallow")

@@ -1,0 +1,105 @@
+"""Seen-set (link-state) operators: field-wise merge + salted
+candidate aggregation.
+
+The reference updates link states through a RocksDB associative merge
+operator: the newer operand wins per field unless the field is Unset
+(254), and ``last_significant_kind`` retains the last state that was
+"significant" (atra/src/link_state/state/raw.rs:249-351, registered at
+atra/src/database/options.rs:52). The rebuild expresses one crawl
+round's worth of state transitions as a single batch merge — exactly
+the ``MERGE INTO seen USING updates ON url`` shape it becomes on
+Iceberg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import DEPTH_COLS, KIND_UNSET
+
+_SIGNIFICANT_MAX = 3  # Discovered..ProcessedAndStored are significant kinds
+
+
+def merge_seen(seen: DataFrame, updates: DataFrame) -> DataFrame:
+    """Batch blind-upsert with Unset-skip semantics (raw.rs:259-306).
+
+    Full outer join on url; per field the update wins unless its kind
+    is Unset; last_significant_kind tracks the previous significant
+    state. Both sides share the host-hash bucketing, so the join is
+    co-partitioned, not a fresh shuffle of the world.
+    """
+    u = updates.select(
+        F.col("url").alias("u_url"),
+        *[F.col(c).alias(f"u_{c}") for c in updates.columns if c != "url"],
+    )
+    j = seen.join(u, seen["url"] == u["u_url"], how="full_outer")
+
+    has_update = F.col("u_url").isNotNull()
+    update_is_set = has_update & (F.col("u_kind") != F.lit(KIND_UNSET))
+
+    def pick(col: str):
+        return F.when(update_is_set, F.col(f"u_{col}")).otherwise(F.col(col))
+
+    new_kind = pick("kind")
+    # last_significant_kind: when the update overwrites the kind, remember
+    # the old kind if it was significant (raw.rs:336-351)
+    lsk = (
+        F.when(
+            update_is_set
+            & F.col("kind").isNotNull()
+            & (F.col("kind") <= F.lit(_SIGNIFICANT_MAX))
+            & (F.col("kind") != F.col("u_kind")),
+            F.col("kind"),
+        )
+        .otherwise(
+            F.coalesce(
+                F.col("last_significant_kind"), F.col("u_last_significant_kind"), F.lit(KIND_UNSET)
+            )
+        )
+    )
+
+    return j.select(
+        F.coalesce(F.col("url"), F.col("u_url")).alias("url"),
+        F.coalesce(pick("host"), F.col("u_host"), F.col("host")).alias("host"),
+        F.coalesce(new_kind, F.col("u_kind"), F.col("kind")).cast("int").alias("kind"),
+        lsk.cast("int").alias("last_significant_kind"),
+        F.coalesce(pick("recrawl"), F.col("u_recrawl"), F.col("recrawl")).alias("recrawl"),
+        # is_seed is sticky-true (a URL once seeded stays a seed)
+        (
+            F.coalesce(F.col("is_seed"), F.lit(False))
+            | F.coalesce(F.col("u_is_seed"), F.lit(False))
+        ).alias("is_seed"),
+        F.coalesce(pick("ts"), F.col("u_ts"), F.col("ts")).alias("ts"),
+        *[
+            F.coalesce(pick(c), F.col(f"u_{c}"), F.col(c)).cast("long").alias(c)
+            for c in DEPTH_COLS
+        ],
+    )
+
+
+def aggregate_candidates(
+    exploded_links: DataFrame, num_salts: int = 8, salt_threshold: int = 0
+) -> DataFrame:
+    """Collapse one round's extracted links to unique candidate URLs
+    with the lowest depth triple (depth merge_to_lowest,
+    atra/src/url/depth.rs:59-65, applied when the same URL is
+    discovered multiple times in a round).
+
+    Hot-key discipline (north rule "salted aggregation for hot hosts"):
+    two-phase aggregation — partial min per (url, salt-of-src) then
+    final min per url — so a URL linked from millions of pages (or a
+    mega-host funneling into one reducer) pre-combines map-side instead
+    of skewing a single partition.
+
+    Expects columns: url, host, ``DEPTH_COLS``.
+    """
+    aggs = [F.min(c).alias(c) for c in DEPTH_COLS]
+    partial = (
+        exploded_links.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("url")) + F.spark_partition_id(), F.lit(num_salts))
+        )
+        .groupBy("url", "host", "_salt")
+        .agg(*aggs)
+    )
+    return partial.groupBy("url", "host").agg(*aggs)

@@ -1,0 +1,112 @@
+"""Checkpoint table store: parquet directories + JSON snapshot manifest.
+
+Local stand-in for the Iceberg tables the production deployment uses
+(SURVEY.md §1.3). Semantics preserved so the swap is 1:1:
+
+- one immutable snapshot per crawl round per table (Iceberg snapshot)
+- atomic manifest commit (write-temp + rename = Iceberg's atomic
+  metadata swap)
+- time-travel: read any round's snapshot (resume = read last committed
+  round; north rule "resumable from checkpoint with per-partition
+  lineage")
+- ``num_buckets`` host-hash bucketing on write — the analogue of an
+  Iceberg ``bucket(P, host)`` partition spec; keeps seen/frontier
+  co-partitioned so the per-round anti-join and groupBy(host) reuse
+  the layout instead of reshuffling.
+
+In production every ``write_snapshot`` becomes ``MERGE INTO``/append
+on an Iceberg table with
+``write.parquet.bloom-filter-enabled.column.url=true``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointStore:
+    def __init__(self, root: str, num_buckets: int = 32) -> None:
+        self.root = root
+        self.num_buckets = num_buckets
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "manifest.json")
+
+    def _load_manifest(self, table: str) -> dict:
+        p = self._manifest_path(table)
+        if not os.path.exists(p):
+            return {"snapshots": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, table: str, manifest: dict) -> None:
+        d = os.path.join(self.root, table)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(table))  # atomic commit
+
+    # -- write -------------------------------------------------------------
+    def write_snapshot(
+        self,
+        table: str,
+        df: DataFrame,
+        round_no: int,
+        bucket_by: str | None = None,
+        meta: dict | None = None,
+    ) -> str:
+        """Write one snapshot; optionally host-hash bucketed on write."""
+        path = os.path.join(self.root, table, f"r{round_no:05d}")
+        if bucket_by is not None:
+            df = df.repartition(
+                self.num_buckets, F.pmod(F.xxhash64(F.col(bucket_by)), F.lit(self.num_buckets))
+            )
+        df.write.mode("overwrite").parquet(path)
+        manifest = self._load_manifest(table)
+        manifest["snapshots"] = [s for s in manifest["snapshots"] if s["round"] != round_no]
+        manifest["snapshots"].append(
+            {"round": round_no, "path": path, "bucket_by": bucket_by, "meta": meta or {}}
+        )
+        manifest["snapshots"].sort(key=lambda s: s["round"])
+        self._commit_manifest(table, manifest)
+        return path
+
+    # -- read --------------------------------------------------------------
+    def latest_round(self, table: str) -> int | None:
+        snaps = self._load_manifest(table)["snapshots"]
+        return snaps[-1]["round"] if snaps else None
+
+    def read_snapshot(
+        self, spark: SparkSession, table: str, round_no: int | None = None
+    ) -> DataFrame | None:
+        snaps = self._load_manifest(table)["snapshots"]
+        if not snaps:
+            return None
+        if round_no is None:
+            snap = snaps[-1]
+        else:
+            matching = [s for s in snaps if s["round"] == round_no]
+            if not matching:
+                return None
+            snap = matching[0]
+        return spark.read.parquet(snap["path"])
+
+    def read_union(self, spark: SparkSession, table: str) -> DataFrame | None:
+        """Union of all snapshots (append-log tables: results, edges,
+        metrics, admission log)."""
+        snaps = self._load_manifest(table)["snapshots"]
+        if not snaps:
+            return None
+        return spark.read.parquet(*[s["path"] for s in snaps])
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(os.path.join(self.root, table), ignore_errors=True)
