@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
 from ..functions.extract import extract_pages_batch
-from ..functions.url_udfs import origin_udf
+from ..functions.url_udfs import canonicalize_udf, origin_udf
 from ..schemas import (
     ADMISSION_SCHEMA,
     DEPTH_COLS,
@@ -105,6 +105,11 @@ class CrawlEngine:
         spark = self.spark
         seeds_df = (
             spark.createDataFrame([(s,) for s in seeds], "url string")
+            # canonicalize rejects non-http(s)/unparseable seeds, matching
+            # the reference's UrlWithDepth parse at enqueue
+            # (seed/input/seed_data.rs:53-67)
+            .withColumn("url", canonicalize_udf(F.col("url")))
+            .filter(F.col("url").isNotNull())
             .dropDuplicates(["url"])
             .withColumn("host", origin_udf(F.col("url")))
             .filter(F.col("host").isNotNull())
