@@ -270,7 +270,7 @@ def generate_fixtures(
         if priv:
             seeds.append(priv[0])
     seeds.append(host_pages[blocked][0])
-    seeds = seeds[:16]
+    seeds = list(dict.fromkeys(seeds))[:16]  # order-preserving dedup
 
     config = CrawlConfig(
         per_host_budget={mega: Budget(kind=SEED_ONLY, depth_on_website=2)},

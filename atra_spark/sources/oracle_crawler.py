@@ -85,6 +85,8 @@ def crawl_oracle(
     # frontier rows: url -> (is_seed, age, enqueue_round, depth)
     frontier: dict[str, tuple[bool, int, int, Depth]] = {}
     for s in seeds:
+        if s in res.seen:
+            continue  # duplicate seed: second enqueue is a no-op
         d = Depth(0, 0, 0)
         frontier[s] = (True, 0, 0, d)
         res.seen[s] = (KIND_DISCOVERED, True, d)

@@ -1,0 +1,139 @@
+"""End-to-end crawl parity: Spark engine vs the serial oracle on the
+deterministic fixture corpus — the north-rule correctness gates:
+
+- same final URL-seen set (incl. state kinds + depth triples)
+- same crawl ordering (round, host, admission_index)
+- byte-identical extracted text per url (results table vs golden)
+- resumable from checkpoint
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from atra_spark.plans.crawl import CrawlEngine
+from atra_spark.sources.oracle_crawler import crawl_oracle
+from atra_spark.sources.store import CheckpointStore
+
+
+@pytest.fixture(scope="module")
+def oracle(fixture_set):
+    robots = {h: (t, s) for h, t, s, _ in fixture_set.robots}
+    return crawl_oracle(
+        fixture_set.golden_links,
+        {p[0] for p in fixture_set.pages},
+        robots,
+        fixture_set.seeds,
+        fixture_set.config,
+    )
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, fixture_set, fixture_paths, tmp_path_factory):
+    store = CheckpointStore(str(tmp_path_factory.mktemp("store")), num_buckets=8)
+    eng = CrawlEngine(
+        spark,
+        store,
+        fixture_set.config,
+        fixture_paths["pages"],
+        fixture_paths["robots"],
+        num_buckets=8,
+    )
+    report = eng.run(seeds=fixture_set.seeds)
+    return store, report
+
+
+class TestParity:
+    def test_seen_set(self, spark, crawled, oracle):
+        store, _ = crawled
+        eng_seen = {
+            r["url"]: (
+                r["kind"],
+                r["is_seed"],
+                (r["depth_on_website"], r["distance_to_seed"], r["total_distance_to_seed"]),
+            )
+            for r in store.read_snapshot(spark, "seen").collect()
+        }
+        o_seen = {
+            u: (k, s, (d.depth_on_website, d.distance_to_seed, d.total_distance_to_seed))
+            for u, (k, s, d) in oracle.seen.items()
+        }
+        assert eng_seen == o_seen
+
+    def test_crawl_ordering(self, spark, crawled, oracle):
+        store, _ = crawled
+        eng_order = sorted(
+            (r["round"], r["host"], r["admission_index"], r["url"])
+            for r in store.read_union(spark, "order").collect()
+        )
+        assert eng_order == sorted(oracle.order)
+
+    def test_extracted_text_byte_identical(self, spark, crawled, fixture_set):
+        store, _ = crawled
+        golden = {p[0]: p[3] for p in fixture_set.pages}
+        results = (
+            store.read_union(spark, "results").filter(F.col("status") == 200).collect()
+        )
+        assert results, "no fetched pages"
+        for r in results:
+            assert r["text"] == golden[r["url"]], f"text mismatch {r['url']}"
+
+    def test_language_golden(self, spark, crawled, fixture_set):
+        store, _ = crawled
+        golden = {p[0]: p[4] for p in fixture_set.pages}
+        for r in store.read_union(spark, "results").filter(F.col("status") == 200).collect():
+            assert r["lang"] == golden[r["url"]]
+
+    def test_edges_match_oracle(self, spark, crawled, oracle):
+        store, _ = crawled
+        eng_edges = sorted(
+            (r["src"], r["dst"], r["kind"]) for r in store.read_union(spark, "edges").collect()
+        )
+        o_edges = sorted((s, d, k) for s, d, k, _ in oracle.edges)
+        assert eng_edges == o_edges
+
+    def test_metrics_lineage(self, spark, crawled):
+        store, report = crawled
+        m = store.read_union(spark, "metrics")
+        per_round = {
+            r["round"]: r["fetched_ok"]
+            for r in m.groupBy("round").agg(F.sum("fetched_ok").alias("fetched_ok")).collect()
+        }
+        for rs in report.rounds:
+            if rs.admitted:
+                assert per_round[rs.round] == rs.fetched_ok
+
+    def test_blocked_and_private_never_crawled(self, spark, crawled):
+        store, _ = crawled
+        order = store.read_union(spark, "order")
+        assert order.filter(F.col("url").contains("blocked.example")).count() == 0
+
+
+class TestResume:
+    def test_kill_and_resume_matches_oracle(
+        self, spark, fixture_set, fixture_paths, oracle, tmp_path_factory
+    ):
+        store = CheckpointStore(str(tmp_path_factory.mktemp("resume")), num_buckets=8)
+
+        def mk():
+            return CrawlEngine(
+                spark,
+                store,
+                fixture_set.config,
+                fixture_paths["pages"],
+                fixture_paths["robots"],
+                num_buckets=8,
+            )
+
+        mk().run(seeds=fixture_set.seeds, max_rounds=2)
+        mk().run(seeds=None)  # fresh engine: blooms rebuilt from checkpoint
+        eng_seen = {
+            r["url"]: r["kind"] for r in store.read_snapshot(spark, "seen").collect()
+        }
+        assert eng_seen == {u: k for u, (k, _, _) in oracle.seen.items()}
+        eng_order = sorted(
+            (r["round"], r["host"], r["admission_index"], r["url"])
+            for r in store.read_union(spark, "order").collect()
+        )
+        assert eng_order == sorted(oracle.order)

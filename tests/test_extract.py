@@ -1,0 +1,172 @@
+"""Extraction pipeline unit tests: decode ladder, format sniffing,
+HTML text/link extraction, plus full-fixture golden parity (pure
+Python — the Spark path is covered by test_crawl_e2e)."""
+
+import codecs
+
+from atra_spark.functions.extract import (
+    decode_bytes,
+    extract_html,
+    extract_js,
+    extract_plaintext,
+    sniff_format,
+)
+from atra_spark.functions.langdata import UND, detect_lang
+
+
+class TestDecode:
+    def test_utf8_clean(self):
+        t, enc, err = decode_bytes("héllo".encode("utf-8"))
+        assert (t, enc, err) == ("héllo", "utf-8", False)
+
+    def test_bom_utf8(self):
+        t, enc, err = decode_bytes(codecs.BOM_UTF8 + b"hi")
+        assert (t, enc, err) == ("hi", "utf-8", False)
+
+    def test_bom_utf16le(self):
+        t, enc, err = decode_bytes(codecs.BOM_UTF16_LE + "hi".encode("utf-16-le"))
+        assert (t, enc, err) == ("hi", "utf-16-le", False)
+
+    def test_meta_charset_latin1(self):
+        raw = '<html><head><meta charset="iso-8859-1"></head><body>café</body></html>'.encode(
+            "iso-8859-1"
+        )
+        t, enc, err = decode_bytes(raw)
+        assert enc == "iso-8859-1" and "café" in t and not err
+
+    def test_invalid_utf8_falls_back_lossy(self):
+        t, enc, err = decode_bytes(b"\xff\xfe\xfa garbage \x80")
+        assert t is not None  # never raises
+
+    def test_none(self):
+        assert decode_bytes(None) == (None, "none", False)
+
+
+class TestSniff:
+    def test_mime_wins(self):
+        assert sniff_format("text/html; charset=utf-8", b"xx", "u") == "HTML"
+        assert sniff_format("application/json", b"<html>", "u") == "JSON"
+
+    def test_magic_bytes(self):
+        assert sniff_format(None, b"%PDF-1.4", "u") == "PDF"
+        assert sniff_format(None, b"\x89PNG\r\n", "u") == "IMAGE"
+        assert sniff_format(None, b"PK\x03\x04", "u") == "ZIP"
+
+    def test_html_heuristic(self):
+        assert sniff_format(None, b"  <!DOCTYPE html><html>", "u") == "HTML"
+        assert sniff_format(None, b"<html lang=en>", "u") == "HTML"
+
+    def test_extension_fallback(self):
+        assert sniff_format(None, b"var x=1;", "https://a.example/x.js") == "JavaScript"
+        assert sniff_format(None, b"hello", "https://a.example/x.txt") == "PlainText"
+
+
+PAGE = "https://h.example/p.html"
+
+
+class TestHtmlExtract:
+    def test_text_in_document_order(self):
+        html = "<!DOCTYPE html><html><head><title>T</title></head><body><p>a</p> <p>b</p></body></html>"
+        text, links = extract_html(html, PAGE)
+        assert text == "Ta b"
+
+    def test_entities_decoded(self):
+        text, _ = extract_html("<p>a &amp; b &lt;c&gt;</p>", PAGE)
+        assert text == "a & b <c>"
+
+    def test_comments_and_tags_excluded(self):
+        text, _ = extract_html("<p>x<!-- hidden -->y</p>", PAGE)
+        assert text == "xy"
+
+    def test_script_text_included(self):
+        # html5ever keeps script bodies as text nodes; scraper's .text()
+        # yields them (language_detection.rs:131-137)
+        text, _ = extract_html("<script>var a=1;</script><p>b</p>", PAGE)
+        assert text == "var a=1;b"
+
+    def test_links_resolved_and_classified(self):
+        html = '<a href="/x">i</a><a href="https://other.example/y">o</a>'
+        _, links = extract_html(html, PAGE)
+        assert ("https://h.example/x", "onseed", "html_a") in links
+        assert ("https://other.example/y", "outgoing", "html_a") in links
+
+    def test_rel_nofollow_skipped(self):
+        _, links = extract_html('<a href="/x" rel="nofollow">i</a><a href="/y">j</a>', PAGE)
+        assert [u for u, _, _ in links] == ["https://h.example/y"]
+
+    def test_meta_robots_nofollow_drops_all_links(self):
+        html = '<meta name="robots" content="nofollow"><a href="/x">i</a>'
+        text, links = extract_html(html, PAGE)
+        assert links == [] and "i" in text
+
+    def test_meta_robots_nofollow_ignored_when_disabled(self):
+        html = '<meta name="robots" content="nofollow"><a href="/x">i</a>'
+        _, links = extract_html(html, PAGE, respect_nofollow=False)
+        assert len(links) == 1
+
+    def test_base_href(self):
+        html = '<base href="https://h.example/base/"><a href="rel.html">i</a>'
+        _, links = extract_html(html, PAGE)
+        assert links[0][0] == "https://h.example/base/rel.html"
+
+    def test_self_and_fragment_links_dropped(self):
+        html = f'<a href="{PAGE}">s</a><a href="#f">f</a><a href="/other">o</a>'
+        _, links = extract_html(html, PAGE)
+        assert [u for u, _, _ in links] == ["https://h.example/other"]
+
+    def test_duplicates_first_occurrence(self):
+        html = '<a href="/x">1</a><a href="/x#frag">2</a><a href="/x">3</a>'
+        _, links = extract_html(html, PAGE)
+        assert [u for u, _, _ in links] == ["https://h.example/x"]
+
+    def test_data_url(self):
+        _, links = extract_html('<a href="data:text/plain;base64,aGk=">d</a>', PAGE)
+        assert links == [("data:text/plain;base64,aGk=", "data", "html_a")]
+
+    def test_aggressive_media_sources(self):
+        html = '<img src="/i.png"><form action="/post"><script src="/s.js"></script></form>'
+        _, conservative = extract_html(html, PAGE)
+        assert conservative == []
+        _, aggressive = extract_html(html, PAGE, aggressive=True)
+        urls = {u for u, _, _ in aggressive}
+        assert urls == {
+            "https://h.example/i.png",
+            "https://h.example/post",
+            "https://h.example/s.js",
+        }
+
+
+class TestOtherExtractors:
+    def test_js_href_scan(self):
+        links = extract_js('nav({href: "/x"}); a.href="https://o.example/y"', PAGE)
+        urls = {u for u, _, _ in links}
+        assert urls == {"https://h.example/x", "https://o.example/y"}
+
+    def test_plaintext_linkify(self):
+        links = extract_plaintext("see https://o.example/a. and http://h.example/b,", PAGE)
+        assert {u for u, _, _ in links} == {"https://o.example/a", "http://h.example/b"}
+
+
+class TestLang:
+    def test_detects_fixture_langs(self):
+        assert detect_lang("the page and the data of it")[0] == "eng"
+        assert detect_lang("der wert und das netz ist gut")[0] == "deu"
+
+    def test_und_on_no_markers(self):
+        assert detect_lang("zzz qqq 123")[0] == UND
+
+    def test_empty(self):
+        assert detect_lang("") == (None, None)
+
+
+class TestGoldenParity:
+    """Byte-identical text + exact link sets across the whole fixture
+    corpus — the per-row invariant of BASELINE.json."""
+
+    def test_full_corpus(self, fixture_set):
+        for url, _ts, html_bytes, golden_text, golden_lang in fixture_set.pages:
+            text, _enc, _err = decode_bytes(html_bytes)
+            dom_text, links = extract_html(text, url)
+            assert dom_text == golden_text, f"text mismatch for {url}"
+            assert links == fixture_set.golden_links[url], f"links mismatch for {url}"
+            assert detect_lang(dom_text)[0] == golden_lang, f"lang mismatch for {url}"

@@ -1,0 +1,124 @@
+"""URL kernel unit tests — ports the test intent of
+atra/src/url/url_with_depth.rs:303-388 (depth rules) and
+atra/src/config/crawl.rs:482-539 (budget rules)."""
+
+from atra_spark.urlkit import (
+    ABSOLUTE,
+    NORMAL,
+    SEED_ONLY,
+    SINGLE_PAGE,
+    Budget,
+    Depth,
+    advance_depth,
+    canonicalize,
+    clean_url,
+    host_of,
+    origin,
+)
+
+
+class TestCanonicalize:
+    def test_fragment_always_stripped(self):
+        assert canonicalize("https://a.example/p#frag") == "https://a.example/p"
+        assert canonicalize("https://a.example/#x") == "https://a.example/"
+
+    def test_scheme_host_lowercased(self):
+        assert canonicalize("HTTPS://WwW.Example.COM/Path") == "https://www.example.com/Path"
+
+    def test_default_ports_dropped(self):
+        assert canonicalize("http://a.example:80/x") == "http://a.example/x"
+        assert canonicalize("https://a.example:443/x") == "https://a.example/x"
+        assert canonicalize("https://a.example:8443/x") == "https://a.example:8443/x"
+
+    def test_empty_path_becomes_slash(self):
+        assert canonicalize("https://a.example") == "https://a.example/"
+
+    def test_relative_resolution(self):
+        base = "https://a.example/dir/page.html"
+        assert canonicalize("other.html", base=base) == "https://a.example/dir/other.html"
+        assert canonicalize("/abs.html", base=base) == "https://a.example/abs.html"
+        assert canonicalize("//b.example/x", base=base) == "https://b.example/x"
+
+    def test_fragment_only_resolves_to_base(self):
+        base = "https://a.example/p.html"
+        assert canonicalize("#frag", base=base) == "https://a.example/p.html"
+
+    def test_rejects_non_http(self):
+        assert canonicalize("ftp://a.example/x") is None
+        assert canonicalize("mailto:x@y.z") is None
+        assert canonicalize("not a url") is None
+        assert canonicalize("") is None
+        assert canonicalize(None) is None
+
+    def test_query_preserved(self):
+        assert canonicalize("https://a.example/p?q=1&r=2") == "https://a.example/p?q=1&r=2"
+
+    def test_clean_url_strips_query_and_password(self):
+        assert clean_url("https://u:pw@a.example/p?q=1#f") == "https://u@a.example/p"
+        assert clean_url("https://a.example/p?q=1") == "https://a.example/p"
+
+
+class TestOrigin:
+    def test_registrable_domain(self):
+        assert origin("https://www.sub.example.com/x") == "example.com"
+        assert origin("https://a.co.uk/x") == "a.co.uk"
+        assert origin("https://www.a.co.uk/x") == "a.co.uk"
+
+    def test_fixture_hosts_pass_through(self):
+        assert origin("https://host0001.example/p") == "host0001.example"
+        assert origin("https://mega.example/p") == "mega.example"
+
+    def test_ip_passthrough(self):
+        assert origin("https://192.168.0.1/x") == "192.168.0.1"
+
+    def test_single_label(self):
+        assert origin("https://localhost/x") == "localhost"
+
+    def test_host_of(self):
+        assert host_of("https://A.Example/x") == "a.example"
+
+
+class TestDepth:
+    """depth update rules (url_with_depth.rs:69-110)."""
+
+    def test_same_host(self):
+        d = advance_depth(Depth(2, 1, 5), same_host=True)
+        assert d == Depth(3, 1, 6)
+
+    def test_host_change(self):
+        d = advance_depth(Depth(2, 1, 5), same_host=False)
+        assert d == Depth(0, 2, 6)
+
+    def test_merge_to_lowest(self):
+        a, b = Depth(3, 1, 7), Depth(2, 4, 6)
+        assert a.merge_to_lowest(b) == Depth(2, 1, 6)
+
+
+class TestBudget:
+    """budget rules (config/crawl.rs:445-470); 0 = unlimited."""
+
+    def test_seed_only(self):
+        b = Budget(kind=SEED_ONLY, depth_on_website=2)
+        assert b.is_in_budget(Depth(1, 0, 3))
+        assert not b.is_in_budget(Depth(2, 0, 3))  # depth bound hit
+        assert not b.is_in_budget(Depth(0, 1, 3))  # off-seed host
+
+    def test_normal(self):
+        b = Budget(kind=NORMAL, depth_on_website=3, distance_to_seed=1)
+        assert b.is_in_budget(Depth(2, 1, 9))
+        assert not b.is_in_budget(Depth(3, 1, 9))
+        assert not b.is_in_budget(Depth(0, 2, 9))
+
+    def test_absolute(self):
+        b = Budget(kind=ABSOLUTE, total_distance=4)
+        assert b.is_in_budget(Depth(9, 9, 3))
+        assert not b.is_in_budget(Depth(0, 0, 4))
+
+    def test_single_page(self):
+        b = Budget(kind=SINGLE_PAGE)
+        assert b.is_in_budget(Depth(0, 0, 0))
+        assert not b.is_in_budget(Depth(0, 0, 1))
+
+    def test_zero_means_unlimited(self):
+        assert Budget(kind=NORMAL).is_in_budget(Depth(99, 0, 99))
+        assert Budget(kind=ABSOLUTE).is_in_budget(Depth(99, 99, 99))
