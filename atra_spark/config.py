@@ -39,6 +39,11 @@ class CrawlConfig:
     max_rounds: int = 32
     user_agent: str = "atra-spark/0.1"
 
+    # write the order/edges audit tables (crawl-ordering parity + web
+    # graph). Disable for pure-throughput runs; results/seen/frontier/
+    # metrics are always written (resumability + lineage).
+    audit_tables: bool = True
+
     # recrawl (recrawl_management): None disables
     recrawl_interval_s: int | None = None
 

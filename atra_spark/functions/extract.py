@@ -275,15 +275,18 @@ def extract_pages_batch(
     for pdf in batches:
         rows = []
         has_ct = "content_type" in pdf.columns
+        has_ts = "warc_ts" in pdf.columns
         for i in range(len(pdf)):
             url = pdf["url"].iat[i]
             raw = pdf["html"].iat[i]
             raw = bytes(raw) if raw is not None else None
             ct = pdf["content_type"].iat[i] if has_ct else None
+            ts = pdf["warc_ts"].iat[i] if has_ts else None
             text, enc, had_err = decode_bytes(raw)
             fmt = sniff_format(ct, raw[:1024] if raw else None, url)
             if text is None:
-                rows.append((url, enc, had_err, None, None, None, fmt, []))
+                row = (url, enc, had_err, None, None, None, fmt, [])
+                rows.append((url, ts) + row[1:] if has_ts else row)
                 continue
             if fmt == "HTML":
                 dom_text, links = extract_html(
@@ -296,22 +299,21 @@ def extract_pages_batch(
             else:
                 dom_text, links = text, []
             lang, conf = detect_lang(dom_text)
-            rows.append(
-                (
-                    url,
-                    enc,
-                    had_err,
-                    dom_text,
-                    lang,
-                    conf,
-                    fmt,
-                    [{"url": u, "kind": k, "method": m} for (u, k, m) in links],
-                )
+            row = (
+                url,
+                enc,
+                had_err,
+                dom_text,
+                lang,
+                conf,
+                fmt,
+                [{"url": u, "kind": k, "method": m} for (u, k, m) in links],
             )
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "url", "encoding", "had_decode_errors", "text",
-                "lang", "lang_confidence", "format", "links",
-            ],
-        )
+            rows.append((url, ts) + row[1:] if has_ts else row)
+        cols = [
+            "url", "encoding", "had_decode_errors", "text",
+            "lang", "lang_confidence", "format", "links",
+        ]
+        if has_ts:
+            cols = cols[:1] + ["warc_ts"] + cols[1:]
+        yield pd.DataFrame(rows, columns=cols)

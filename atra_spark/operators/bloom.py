@@ -59,15 +59,24 @@ def _positions(h: np.ndarray, m: int) -> list[np.ndarray]:
 
 
 def build_bloom(
-    df: DataFrame, key: str = "url", num_buckets: int = 32, fp: float = 0.01
+    df: DataFrame,
+    key: str = "url",
+    num_buckets: int = 32,
+    fp: float = 0.01,
+    m: int | None = None,
 ) -> dict[int, bytes]:
     """Distributed build: bucket -> bloom bitmap bytes.
 
-    Bucket sizes are estimated from the total count split evenly with
-    4x headroom (cheap; exact per-bucket counts would add a pass).
+    ``m`` (bits per bucket bitmap) MUST stay constant across every
+    bloom that will be OR-merged: positions are ``hash mod m``, so
+    bitmaps of different m are incompatible (merging them produces
+    false negatives, which silently break the anti-join contract —
+    callers that maintain incremental blooms pass an explicit m).
+    When m is None it is sized from the input count (standalone use).
     """
-    n_total = df.count()
-    m = _bloom_params(max(1, (n_total * 4) // num_buckets), fp)
+    if m is None:
+        n_total = df.count()
+        m = _bloom_params(max(1, (n_total * 4) // num_buckets), fp)
 
     hashed = df.select(
         F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int").alias("bucket"),

@@ -132,27 +132,14 @@ def parse_robots(robots: DataFrame) -> DataFrame:
     )
 
 
-@F.pandas_udf(BooleanType())
-def _path_allowed_udf(urls: pd.Series, hosts: pd.Series, disallow: pd.Series) -> pd.Series:
-    out = []
-    for url, host, prefixes in zip(urls, hosts, disallow):
-        if prefixes is None or len(prefixes) == 0:
-            out.append(True)
-            continue
-        # path component after the host
-        idx = url.find(host)
-        path = url[idx + len(host):] if idx >= 0 else "/"
-        if not path.startswith("/"):
-            path = "/" + path
-        out.append(not any(path.startswith(p) for p in prefixes))
-    return pd.Series(out)
-
-
 def filter_robots(df: DataFrame, robots_parsed: DataFrame) -> DataFrame:
     """Admission robots check (crawler.rs:664-667): broadcast join the
-    per-host parsed rules, vectorized prefix test. Hosts with no robots
-    row are fully allowed (NoRobots)."""
+    per-host parsed rules, JVM-side higher-order prefix test (no Python
+    in the admission hot path). Hosts with no robots row are fully
+    allowed (NoRobots)."""
+    from ..functions.jvm_url import robots_allowed_col
+
     joined = df.join(F.broadcast(robots_parsed.select("host", "disallow")), on="host", how="left")
     return joined.filter(
-        _path_allowed_udf(F.col("url"), F.col("host"), F.col("disallow"))
+        robots_allowed_col(F.col("url"), F.col("disallow"))
     ).drop("disallow")

@@ -27,18 +27,14 @@ from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
 from ..functions.extract import extract_pages_batch
+from ..functions.jvm_url import origin_col
 from ..functions.url_udfs import canonicalize_udf, origin_udf
 from ..schemas import (
-    ADMISSION_SCHEMA,
     DEPTH_COLS,
-    EDGES_SCHEMA,
-    EXTRACTED_SCHEMA,
-    FRONTIER_SCHEMA,
+    EXTRACTED_WITH_TS_SCHEMA,
     KIND_DISCOVERED,
     KIND_INTERNAL_ERROR,
     KIND_PROCESSED_AND_STORED,
-    METRICS_SCHEMA,
-    SEEN_SCHEMA,
 )
 from ..sources.store import CheckpointStore
 from ..operators import bloom as bloom_ops
@@ -85,11 +81,16 @@ class CrawlEngine:
         pages_path: str,
         robots_path: str | None = None,
         num_buckets: int = 32,
+        bloom_bits: int = 1 << 20,
     ) -> None:
         self.spark = spark
         self.store = store
         self.config = config
         self.num_buckets = num_buckets
+        # fixed bloom geometry for the crawl lifetime (bits per bucket);
+        # at 10^10 URLs size this to ~12 bits/URL/bucket — the bitmaps
+        # stay broadcastable because they are per host-hash bucket
+        self.bloom_bits = bloom_bits
         self.pages = spark.read.parquet(pages_path).select("url", "warc_ts", "html")
         if robots_path:
             robots_df = spark.read.parquet(robots_path)
@@ -143,39 +144,50 @@ class CrawlEngine:
         self.store.write_snapshot("seen", seen, 0, bucket_by="host")
         self.store.write_snapshot("edges", edges, 0)
         self._blooms = bloom_ops.build_bloom(
-            seen.select("url"), num_buckets=self.num_buckets
+            seen.select("url"), num_buckets=self.num_buckets, m=self.bloom_bits
         )
 
     # ------------------------------------------------------------------
     def _or_blooms(self, extra: dict[int, bytes]) -> None:
+        """OR per-round bitmaps into the maintained filters. All blooms
+        in this engine are built with the same fixed ``self.bloom_bits``
+        geometry — mixing sizes would corrupt hash positions and create
+        false negatives (an anti-join correctness bug, not just extra
+        fp), so mismatches are a hard error."""
         for b, blob in extra.items():
             cur = self._blooms.get(b)
-            if cur is None or len(cur) != len(blob):
-                if cur is None:
-                    self._blooms[b] = blob
-                    continue
-                # size mismatch: grow to the larger by rebuilding is
-                # avoided — OR into the larger via tiling of positions
-                # cannot be done safely; fall back to keeping both ORed
-                # at max size (bitmap sizes are stable per run in practice)
-                big, small = (cur, blob) if len(cur) > len(blob) else (blob, cur)
-                rep = np.frombuffer(big, dtype=np.uint8).copy()
-                s = np.frombuffer(small, dtype=np.uint8)
-                rep[: len(s)] |= s
-                self._blooms[b] = rep.tobytes()
-            else:
-                self._blooms[b] = (
-                    np.frombuffer(cur, dtype=np.uint8) | np.frombuffer(blob, dtype=np.uint8)
-                ).tobytes()
+            if cur is None:
+                self._blooms[b] = blob
+                continue
+            if len(cur) != len(blob):
+                raise ValueError(
+                    f"bloom bitmap size mismatch for bucket {b}: "
+                    f"{len(cur)} vs {len(blob)} bytes"
+                )
+            self._blooms[b] = (
+                np.frombuffer(cur, dtype=np.uint8) | np.frombuffer(blob, dtype=np.uint8)
+            ).tobytes()
 
     # ------------------------------------------------------------------
     def run_round(self, rnd: int) -> RoundStats:
+        """One crawl round = one bounded set of Spark jobs (~7) and one
+        checkpoint transaction.
+
+        Scale/plan discipline:
+        - the fetch join broadcasts the (small) admitted URL list into
+          the pages scan, so page payloads NEVER shuffle; Spark's
+          runtime bloom filtering prunes the scan further
+        - extraction runs map-side on the scan output (mapInPandas)
+        - counters come from parquet footers + the written metrics
+          snapshot (driver-side pyarrow), not from extra count() jobs
+        """
         spark, cfg = self.spark, self.config
         t0 = time.monotonic()
         frontier = self.store.read_snapshot(spark, "frontier")
         seen = self.store.read_snapshot(spark, "seen")
         assert frontier is not None and seen is not None, "seed() first"
         seen = seen.cache()
+        n_polled = self.store.count_rows("frontier") or 0
 
         # ---- admission pipeline (cheap-first, crawler.rs:653-704) ----
         eligible = filter_age(frontier, cfg.max_queue_age)
@@ -203,19 +215,6 @@ class CrawlEngine:
             "enqueue_round",
         )
 
-        n_admitted = admitted.count()
-        n_deferred = deferred.count()
-        n_polled = frontier.count()
-
-        if n_admitted == 0:
-            # nothing admissible: drop any deferred leftovers to avoid
-            # spinning (they can never be admitted again this config)
-            wall = int((time.monotonic() - t0) * 1000)
-            self.store.write_snapshot(
-                "frontier", spark.createDataFrame([], FRONTIER_SCHEMA), rnd + 1, bucket_by="host"
-            )
-            return RoundStats(rnd, n_polled, 0, n_deferred, 0, 0, 0, 0, wall)
-
         # ---- admission log (ordering parity, SURVEY.md §7) ----
         admission_log = admitted.select(
             F.lit(rnd).alias("round"),
@@ -224,13 +223,14 @@ class CrawlEngine:
             "url",
         )
 
-        # ---- simulated fetch: join the pages table (left join; miss =
-        # fetch error analog -> InternalError, crawler.rs:608-622) ----
-        fetched = admitted.join(self.pages, on="url", how="left").cache()
-        hits = fetched.filter(F.col("html").isNotNull())
-        misses = fetched.filter(F.col("html").isNull())
+        # ---- simulated fetch: broadcast the admitted URL list into the
+        # pages scan (payloads never shuffle; misses = fetch-error analog
+        # -> InternalError, crawler.rs:608-622) ----
+        hit_pages = self.pages.join(
+            F.broadcast(admitted.select("url")), on="url", how="inner"
+        )
 
-        # ---- extraction (decode -> text -> links -> lang) ----
+        # ---- extraction (decode -> text -> links -> lang), map-side ----
         respect_nofollow = cfg.respect_nofollow
         aggressive = cfg.use_aggressive_extractors
 
@@ -240,31 +240,31 @@ class CrawlEngine:
             )
 
         extracted = (
-            hits.select("url", "html")
-            .mapInPandas(_extract, EXTRACTED_SCHEMA)
-            .cache()
+            hit_pages.select("url", "warc_ts", "html")
+            .mapInPandas(_extract, EXTRACTED_WITH_TS_SCHEMA)
+            .persist()
         )
+        misses = admitted.join(extracted.select("url"), on="url", how="left_anti")
+
+        # admitted-side metadata rejoined after extraction (broadcast)
+        admitted_meta = admitted.select("url", "host", "is_seed", *DEPTH_COLS)
 
         # ---- results rows ----
-        res_meta = hits.select("url", "host", "warc_ts")
-        results = (
-            extracted.join(res_meta, on="url", how="inner")
-            .select(
-                "url",
-                "host",
-                F.lit(rnd).alias("fetched_round"),
-                F.col("warc_ts").alias("fetched_at"),
-                F.lit(200).alias("status"),
-                F.create_map().cast("map<string,string>").alias("headers"),
-                F.lit(None).cast("string").alias("redirect"),
-                "format",
-                "encoding",
-                "had_decode_errors",
-                "lang",
-                "lang_confidence",
-                "text",
-                F.size("links").alias("n_links"),
-            )
+        results = extracted.join(F.broadcast(admitted_meta), on="url").select(
+            "url",
+            "host",
+            F.lit(rnd).alias("fetched_round"),
+            F.col("warc_ts").alias("fetched_at"),
+            F.lit(200).alias("status"),
+            F.create_map().cast("map<string,string>").alias("headers"),
+            F.lit(None).cast("string").alias("redirect"),
+            "format",
+            "encoding",
+            "had_decode_errors",
+            "lang",
+            "lang_confidence",
+            "text",
+            F.size(F.filter("links", lambda l: l["kind"] != "data")).alias("n_links"),
         )
         miss_results = misses.select(
             "url",
@@ -293,12 +293,10 @@ class CrawlEngine:
             extracted.select(F.col("url").alias("src"), F.explode("links").alias("l"))
             .filter(F.col("l.kind") != "data")
             .select("src", F.col("l.url").alias("url"))
-            .join(parent, on="src", how="inner")
-            .withColumn("host", origin_udf(F.col("url")))
+            .join(F.broadcast(parent), on="src", how="inner")
+            .withColumn("host", origin_col(F.col("url")))
             .filter(F.col("host").isNotNull())
         )
-        links = links.cache()
-        n_links = links.count()
 
         edges = links.select(
             "src", F.col("url").alias("dst"), F.lit("link").alias("kind"), F.lit(rnd).alias("round")
@@ -326,11 +324,10 @@ class CrawlEngine:
         # ---- bloom-pruned anti-join vs seen (the core operator) ----
         new_urls = bloom_ops.prune_new_candidates(
             spark, candidates, seen, self._blooms, num_buckets=self.num_buckets
-        ).cache()
-        n_new = new_urls.count()
+        )
 
         # ---- state transitions for this round (batch MERGE) ----
-        ok_updates = hits.select(
+        ok_updates = extracted.join(F.broadcast(admitted_meta), on="url").select(
             "url",
             "host",
             F.lit(KIND_PROCESSED_AND_STORED).alias("kind"),
@@ -350,19 +347,6 @@ class CrawlEngine:
             F.current_timestamp().alias("ts"),
             *DEPTH_COLS,
         )
-        new_seen = new_urls.select(
-            "url",
-            "host",
-            F.lit(KIND_DISCOVERED).alias("kind"),
-            F.lit(254).alias("last_significant_kind"),
-            F.lit(False).alias("recrawl"),
-            F.lit(False).alias("is_seed"),
-            F.current_timestamp().alias("ts"),
-            *DEPTH_COLS,
-        )
-        updates = ok_updates.unionByName(err_updates).unionByName(new_seen)
-        seen_next = merge_seen(seen, updates)
-
         # ---- next frontier = deferred + newly discovered ----
         new_frontier = new_urls.select(
             "url",
@@ -375,54 +359,127 @@ class CrawlEngine:
         )
         frontier_next = deferred.unionByName(new_frontier)
 
-        n_ok = hits.count()
-        n_err = misses.count()
+        # ---- commit the round (one transaction on Iceberg) ----
+        # The results write runs first and materializes the sched/
+        # extracted caches; the remaining snapshots are independent
+        # Spark jobs and run CONCURRENTLY from driver threads (Spark
+        # schedules them FIFO across the same executors), cutting the
+        # per-round fixed cost roughly in half.
+        st = self.store
+        results_path = st.write_snapshot("results", results.unionByName(miss_results), rnd)
+        # frontier goes second: it materializes the expensive link-
+        # expansion + bloom-anti-join path exactly once; every later
+        # consumer of "new URLs" reads the committed snapshot instead
+        frontier_path = st.write_snapshot(
+            "frontier", frontier_next, rnd + 1, bucket_by="host"
+        )
+        new_from_snapshot = (
+            spark.read.parquet(frontier_path)
+            .filter(F.col("enqueue_round") == rnd + 1)
+            .select("url", "host", *DEPTH_COLS)
+        )
+        new_seen = new_from_snapshot.select(
+            "url",
+            "host",
+            F.lit(KIND_DISCOVERED).alias("kind"),
+            F.lit(254).alias("last_significant_kind"),
+            F.lit(False).alias("recrawl"),
+            F.lit(False).alias("is_seed"),
+            F.current_timestamp().alias("ts"),
+            *DEPTH_COLS,
+        )
+        updates = ok_updates.unionByName(err_updates).unionByName(new_seen)
+        seen_next = merge_seen(seen, updates)
 
-        # ---- per-bucket metrics (per-partition lineage, north rule) ----
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = {
+            "seen": lambda: st.write_snapshot("seen", seen_next, rnd + 1, bucket_by="host"),
+        }
+        if cfg.audit_tables:
+            jobs["edges"] = lambda: st.write_snapshot("edges", edges, rnd + 1)
+            jobs["order"] = lambda: st.write_snapshot("order", admission_log, rnd)
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futs = {k: pool.submit(fn) for k, fn in jobs.items()}
+            for f in futs.values():
+                f.result()
+
+        # ---- per-bucket metrics from the committed snapshots (lineage,
+        # north rule) — one light aggregation over written files ----
         bucket = F.pmod(F.xxhash64(F.col("host")), F.lit(self.num_buckets)).cast("int")
-        wall = int((time.monotonic() - t0) * 1000)
-        metrics = (
-            fetched.withColumn("bucket", bucket)
+        r_agg = (
+            spark.read.parquet(results_path)
+            .select("host", "status", "n_links")
+            .withColumn("bucket", bucket)
             .groupBy("bucket")
             .agg(
                 F.count("*").alias("admitted"),
-                F.sum(F.when(F.col("html").isNotNull(), 1).otherwise(0)).alias("fetched_ok"),
-                F.sum(F.when(F.col("html").isNull(), 1).otherwise(0)).alias("fetch_errors"),
+                F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("fetched_ok"),
+                F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("fetch_errors"),
+                F.sum("n_links").alias("links_extracted"),
             )
+        )
+        f_agg = (
+            spark.read.parquet(frontier_path)
+            .select("host", "enqueue_round")
+            .withColumn("bucket", bucket)
+            .groupBy("bucket")
+            .agg(
+                F.sum(F.when(F.col("enqueue_round") <= rnd, 1).otherwise(0)).alias("deferred"),
+                F.sum(F.when(F.col("enqueue_round") == rnd + 1, 1).otherwise(0)).alias("new_urls"),
+            )
+        )
+        wall = int((time.monotonic() - t0) * 1000)
+        metrics = (
+            r_agg.join(f_agg, on="bucket", how="full_outer")
             .select(
                 F.lit(rnd).alias("round"),
                 "bucket",
                 F.lit(n_polled).cast("long").alias("polled"),
-                F.col("admitted").cast("long"),
-                F.lit(n_deferred).cast("long").alias("deferred"),
-                F.col("fetched_ok").cast("long"),
-                F.col("fetch_errors").cast("long"),
-                F.lit(n_links).cast("long").alias("links_extracted"),
-                F.lit(n_new).cast("long").alias("new_urls"),
+                F.coalesce(F.col("admitted"), F.lit(0)).cast("long").alias("admitted"),
+                F.coalesce(F.col("deferred"), F.lit(0)).cast("long").alias("deferred"),
+                F.coalesce(F.col("fetched_ok"), F.lit(0)).cast("long").alias("fetched_ok"),
+                F.coalesce(F.col("fetch_errors"), F.lit(0)).cast("long").alias("fetch_errors"),
+                F.coalesce(F.col("links_extracted"), F.lit(0)).cast("long").alias("links_extracted"),
+                F.coalesce(F.col("new_urls"), F.lit(0)).cast("long").alias("new_urls"),
                 F.lit(wall).cast("long").alias("wall_ms"),
             )
         )
-
-        # ---- commit the round (one transaction on Iceberg) ----
-        st = self.store
-        st.write_snapshot("results", results.unionByName(miss_results), rnd)
-        st.write_snapshot("edges", edges, rnd + 1)  # seed edges occupy r0
-        st.write_snapshot("order", admission_log, rnd)
         st.write_snapshot("metrics", metrics, rnd)
-        st.write_snapshot("seen", seen_next, rnd + 1, bucket_by="host")
-        st.write_snapshot("frontier", frontier_next, rnd + 1, bucket_by="host")
+
+        # driver-side stats from the tiny metrics snapshot (no Spark job)
+        mt = st.read_small("metrics", rnd)
+        sums = {
+            c: sum(mt.column(c).to_pylist()) if mt is not None and mt.num_rows else 0
+            for c in (
+                "admitted", "deferred", "fetched_ok", "fetch_errors",
+                "links_extracted", "new_urls",
+            )
+        }
 
         # incremental bloom maintenance: OR in this round's new URLs
-        if n_new:
+        if sums["new_urls"]:
             self._or_blooms(
-                bloom_ops.build_bloom(new_urls.select("url"), num_buckets=self.num_buckets)
+                bloom_ops.build_bloom(
+                    new_from_snapshot.select("url"),
+                    num_buckets=self.num_buckets,
+                    m=self.bloom_bits,
+                )
             )
 
-        for df in (sched, fetched, extracted, links, new_urls, seen):
+        for df in (sched, extracted, seen):
             df.unpersist()
 
         return RoundStats(
-            rnd, n_polled, n_admitted, n_deferred, n_ok, n_err, n_links, n_new, wall
+            rnd,
+            n_polled,
+            sums["admitted"],
+            sums["deferred"],
+            sums["fetched_ok"],
+            sums["fetch_errors"],
+            sums["links_extracted"],
+            sums["new_urls"],
+            int((time.monotonic() - t0) * 1000),
         )
 
     # ------------------------------------------------------------------
@@ -439,13 +496,13 @@ class CrawlEngine:
                 seen = self.store.read_snapshot(self.spark, "seen")
                 if seen is not None:
                     self._blooms = bloom_ops.build_bloom(
-                        seen.select("url"), num_buckets=self.num_buckets
+                        seen.select("url"), num_buckets=self.num_buckets, m=self.bloom_bits
                     )
         report = CrawlReport()
         limit = max_rounds if max_rounds is not None else self.config.max_rounds
         for rnd in range(start, start + limit):
-            frontier = self.store.read_snapshot(self.spark, "frontier")
-            if frontier is None or frontier.limit(1).count() == 0:
+            n = self.store.count_rows("frontier")
+            if not n:
                 break
             report.rounds.append(self.run_round(rnd))
         return report

@@ -131,6 +131,20 @@ LINK_STRUCT = StructType(
     ]
 )
 
+EXTRACTED_WITH_TS_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), True),  # passthrough
+        StructField("encoding", StringType(), False),
+        StructField("had_decode_errors", BooleanType(), False),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("lang_confidence", DoubleType(), True),
+        StructField("format", StringType(), False),
+        StructField("links", ArrayType(LINK_STRUCT), False),
+    ]
+)
+
 EXTRACTED_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),

@@ -304,7 +304,11 @@ def write_fixtures(fx: FixtureSet, out_dir: str) -> dict[str, str]:
         }
     )
     paths["pages"] = os.path.join(out_dir, "pages.parquet")
-    pq.write_table(pages_tbl, paths["pages"])
+    # small row groups: Spark parallelizes a parquet scan at row-group
+    # granularity — a monolithic row group serializes the whole fetch+
+    # extract stage into one task (Iceberg's write.target-file-size /
+    # row-group sizing does this in production)
+    pq.write_table(pages_tbl, paths["pages"], row_group_size=2048)
 
     robots_tbl = pa.table(
         {
@@ -342,9 +346,12 @@ def write_fixtures(fx: FixtureSet, out_dir: str) -> dict[str, str]:
     return paths
 
 
+FIXTURE_FORMAT_VERSION = 2  # bump to invalidate cached fixture dirs
+
+
 def ensure_fixtures(out_dir: str, n_pages: int = 2000, n_hosts: int = 24) -> dict[str, str]:
     """Generate-once cache keyed by a marker file."""
-    marker = os.path.join(out_dir, f".done_{n_pages}_{n_hosts}")
+    marker = os.path.join(out_dir, f".done_v{FIXTURE_FORMAT_VERSION}_{n_pages}_{n_hosts}")
     names = ["pages", "robots", "golden_links"]
     if os.path.exists(marker):
         return {

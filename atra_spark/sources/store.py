@@ -110,3 +110,36 @@ class CheckpointStore:
 
     def drop(self, table: str) -> None:
         shutil.rmtree(os.path.join(self.root, table), ignore_errors=True)
+
+    # -- driver-side stats (no Spark job) ------------------------------------
+    def count_rows(self, table: str, round_no: int | None = None) -> int | None:
+        """Row count from parquet footers via pyarrow — free on the
+        driver, no Spark job (Iceberg equivalent: snapshot summary
+        ``total-records``)."""
+        import pyarrow.dataset as pads
+
+        snaps = self._load_manifest(table)["snapshots"]
+        if not snaps:
+            return None
+        if round_no is None:
+            snap = snaps[-1]
+        else:
+            matching = [s for s in snaps if s["round"] == round_no]
+            if not matching:
+                return None
+            snap = matching[0]
+        return pads.dataset(snap["path"], format="parquet").count_rows()
+
+    def read_small(self, table: str, round_no: int | None = None):
+        """Read one (small!) snapshot driver-side as a pyarrow table."""
+        import pyarrow.dataset as pads
+
+        snaps = self._load_manifest(table)["snapshots"]
+        if not snaps:
+            return None
+        snap = snaps[-1] if round_no is None else next(
+            (s for s in snaps if s["round"] == round_no), None
+        )
+        if snap is None:
+            return None
+        return pads.dataset(snap["path"], format="parquet").to_table()

@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline operator queries at $SPARK_GRAFT_SF_DIR
+plus the crawl-engine throughput benchmark on the deterministic bench
+corpus. Prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+- value         = total wall seconds of the suite (lower is better)
+- queries       = per-query seconds; "crawl_bench" is the full engine
+                  round loop on the bench pages corpus
+- urls_per_sec  = crawl throughput (fetched+parsed URLs / crawl wall),
+                  the north-rule metric (BASELINE.json)
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     ATRA_BENCH_PAGES (default 50000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_join_topk",
+    "frontier_antijoin_dedup",
+    "politeness_topk_admission",
+    "seen_merge_latest_state",
+    "dedup_exact_hash",
+    "dedup_ngram_jaccard",
+    "minhash_band_pairs",
+    "embedding_cosine_topk",
+    "simhash64",
+    "token_count",
+]
+
+
+def crawl_bench(spark, n_pages: int, cpus: int) -> tuple[float, int]:
+    """Full engine round loop on the bench corpus; returns (sec, fetched)."""
+    import tempfile
+
+    from atra_spark.config import CrawlConfig
+    from atra_spark.plans.crawl import CrawlEngine
+    from atra_spark.sources.fixtures import ensure_fixtures
+    from atra_spark.sources.store import CheckpointStore
+    from atra_spark.urlkit import NORMAL, Budget
+
+    fix_dir = os.path.join(
+        os.environ.get("ATRA_BENCH_CACHE", "/tmp/atra_bench_fixtures"), str(n_pages)
+    )
+    paths = ensure_fixtures(fix_dir, n_pages=n_pages, n_hosts=96)
+    # warm-crawl protocol: one seed per host, so the BFS drains the corpus
+    # in a handful of rounds and the metric is steady-state throughput
+    # rather than discovery-tail latency
+    import duckdb
+
+    seeds = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT min(url) FROM read_parquet('{paths['pages']}') "
+            "GROUP BY regexp_extract(url, '://([^/]+)', 1) ORDER BY 1"
+        ).fetchall()
+    ]
+    # throughput config: politeness window still runs, but with a 1 ms
+    # crawl delay budget so admission is not the bottleneck
+    config = CrawlConfig(
+        default_budget=Budget(kind=NORMAL, depth_on_website=0, distance_to_seed=0),
+        delay_ms=1,
+        round_budget_ms=60_000,  # one round ≈ 60 s of per-host serial time
+        max_rounds=16,
+        blacklist=[r".*blocked\.example.*"],
+        audit_tables=False,  # pure-throughput mode; parity covered by pytest
+    )
+    store = CheckpointStore(tempfile.mkdtemp(prefix="atra_bench_store"), num_buckets=cpus)
+    eng = CrawlEngine(
+        spark, store, config, paths["pages"], paths["robots"], num_buckets=cpus
+    )
+    t0 = time.monotonic()
+    report = eng.run(seeds=seeds)
+    wall = time.monotonic() - t0
+    return wall, report.fetched_total
+
+
+def crawl_only(cores: int, n_pages: int) -> None:
+    """Subprocess mode for the N-vs-4N scaling protocol: identical job,
+    identical input, only the core count differs. Prints one JSON line."""
+    from atra_spark.session import get_spark
+
+    spark = get_spark(f"atra-scale-{cores}", cores=cores, shuffle_partitions=cores)
+    # warm up the JVM/Python workers so we measure steady state, not startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    sec, fetched = crawl_bench(spark, n_pages, cores)
+    print(
+        json.dumps(
+            {"cores": cores, "crawl_sec": round(sec, 2), "fetched": fetched,
+             "urls_per_sec": round(fetched / sec, 1)}
+        )
+    )
+    spark.stop()
+
+
+def scaling(n_pages: int) -> None:
+    """Run the identical crawl at 8 and 32 cores in fresh processes
+    (fresh JVMs) and report scaling efficiency = (T8/T32)/4."""
+    import subprocess
+
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only", str(cores),
+             "--pages", str(n_pages)],
+            capture_output=True, text=True, check=True,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cores] = json.loads(line)
+        print(line, file=sys.stderr)
+    t8, t32 = results[8]["crawl_sec"], results[32]["crawl_sec"]
+    eff = round((t8 / t32) / 4, 3)
+    print(json.dumps({"t8_sec": t8, "t32_sec": t32,
+                      "urls_per_sec_8": results[8]["urls_per_sec"],
+                      "urls_per_sec_32": results[32]["urls_per_sec"],
+                      "scaling_efficiency": eff, "pages": n_pages}))
+
+
+def main() -> None:
+    if "--crawl-only" in sys.argv:
+        i = sys.argv.index("--crawl-only")
+        cores = int(sys.argv[i + 1])
+        n_pages = int(sys.argv[sys.argv.index("--pages") + 1]) if "--pages" in sys.argv else 50000
+        crawl_only(cores, n_pages)
+        return
+    if "--scaling" in sys.argv:
+        n_pages = int(sys.argv[sys.argv.index("--pages") + 1]) if "--pages" in sys.argv else 50000
+        scaling(n_pages)
+        return
+    _main_bench()
+
+
+def _main_bench() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("ATRA_BENCH_PAGES", "50000"))
+
+    import __spark_entry__ as entry_mod
+    from atra_spark.session import get_spark
+
+    spark = get_spark("atra-bench", cores=cpus, shuffle_partitions=cpus)
+    qs = entry_mod.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    crawl_sec, fetched = crawl_bench(spark, n_pages, cpus)
+    timings["crawl_bench"] = round(crawl_sec, 3)
+    urls_per_sec = round(fetched / crawl_sec, 1) if crawl_sec > 0 else 0.0
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "urls_per_sec": urls_per_sec,
+                "crawl_pages_fetched": fetched,
+                "crawl_corpus_pages": n_pages,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -244,3 +244,57 @@ class TestPoliteness:
         slow = sched.filter(F.col("host") == "slow.example").collect()
         offs = sorted(r["scheduled_offset_ms"] for r in slow)
         assert offs == [0, 2000, 4000]
+
+
+class TestJvmUrl:
+    """JVM origin/host/path columns must match the Python kernel
+    exactly (the hot path swaps implementations, not semantics)."""
+
+    URLS = [
+        "https://host0001.example/p3.html",
+        "https://mega.example/private/p9.html?q=1",
+        "https://www.sub.example.com/x",
+        "https://a.co.uk/x",
+        "https://www.a.co.uk/x#frag",
+        "https://192.168.0.1/x",
+        "https://localhost/",
+        "https://u:p@h.example:8443/a/b?c=d",
+        "http://UPPER.Example/Y",
+    ]
+
+    def test_origin_matches_kernel(self, spark):
+        from atra_spark.functions.jvm_url import host_col, origin_col, path_col
+        from atra_spark.urlkit import host_of, origin
+
+        df = spark.createDataFrame([(u,) for u in self.URLS], "url string")
+        rows = df.select(
+            "url", origin_col(F.col("url")).alias("o"), host_col(F.col("url")).alias("h")
+        ).collect()
+        for r in rows:
+            assert r["o"] == origin(r["url"]), r["url"]
+            assert r["h"] == host_of(r["url"]), r["url"]
+
+    def test_robots_allowed_col(self, spark):
+        from atra_spark.functions.jvm_url import robots_allowed_col
+
+        df = spark.createDataFrame(
+            [
+                ("https://h.example/ok.html", ["/private"]),
+                ("https://h.example/private/x", ["/private"]),
+                ("https://h.example/private/x", []),
+                ("https://h.example/private/x", None),
+                ("https://h.example/", ["/a", "/b"]),
+            ],
+            "url string, disallow array<string>",
+        )
+        got = [r[0] for r in df.select(robots_allowed_col(F.col("url"), F.col("disallow"))).collect()]
+        assert got == [True, False, True, True, True]
+
+    def test_fixture_corpus_origin_parity(self, spark, fixture_set):
+        from atra_spark.functions.jvm_url import origin_col
+        from atra_spark.urlkit import origin
+
+        urls = [(p[0],) for p in fixture_set.pages[:300]]
+        df = spark.createDataFrame(urls, "url string")
+        for r in df.select("url", origin_col(F.col("url")).alias("o")).collect():
+            assert r["o"] == origin(r["url"])
