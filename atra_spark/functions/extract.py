@@ -32,8 +32,22 @@ from typing import Iterable, Iterator
 
 import pandas as pd
 
+from functools import lru_cache
+
 from ..urlkit import canonicalize, host_of
 from .langdata import detect_lang
+
+# Per-executor canonicalization caches: hrefs repeat heavily within a
+# host's pages, and absolute http(s) URLs canonicalize independently of
+# the base (urljoin with an absolute reference returns the reference).
+_canon_abs = lru_cache(maxsize=1 << 16)(canonicalize)
+_host_cached = lru_cache(maxsize=1 << 16)(host_of)
+
+
+def _canon(raw: str, base: str) -> str | None:
+    if raw.startswith("http://") or raw.startswith("https://"):
+        return _canon_abs(raw)
+    return canonicalize(raw, base=base)
 
 # --------------------------------------------------------------------------
 # decode ladder
@@ -210,7 +224,7 @@ def extract_html(
     # first-level docs resolve against <base> (extractor_method.rs:89-103)
     if p.base_href is not None:
         base = canonicalize(p.base_href, base=page_url) or page_url
-    page_host = host_of(page_url)
+    page_host = _host_cached(page_url)
     links: list[tuple[str, str, str]] = []
     seen: set[str] = set()
     for raw, method in p.raw_links:
@@ -222,13 +236,13 @@ def extract_html(
                 seen.add(raw)
                 links.append((raw, "data", method))
             continue
-        cu = canonicalize(raw, base=base)
+        cu = _canon(raw, base)
         if cu is None or cu == page_url:  # self-link filter (links.rs:68-75)
             continue
         if cu in seen:
             continue  # per-page dedup (extraction/html.rs:80)
         seen.add(cu)
-        kind = "onseed" if host_of(cu) == page_host else "outgoing"
+        kind = "onseed" if _host_cached(cu) == page_host else "outgoing"
         links.append((cu, kind, method))
     return text, links
 

@@ -244,6 +244,14 @@ class CrawlEngine:
             .mapInPandas(_extract, EXTRACTED_WITH_TS_SCHEMA)
             .persist()
         )
+        # Materialize the two shared caches ONCE, in dependency order,
+        # before consumers fan out. Without this, the results write's
+        # union branches + the misses anti-join + the broadcast
+        # sub-jobs all race on the cold cache and each re-runs the
+        # full fetch+extract scan (observed 3-4x concurrent extraction
+        # in the event log).
+        sched.count()
+        extracted.count()
         misses = admitted.join(extracted.select("url"), on="url", how="left_anti")
 
         # admitted-side metadata rejoined after extraction (broadcast)

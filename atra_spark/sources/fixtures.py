@@ -88,7 +88,12 @@ def generate_fixtures(
     n_hosts: int = 24,
     seed: int = 42,
     mega_share: float = 0.4,
+    body_paragraphs: int = 1,
+    links_range: tuple[int, int] = (5, 30),
 ) -> FixtureSet:
+    """``body_paragraphs`` scales page size: 1 ≈ 1.5 KB html (fast unit
+    tests); 8-12 ≈ 6-10 KB, approximating Common-Crawl text-heavy pages
+    so that extraction rather than orchestration dominates benchmarks."""
     rng = random.Random(seed)
     hosts = [f"host{i:04d}.example" for i in range(n_hosts)]
     mega = "mega.example"
@@ -174,8 +179,9 @@ def generate_fixtures(
             b.raw("</h1>")
             b.gap("\n")
 
-            # anchors: 5-30, 80% same-host / 15% cross-host / 5% junk
-            n_links = page_rng.randint(5, 30)
+            # anchors (80% same-host / 15% cross-host / 5% junk);
+            # links_range=(30,90)+ approximates real link-dense pages
+            n_links = page_rng.randint(*links_range)
             raw_hrefs: list[tuple[str, bool]] = []  # (href, nofollow)
             for k in range(n_links):
                 r = page_rng.random()
@@ -219,6 +225,11 @@ def generate_fixtures(
                 b.text(" caf\xe9 entr\xe9e na\xefve")
             b.raw("</div>")
             b.gap("\n")
+            for _ in range(body_paragraphs - 1):
+                b.raw("<p>")
+                b.text(_lang_sentence(page_rng, lang, 60))
+                b.raw("</p>")
+                b.gap("\n")
             b.raw("</body></html>")
 
             enc = "iso-8859-1" if latin1 else "utf-8"
@@ -349,9 +360,19 @@ def write_fixtures(fx: FixtureSet, out_dir: str) -> dict[str, str]:
 FIXTURE_FORMAT_VERSION = 2  # bump to invalidate cached fixture dirs
 
 
-def ensure_fixtures(out_dir: str, n_pages: int = 2000, n_hosts: int = 24) -> dict[str, str]:
+def ensure_fixtures(
+    out_dir: str,
+    n_pages: int = 2000,
+    n_hosts: int = 24,
+    body_paragraphs: int = 1,
+    links_range: tuple[int, int] = (5, 30),
+) -> dict[str, str]:
     """Generate-once cache keyed by a marker file."""
-    marker = os.path.join(out_dir, f".done_v{FIXTURE_FORMAT_VERSION}_{n_pages}_{n_hosts}")
+    marker = os.path.join(
+        out_dir,
+        f".done_v{FIXTURE_FORMAT_VERSION}_{n_pages}_{n_hosts}"
+        f"_{body_paragraphs}_{links_range[0]}-{links_range[1]}",
+    )
     names = ["pages", "robots", "golden_links"]
     if os.path.exists(marker):
         return {
@@ -359,7 +380,12 @@ def ensure_fixtures(out_dir: str, n_pages: int = 2000, n_hosts: int = 24) -> dic
             "seeds": os.path.join(out_dir, "seeds.txt"),
             "config": os.path.join(out_dir, "config.json"),
         }
-    fx = generate_fixtures(n_pages=n_pages, n_hosts=n_hosts)
+    fx = generate_fixtures(
+        n_pages=n_pages,
+        n_hosts=n_hosts,
+        body_paragraphs=body_paragraphs,
+        links_range=links_range,
+    )
     paths = write_fixtures(fx, out_dir)
     with open(marker, "w") as f:
         f.write("ok")
