@@ -373,6 +373,26 @@ LIMIT 10
 
 
 # SQL-expressible operators: name -> template fn
+
+
+def sql_token_count_nostop(dialect: str) -> str:
+    """Tokenizer + stopword filter (text_processing/src/tokenizer.rs:26-95
+    analog): token count after removing a stopword list."""
+    stop = ["the", "and", "of", "der", "und", "le", "les", "el", "los", "il", "di"]
+    toks = _split_ws("lower(text)", dialect)
+    if dialect == "spark":
+        arr = "array(" + ", ".join(f"'{w}'" for w in stop) + ")"
+        kept = f"filter({toks}, x -> NOT array_contains({arr}, x))"
+        n = f"size({kept})"
+    else:
+        arr = "[" + ", ".join(f"'{w}'" for w in stop) + "]"
+        kept = f"list_filter({toks}, x -> NOT list_contains({arr}, x))"
+        n = f"len({kept})"
+    return f"""
+SELECT doc_id, CAST({n} AS BIGINT) AS n_tokens_nostop
+FROM documents
+"""
+
 _SQL_OPS: dict[str, Callable[[str], str]] = {
     "frontier_antijoin_dedup": sql_frontier_antijoin,
     "politeness_topk_admission": sql_politeness_topk,
@@ -391,6 +411,7 @@ _SQL_OPS: dict[str, Callable[[str], str]] = {
     "dedup_ngram_jaccard": sql_ngram_jaccard,
     "minhash_band_pairs": sql_minhash_band_pairs,
     "embedding_cosine_topk": sql_cosine_topk,
+    "token_count_nostop": sql_token_count_nostop,
 }
 
 
@@ -433,6 +454,74 @@ def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir)
     return spark.table("documents").select("doc_id", simhash(F.col("text")).alias("simhash"))
+
+
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs over documents (banded Hamming
+    blocking; atra_spark.functions.dedup.simhash_near_pairs)."""
+    from atra_spark.functions.dedup import simhash_near_pairs
+
+    _register(spark, sf_dir)
+    return simhash_near_pairs(spark.table("documents"), max_hamming=12)
+
+
+def q_minhash_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API MinHash-LSH candidates (xxhash64 band buckets —
+    the scale path; the SQL twin minhash_band_pairs is oracle-checked)."""
+    from atra_spark.functions.dedup import minhash_lsh_candidates
+
+    _register(spark, sf_dir)
+    return minhash_lsh_candidates(spark.table("documents"))
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via random-hyperplane LSH bucketing + exact re-rank
+    (atra_spark.functions.similarity.lsh_bucketed_topk)."""
+    from atra_spark.functions.similarity import lsh_bucketed_topk
+
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_bucketed_topk(
+        emb.filter(F.col("vec_id") != 0), [float(x) for x in q], k=10, multiprobe=2
+    )
+
+
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash document fingerprints."""
+    from atra_spark.functions.textstats import rolling_fingerprints
+
+    _register(spark, sf_dir)
+    return rolling_fingerprints(spark.table("documents"))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload feature pass over the
+    deterministic synthetic media table (decode step stubbed — no
+    codecs in this environment; schema/batching/hashing real)."""
+    from atra_spark.functions.multimodal import extract_media_features, synth_media
+
+    return extract_media_features(synth_media(spark, n=128))
+
+
+def q_sitemap_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap source: <urlset> rows -> canonicalized frontier candidates."""
+    from atra_spark.sources.fixtures import generate_fixtures
+    from atra_spark.sources.sitemap import sitemap_candidates
+    import pyspark.sql.functions as SF
+
+    fx = generate_fixtures(n_pages=60, n_hosts=4)
+    locs = "".join(
+        f"<url><loc>{u}</loc></url>" for u, *_ in fx.pages[:40]
+    )
+    xml = f'<?xml version="1.0"?><urlset>{locs}</urlset>'.encode()
+    pages = spark.createDataFrame(
+        [("https://host0000.example/sitemap.xml", None, xml, None, None)],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    return sitemap_candidates(pages)
 
 
 def q_crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,6 +628,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         name: _make_sql_query(name) for name in _SQL_OPS
     }
     out["simhash64"] = q_simhash64
+    out["simhash_near_pairs"] = q_simhash_near_pairs
+    out["minhash_lsh_df"] = q_minhash_lsh_df
+    out["embedding_lsh_topk"] = q_embedding_lsh_topk
+    out["rolling_fingerprints"] = q_rolling_fingerprints
+    out["media_features"] = q_media_features
+    out["sitemap_candidates"] = q_sitemap_candidates
     out["crawl_round"] = q_crawl_round
     return out
 

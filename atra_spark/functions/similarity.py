@@ -1,0 +1,104 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k vs a query vector — JVM
+  ``zip_with``/``aggregate`` dot product, no Python in the scan.
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane LSH
+  bucketing (deterministic seed), candidates drawn only from the
+  query's bucket (+ optional multiprobe neighbors), exact re-rank of
+  the candidates. At 100 TB the bucket column is a partition key, so
+  a query touches one partition instead of the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    return (
+        df.select(F.col(id_col).alias("id"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def add_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane signature as an integer bucket column.
+
+    bit_i = sign(v . h_i); expressed as JVM column math over literal
+    plane arrays (no UDF): bucket = sum(2^i * (dot_i > 0)).
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(_dot(F.col(vec_col), p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn("lsh_bucket", bucket.cast("int"))
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket (and, with
+    ``multiprobe``=m, every bucket within Hamming distance m of it),
+    then exact-rank the candidates."""
+    planes = _hyperplanes(len(query), n_planes, seed)
+    qv = np.asarray(query, dtype=float)
+    qbits = int(sum((1 << i) for i, p in enumerate(planes) if float(qv @ p) > 0))
+    probes = {qbits}
+    if multiprobe >= 1:
+        for i in range(n_planes):
+            probes.add(qbits ^ (1 << i))
+    if multiprobe >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qbits ^ (1 << i) ^ (1 << j))
+    bucketed = add_lsh_bucket(df, len(query), n_planes, seed, vec_col)
+    cands = bucketed.filter(F.col("lsh_bucket").isin(*sorted(probes)))
+    return cosine_topk(cands, query, k, vec_col, id_col)

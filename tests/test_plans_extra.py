@@ -1,0 +1,200 @@
+"""Export sinks, recovery/recrawl plans, sitemap source, streaming
+ingest — the remaining SURVEY.md §2.1/§2.2/§2.8 operators."""
+
+import datetime
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from atra_spark.plans.export import edges_to_turtle, export_turtle, export_warc
+from atra_spark.plans.recover import (
+    rebuild_frontier_from_seen,
+    recover,
+    recrawl_candidates,
+)
+from atra_spark.schemas import (
+    KIND_DISCOVERED,
+    KIND_INTERNAL_ERROR,
+    KIND_PROCESSED_AND_STORED,
+    KIND_UNSET,
+    SEEN_SCHEMA,
+)
+from atra_spark.sources.sitemap import parse_sitemap, sitemap_candidates
+
+TS = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+
+def _seen(spark, rows):
+    data = [
+        (u, h, k, KIND_UNSET, rc, s, TS, 0, 0, 0) for (u, h, k, rc, s) in rows
+    ]
+    return spark.createDataFrame(data, SEEN_SCHEMA)
+
+
+class TestWarcExport:
+    def test_roundtrip(self, spark, tmp_path):
+        pages = spark.createDataFrame(
+            [
+                ("https://h.example/a", TS, b"<html>aaa</html>"),
+                ("https://h.example/b", TS, b"<html>bbb</html>"),
+            ],
+            "url string, fetched_at timestamp, html binary",
+        )
+        results = pages.select(
+            "url", "fetched_at", F.lit(200).alias("status")
+        )
+        out = str(tmp_path / "warc")
+        report = export_warc(results, pages.select("url", "html"), out).collect()
+        assert sum(r["records"] for r in report) == 2
+        blob = b"".join(
+            open(os.path.join(out, f), "rb").read() for f in sorted(os.listdir(out))
+        )
+        assert blob.count(b"WARC/1.1\r\n") == 2
+        assert b"WARC-Target-URI: https://h.example/a" in blob
+        rid = uuid.uuid5(uuid.NAMESPACE_URL, "https://h.example/a").urn
+        assert f"<{rid}>".encode() in blob  # UUIDv5 record id (write.rs:80-86)
+        assert b"<html>aaa</html>" in blob
+
+    def test_skips_errors(self, spark, tmp_path):
+        pages = spark.createDataFrame(
+            [("https://h.example/a", TS, b"x")],
+            "url string, fetched_at timestamp, html binary",
+        )
+        results = spark.createDataFrame(
+            [("https://h.example/a", TS, 404)],
+            "url string, fetched_at timestamp, status int",
+        )
+        report = export_warc(results, pages.select("url", "html"), str(tmp_path / "w")).collect()
+        assert sum(r["records"] for r in report) == 0
+
+
+class TestTurtleExport:
+    def test_predicates_and_file(self, spark, tmp_path):
+        edges = spark.createDataFrame(
+            [
+                ("h.example", "https://h.example/a", "seed", 0),
+                ("https://h.example/a", "https://h.example/b", "link", 1),
+            ],
+            "src string, dst string, kind string, round int",
+        )
+        lines = {r["line"] for r in edges_to_turtle(edges).collect()}
+        assert "<h.example> atra:has_seed <https://h.example/a> ." in lines
+        assert "<https://h.example/a> atra:links_to <https://h.example/b> ." in lines
+        out = str(tmp_path / "graph.ttl")
+        n = export_turtle(edges, out)
+        assert n == 2
+        content = open(out).read()
+        assert content.startswith("@prefix atra:")
+
+
+class TestRecover:
+    def test_rebuild_filters_processed(self, spark):
+        seen = _seen(
+            spark,
+            [
+                ("https://h/a", "h", KIND_PROCESSED_AND_STORED, False, True),
+                ("https://h/b", "h", KIND_DISCOVERED, False, False),
+                ("https://h/c", "h", KIND_INTERNAL_ERROR, False, False),
+            ],
+        )
+        rows = {r["url"]: r for r in rebuild_frontier_from_seen(seen, 5).collect()}
+        assert set(rows) == {"https://h/b", "https://h/c"}
+        assert rows["https://h/b"]["enqueue_round"] == 5
+
+    def test_recover_via_store(self, spark, tmp_path):
+        from atra_spark.sources.store import CheckpointStore
+
+        store = CheckpointStore(str(tmp_path), num_buckets=4)
+        seen = _seen(
+            spark,
+            [
+                ("https://h/a", "h", KIND_PROCESSED_AND_STORED, False, True),
+                ("https://h/b", "h", KIND_DISCOVERED, False, False),
+            ],
+        )
+        store.write_snapshot("seen", seen, 3, bucket_by="host")
+        n = recover(spark, store)
+        assert n == 1
+        fr = store.read_snapshot(spark, "frontier")
+        assert [r["url"] for r in fr.collect()] == ["https://h/b"]
+
+    def test_recrawl_candidates(self, spark):
+        seen = _seen(
+            spark,
+            [
+                ("https://h/a", "h", KIND_PROCESSED_AND_STORED, True, False),   # old + recrawl
+                ("https://h/b", "h", KIND_PROCESSED_AND_STORED, False, False),  # no recrawl
+                ("https://h/c", "h", KIND_DISCOVERED, True, False),             # wrong state
+            ],
+        )
+        now = datetime.datetime(2024, 1, 2, tzinfo=datetime.timezone.utc)
+        rows = [r["url"] for r in recrawl_candidates(seen, now, 3600, 9).collect()]
+        assert rows == ["https://h/a"]
+
+
+SITEMAP_XML = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://h.example/p1.html</loc></url>
+  <url><loc>https://h.example/p2.html#frag</loc></url>
+  <url><loc>/relative.html</loc></url>
+  <url><loc>ftp://bad.example/x</loc></url>
+</urlset>"""
+
+
+class TestSitemap:
+    def test_parse(self):
+        locs = parse_sitemap(SITEMAP_XML)
+        assert len(locs) == 4 and locs[0] == "https://h.example/p1.html"
+
+    def test_candidates(self, spark):
+        pages = spark.createDataFrame(
+            [
+                ("https://h.example/sitemap.xml", TS, SITEMAP_XML, None, None),
+                ("https://h.example/p1.html", TS, b"<html></html>", None, None),
+            ],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        rows = {r["url"]: r for r in sitemap_candidates(pages).collect()}
+        assert "https://h.example/p1.html" in rows
+        assert "https://h.example/p2.html" in rows  # fragment stripped
+        assert "https://h.example/relative.html" in rows  # base-resolved
+        assert not any(u.startswith("ftp") for u in rows)
+        assert rows["https://h.example/p1.html"]["host"] == "h.example"
+
+
+class TestStreamingIngest:
+    def test_available_now_drains_and_matches_batch(self, spark, tmp_path, fixture_set):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from atra_spark.streaming.ingest import run_ingest
+
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        sample = fixture_set.pages[:50]
+        tbl = pa.table(
+            {
+                "url": [p[0] for p in sample],
+                "warc_ts": pa.array([p[1] for p in sample], pa.timestamp("us", "UTC")),
+                "html": [p[2] for p in sample],
+                "text": pa.array([None] * len(sample), pa.string()),
+                "lang": pa.array([None] * len(sample), pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(landing / "batch0.parquet"))
+
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        run_ingest(spark, str(landing), out, ckpt, available_now=True)
+        got = {r["url"]: r for r in spark.read.parquet(out).collect()}
+        assert len(got) == 50
+        golden = {p[0]: (p[3], p[4]) for p in sample}
+        for url, row in got.items():
+            assert row["text"] == golden[url][0]  # byte-identical via stream too
+            assert row["lang"] == golden[url][1]
+
+        # exactly-once: draining again with the same checkpoint adds nothing
+        run_ingest(spark, str(landing), out, ckpt, available_now=True)
+        assert spark.read.parquet(out).count() == 50

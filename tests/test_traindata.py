@@ -1,0 +1,210 @@
+"""Training-data operator tests: dedup family, similarity search,
+text stats, multimodal plumbing — each against a pure-Python oracle
+computed on the same rows."""
+
+import hashlib
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from atra_spark.functions import dedup, multimodal, similarity, textstats
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (3, "completely different text about spark and shuffles here"),
+    (4, "the quick brown fox leaps over the lazy dog"),
+    (5, "tiny"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _tokens(t):
+    return t.split()
+
+
+def _shingles(t, k=3):
+    toks = _tokens(t)
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _jaccard(a, b):
+    i = len(a & b)
+    return i / (len(a) + len(b) - i) if (a or b) else 0.0
+
+
+class TestExactDedup:
+    def test_groups(self, spark, docs_df):
+        rows = {r["content_hash"]: r for r in dedup.exact_dedup(docs_df).collect()}
+        dup_groups = [r for r in rows.values() if r["n_dups"] > 1]
+        assert len(dup_groups) == 1
+        assert dup_groups[0]["keeper"] == 0 and dup_groups[0]["n_dups"] == 2
+
+
+class TestShinglesAndJaccard:
+    def test_shingles_match_python(self, spark, docs_df):
+        got = {}
+        for r in dedup.shingles(docs_df).collect():
+            got.setdefault(r["id"], set()).add(r["sh"])
+        for doc_id, text in DOCS:
+            assert got.get(doc_id, set()) == _shingles(text), doc_id
+
+    def test_jaccard_pairs_match_python(self, spark, docs_df):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs_df, threshold=0.3).collect()
+        }
+        expected = {}
+        for (ida, ta), (idb, tb) in itertools.combinations(DOCS, 2):
+            j = _jaccard(_shingles(ta), _shingles(tb))
+            if j >= 0.3:
+                expected[(ida, idb)] = j
+        assert set(got) == set(expected)
+        for k in got:
+            assert abs(got[k] - expected[k]) < 1e-9
+
+
+class TestMinHash:
+    def test_lsh_catches_exact_dups_and_near_dups(self, spark, docs_df):
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_lsh_candidates(docs_df).collect()
+        }
+        assert (0, 2) in pairs  # exact dup always collides
+        # high-jaccard near-dups (0,1) share most shingles
+        assert (0, 1) in pairs or (1, 2) in pairs
+        # completely different doc should not pair with everything
+        assert (3, 5) not in pairs
+
+    def test_signatures_deterministic(self, spark, docs_df):
+        a = sorted(map(tuple, dedup.minhash_signatures(docs_df).collect()))
+        b = sorted(map(tuple, dedup.minhash_signatures(docs_df).collect()))
+        assert a == b
+
+
+class TestSimHash:
+    def test_matches_pure_python(self, spark, docs_df):
+        def py_simhash(t):
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in t.lower().split():
+                bits = np.unpackbits(
+                    np.frombuffer(hashlib.md5(tok.encode()).digest()[:8], dtype=np.uint8)
+                ).astype(np.int64)
+                acc += bits * 2 - 1
+            packed = np.packbits((acc > 0).astype(np.uint8)).tobytes()
+            return int.from_bytes(packed, "big", signed=True)
+
+        got = {r["id"]: r["simhash"] for r in dedup.simhash(docs_df).collect()}
+        for doc_id, text in DOCS:
+            assert got[doc_id] == py_simhash(text), doc_id
+
+    def test_near_pairs(self, spark, docs_df):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in dedup.simhash_near_pairs(docs_df, max_hamming=8).collect()
+        }
+        assert pairs.get((0, 2)) == 0  # exact dups -> distance 0
+        # one-token-different docs are close
+        assert (0, 1) in pairs or (0, 4) in pairs
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vecs_df(self, spark):
+        rng = np.random.default_rng(7)
+        rows = [(i, rng.standard_normal(16).astype(float).tolist()) for i in range(200)]
+        self.__class__.rows = rows
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_bruteforce_matches_numpy(self, spark, vecs_df):
+        rows = self.rows
+        q = rows[0][1]
+        got = [r["id"] for r in similarity.cosine_topk(vecs_df, q, k=5).collect()]
+        qv = np.array(q)
+        # numpy oracle over float32-rounded vectors (Spark stores float32)
+        sims = []
+        for i, v in rows:
+            v32 = np.array(v, dtype=np.float32).astype(float)
+            sims.append((float(v32 @ qv / (np.linalg.norm(v32) * np.linalg.norm(qv))), i))
+        expected = [i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))[:5]]
+        assert got == expected
+
+    def test_lsh_recall_contains_top1(self, spark, vecs_df):
+        rows = self.rows
+        q = rows[5][1]
+        exact = [r["id"] for r in similarity.cosine_topk(vecs_df, q, k=3).collect()]
+        approx = [
+            r["id"]
+            for r in similarity.lsh_bucketed_topk(vecs_df, q, k=3, multiprobe=2).collect()
+        ]
+        assert exact[0] in approx  # query itself (cos=1) must be found
+
+    def test_bucket_assignment_deterministic(self, spark, vecs_df):
+        a = sorted(map(tuple, similarity.add_lsh_bucket(vecs_df, 16).select("vec_id", "lsh_bucket").collect()))
+        b = sorted(map(tuple, similarity.add_lsh_bucket(vecs_df, 16).select("vec_id", "lsh_bucket").collect()))
+        assert a == b
+
+
+class TestTextStats:
+    def test_quality_metrics(self, spark, docs_df):
+        rows = {r["id"]: r for r in textstats.quality_metrics(docs_df).collect()}
+        t0 = DOCS[0][1]
+        assert rows[0]["n_chars"] == len(t0)
+        assert rows[0]["n_tokens"] == len(t0.split())
+        assert rows[5]["n_tokens"] == 1
+
+    def test_lang_scores(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "the data and the value of the table"),
+                (1, "der wert und das netz ist ein gutes netz"),
+                (2, "zzz qqq 123"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["id"]: r["lang"] for r in textstats.lang_scores(df).collect()}
+        assert rows[0] == "eng" and rows[1] == "deu" and rows[2] == "und"
+
+    def test_tokenizer(self, spark, docs_df):
+        got = {r["id"]: r["toks"] for r in docs_df.select(
+            F.col("doc_id").alias("id"), textstats.tokenize_udf(F.col("text")).alias("toks")
+        ).collect()}
+        assert got[5] == ["tiny"]
+        assert "the" not in got[0]  # stopword removed
+
+    def test_rolling_fingerprints_detect_containment(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+        df = spark.createDataFrame(
+            [(0, base), (1, base + " extra tail words here now"), (2, "unrelated " * 40)],
+            "doc_id long, text string",
+        )
+        fps = {}
+        for r in textstats.rolling_fingerprints(df).collect():
+            fps.setdefault(r["id"], set()).add((r["bucket"], r["fp"]))
+        overlap01 = len(fps[0] & fps[1]) / len(fps[0])
+        overlap02 = len(fps[0] & fps[2]) / len(fps[0])
+        assert overlap01 > 0.8 and overlap02 < 0.2
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        media = multimodal.synth_media(spark, n=32)
+        feats = {r["media_id"]: r for r in multimodal.extract_media_features(media).collect()}
+        assert len(feats) == 32
+        assert all(r["decoded"] == "stubbed" for r in feats.values())
+        assert feats[0]["sniffed_mime"] == "image/png"
+        assert feats[1]["sniffed_mime"] == "image/jpeg"
+        assert all(r["n_bytes"] > 0 for r in feats.values())
+
+    def test_media_dedup(self, spark):
+        media = multimodal.synth_media(spark, n=32)
+        groups = multimodal.media_exact_dedup(media).collect()
+        dup = [g for g in groups if g["n_dups"] > 1]
+        assert dup, "deterministic duplicates must collapse"
