@@ -90,10 +90,15 @@ def crawl_bench(spark, n_pages: int, cpus: int) -> tuple[float, int]:
     )
     store = CheckpointStore(store_root, num_buckets=32)
     eng = CrawlEngine(spark, store, config, paths["pages"], paths["robots"], num_buckets=32)
-    t0 = time.monotonic()
-    report = eng.run(seeds=seeds)
-    wall = time.monotonic() - t0
-    return wall, report.fetched_total
+    try:
+        t0 = time.monotonic()
+        report = eng.run(seeds=seeds)
+        wall = time.monotonic() - t0
+        return wall, report.fetched_total
+    finally:
+        import shutil
+
+        shutil.rmtree(store_root, ignore_errors=True)
 
 
 def mega_round_bench(spark, n_pages: int) -> tuple[float, int]:
@@ -128,11 +133,16 @@ def mega_round_bench(spark, n_pages: int) -> tuple[float, int]:
     )
     store = CheckpointStore(store_root, num_buckets=32)
     eng = CrawlEngine(spark, store, config, paths["pages"], paths["robots"], num_buckets=32)
-    eng.seed(urls)
-    t0 = time.monotonic()
-    rs = eng.run_round(0)
-    wall = time.monotonic() - t0
-    return wall, rs.fetched_ok + rs.fetch_errors
+    try:
+        eng.seed(urls)
+        t0 = time.monotonic()
+        rs = eng.run_round(0)
+        wall = time.monotonic() - t0
+        return wall, rs.fetched_ok + rs.fetch_errors
+    finally:
+        import shutil
+
+        shutil.rmtree(store_root, ignore_errors=True)
 
 
 def crawl_only(cores: int, n_pages: int) -> None:
@@ -227,6 +237,12 @@ def _main_bench() -> None:
     timings["crawl_bench"] = round(crawl_sec, 3)
     urls_per_sec = round(fetched / crawl_sec, 1) if crawl_sec > 0 else 0.0
 
+    # steady-state round throughput (the north-rule metric: per-round
+    # work dominating orchestration, the shape of a 10^10 frontier)
+    mega_sec, mega_fetched = mega_round_bench(spark, n_pages)
+    timings["steady_state_round"] = round(mega_sec, 3)
+    steady_urls_per_sec = round(mega_fetched / mega_sec, 1) if mega_sec > 0 else 0.0
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -242,6 +258,7 @@ def _main_bench() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "urls_per_sec": urls_per_sec,
+                "steady_state_urls_per_sec": steady_urls_per_sec,
                 "crawl_pages_fetched": fetched,
                 "crawl_corpus_pages": n_pages,
                 "cpus": cpus,
