@@ -39,6 +39,12 @@ class CrawlConfig:
     max_rounds: int = 32
     user_agent: str = "atra-spark/0.1"
 
+    # politeness scheduler implementation: the JVM window function
+    # (default, whole-stage codegen) or the grouped applyInPandas
+    # stateful scheduler — identical admissions (pytest-verified),
+    # the pandas path also stamps per-host scheduled fetch offsets
+    use_pandas_scheduler: bool = False
+
     # write the order/edges audit tables (crawl-ordering parity + web
     # graph). Disable for pure-throughput runs; results/seen/frontier/
     # metrics are always written (resumability + lineage).

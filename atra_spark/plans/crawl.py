@@ -46,7 +46,7 @@ from ..operators.frontier import (
     filter_state,
     parse_robots,
 )
-from ..operators.politeness import admit_window
+from ..operators.politeness import admit_window, schedule_hosts
 from ..operators.seen import aggregate_candidates, merge_seen
 
 
@@ -197,7 +197,8 @@ class CrawlEngine:
         if cfg.respect_robots_txt and self.robots_parsed is not None:
             eligible = filter_robots(eligible, self.robots_parsed)
 
-        sched = admit_window(
+        scheduler = schedule_hosts if cfg.use_pandas_scheduler else admit_window
+        sched = scheduler(
             eligible,
             self.robots_parsed,
             default_delay_ms=cfg.delay_ms,
@@ -407,6 +408,21 @@ class CrawlEngine:
         if cfg.audit_tables:
             jobs["edges"] = lambda: st.write_snapshot("edges", edges, rnd + 1)
             jobs["order"] = lambda: st.write_snapshot("order", admission_log, rnd)
+            # host_state (recrawl_management/mod.rs:27-70): last access
+            # offset per host this round + its effective crawl delay
+            host_state = admitted.groupBy("host").agg(
+                F.max("scheduled_offset_ms").alias("last_offset_ms"),
+                F.max("crawl_delay_ms").alias("crawl_delay_ms"),
+            ).select(
+                "host",
+                F.timestamp_millis(
+                    F.unix_millis(F.current_timestamp()) + F.col("last_offset_ms")
+                ).alias("last_access"),
+                "crawl_delay_ms",
+            )
+            jobs["host_state"] = lambda: st.write_snapshot(
+                "host_state", host_state, rnd + 1, bucket_by="host"
+            )
         with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
             futs = {k: pool.submit(fn) for k, fn in jobs.items()}
             for f in futs.values():
