@@ -557,7 +557,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from atra_spark.config import CrawlConfig
     from atra_spark.plans.crawl import CrawlEngine
     from atra_spark.sources.store import CheckpointStore
-    from atra_spark.urlkit import NORMAL, Budget
+    from atra_spark.urlkit import NORMAL, UNBOUNDED_DISTANCE, Budget
 
     sf_dir = "/root/testdata/sf0.001"
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -611,7 +611,9 @@ def entry(spark: SparkSession) -> DataFrame:
         for r in pages.orderBy("url").limit(8).collect()
     ]
     config = CrawlConfig(
-        default_budget=Budget(kind=NORMAL, depth_on_website=0, distance_to_seed=0),
+        default_budget=Budget(
+            kind=NORMAL, depth_on_website=0, distance_to_seed=UNBOUNDED_DISTANCE
+        ),
         delay_ms=100,
         round_budget_ms=10_000,
         max_rounds=3,

@@ -11,18 +11,15 @@ Scale notes (100 TB posture):
 - MinHash-LSH: signatures via min-of-hash aggregation (no UDF), band
   buckets joined on (band, hash-pair) — the candidate join never
   materializes the full O(n^2) pair space
-- SimHash: Arrow-batched bit-vote UDF, 64-bit signatures; Hamming
-  neighbor search via 4-band exact-match blocking
+- SimHash: fully JVM-side (explode tokens -> 60-bit md5 hash ->
+  per-bit vote aggregation) — no Python anywhere in the path, and the
+  identical expression family runs in the DuckDB oracle; Hamming
+  neighbor search blocks on max_hamming+1 bands (pigeonhole guarantee)
 """
 
 from __future__ import annotations
 
-import hashlib
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType
 
 # 60-bit deterministic content hash — identical expression family to
 # the DuckDB oracle (md5 hex -> bigint)
@@ -62,13 +59,41 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by k-gram Jaccard >= threshold.
 
     shingle self-join keyed on the shingle (the 100 TB plan: shuffle on
     shingle, combine map-side) -> common counts -> sizes -> filter.
+
+    ``max_shingle_df`` is the hot-shingle cap, the scale guard: a
+    stop-phrase shingle shared by 10^6 docs would contribute 10^12 join
+    rows (quadratic in its document frequency). Shingles whose document
+    frequency exceeds the cap are dropped from the shingle universe
+    CONSISTENTLY (both from the self-join and from the per-doc
+    cardinalities), and the drop count is logged — no silent caps.
+    Pairs are exact for any corpus where no shingle exceeds the cap.
     """
-    sh = shingles(df, text_col, id_col, k).cache()
+    sh = shingles(df, text_col, id_col, k)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("docfreq"))
+            .filter(F.col("docfreq") > max_shingle_df)
+            .cache()
+        )
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: dropping %d hot shingles with document "
+                "frequency > %d before the self-join (quadratic-blowup guard)",
+                n_hot,
+                max_shingle_df,
+            )
+            sh = sh.join(F.broadcast(hot.select("sh")), on="sh", how="left_anti")
+    sh = sh.cache()
     card = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("id").alias("ida"), "sh")
     b = sh.select(F.col("id").alias("idb"), "sh")
@@ -139,46 +164,72 @@ def minhash_lsh_candidates(
     )
 
 
-@F.pandas_udf(LongType())
-def simhash64_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash per text (token-hash bit voting), Arrow-batched."""
-    out = []
-    for t in texts:
-        if not t:
-            out.append(0)
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in t.lower().split():
-            bits = np.unpackbits(
-                np.frombuffer(hashlib.md5(tok.encode()).digest()[:8], dtype=np.uint8)
-            ).astype(np.int64)
-            acc += bits * 2 - 1
-        packed = np.packbits((acc > 0).astype(np.uint8)).tobytes()
-        out.append(int.from_bytes(packed, "big", signed=True))
-    return pd.Series(out, dtype="int64")
+SIMHASH_BITS = 60  # md5-prefix token hash is 60 bits; so is the signature
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return df.select(F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("simhash"))
+    """60-bit SimHash per document — fully JVM-side, no Python worker.
 
-
-def simhash_near_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
-) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
-
-    Blocking: split the 64-bit signature into 4 16-bit bands; any pair
-    within Hamming<=3 shares at least one exact band (pigeonhole), so
-    the candidate join is banded, then exact distance filters.
+    explode whitespace tokens (occurrences, not distinct — classic
+    frequency-weighted SimHash) -> 60-bit md5 token hash -> one
+    aggregation with a +1/-1 vote per bit -> majority bits packed into
+    a BIGINT. The identical expression family runs in the DuckDB oracle
+    (``__spark_entry__.sql_simhash``). Docs with no tokens get 0.
     """
-    sig = simhash(df, text_col, id_col)
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    toks = (
+        base.select("id", F.explode(F.split(F.lower(F.trim(F.col("_t"))), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("h", content_hash(F.col("tok")))
+    )
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig_expr = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sig_expr = sig_expr + F.when(
+            F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    sig = votes.select("id", sig_expr.alias("simhash"))
+    return base.select("id").join(sig, on="id", how="left").select(
+        "id", F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash")
+    )
+
+
+def band_slices(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """Contiguous (offset, width) bit slices covering ``bits`` bits."""
+    n_bands = max(1, min(bits, n_bands))
+    base, rem = divmod(bits, n_bands)
+    out, off = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def simhash_near_pairs_from_sigs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-pair search over a (id, simhash) frame.
+
+    Blocking uses ``max_hamming + 1`` contiguous bit bands: a pair
+    within Hamming distance h <= max_hamming differs in at most
+    max_hamming bands, so by pigeonhole at least one of the
+    max_hamming+1 bands matches exactly — 100% recall by construction
+    (the round-1 fixed-4-band version silently dropped pairs at
+    Hamming 4..max_hamming)."""
+    n_bands = max_hamming + 1
     bands = None
-    for b in range(4):
+    for b, (off, w) in enumerate(band_slices(SIMHASH_BITS, n_bands)):
         part = sig.select(
             "id",
             "simhash",
             F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1)).alias("key"),
         )
         bands = part if bands is None else bands.unionByName(part)
     a = bands.select(F.col("id").alias("doc_a"), F.col("simhash").alias("sa"), "band", "key")
@@ -191,3 +242,10 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming."""
+    return simhash_near_pairs_from_sigs(simhash(df, text_col, id_col), max_hamming)

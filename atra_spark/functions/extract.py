@@ -167,7 +167,11 @@ class _PageParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.aggressive = aggressive
         self.text_parts: list[str] = []
-        self.raw_links: list[tuple[str, str]] = []  # (raw_url, method)
+        # (raw_url, method, anchor_nofollow) — the nofollow flag is
+        # recorded here and enforced in extract_html only when
+        # respect_nofollow is on (extraction/html.rs:109-116 is gated by
+        # the crawl config in the reference, not unconditional)
+        self.raw_links: list[tuple[str, str, bool]] = []
         self.base_href: str | None = None
         self.meta_nofollow = False
         self._suppress_links = False  # set once meta nofollow seen
@@ -185,17 +189,16 @@ class _PageParser(HTMLParser):
             href = a.get("href")
             if href:
                 rel = (a.get("rel") or "").lower()
-                if "nofollow" in rel.split():
-                    return  # rel=nofollow anchor (extraction/html.rs:109-116)
-                self.raw_links.append((href, "html_a"))
+                nofollow = "nofollow" in rel.split()
+                self.raw_links.append((href, "html_a", nofollow))
         elif self.aggressive:
             if tag in _SRC_TAGS and a.get("src"):
-                self.raw_links.append((a["src"], "html_media"))
+                self.raw_links.append((a["src"], "html_media", False))
             elif tag == "form" and a.get("action"):
-                self.raw_links.append((a["action"], "html_form"))
+                self.raw_links.append((a["action"], "html_form", False))
             if a.get("onclick"):
                 for m in _ONCLICK_RE.finditer(a["onclick"]):
-                    self.raw_links.append((m.group(1), "js"))
+                    self.raw_links.append((m.group(1), "js", False))
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         self.handle_starttag(tag, attrs)
@@ -227,7 +230,9 @@ def extract_html(
     page_host = _host_cached(page_url)
     links: list[tuple[str, str, str]] = []
     seen: set[str] = set()
-    for raw, method in p.raw_links:
+    for raw, method, nofollow in p.raw_links:
+        if nofollow and respect_nofollow:
+            continue  # rel=nofollow anchor (extraction/html.rs:109-116)
         raw = raw.strip()
         if not raw:
             continue

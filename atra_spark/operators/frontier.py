@@ -48,7 +48,10 @@ def filter_budget(df: DataFrame, config: CrawlConfig) -> DataFrame:
     """Budget predicate (config/crawl.rs:445-470) as pure column logic.
 
     Per-host overrides (CrawlBudget.get_budget_for, :244-253) become a
-    broadcast CASE over the override hosts; 0 bounds mean unlimited.
+    broadcast CASE over the override hosts. depth_on_website /
+    total_distance bounds of 0 mean unlimited; the Normal arm's
+    distance_to_seed is ALWAYS enforced (crawl.rs:455-462 — 0 means
+    seed-distance-only, not unlimited).
     """
     def pred(kind: str, dow: int, dts: int, total: int):
         c_dow, c_dts, c_tot = (
@@ -57,15 +60,14 @@ def filter_budget(df: DataFrame, config: CrawlConfig) -> DataFrame:
             F.col("total_distance_to_seed"),
         )
         if kind == "single_page":
-            return c_tot == 0
+            return (c_dow == 0) & (c_dts == 0) & (c_tot == 0)
         if kind == "absolute":
             return F.lit(total == 0) | (c_tot < F.lit(total))
         on_site = F.lit(dow == 0) | (c_dow < F.lit(dow))
         if kind == "seed_only":
             return (c_dts == 0) & on_site
         # normal
-        dist_ok = F.lit(dts == 0) | (c_dts <= F.lit(dts))
-        return on_site & dist_ok
+        return on_site & (c_dts <= F.lit(dts))
 
     b = config.default_budget
     expr = pred(b.kind, b.depth_on_website, b.distance_to_seed, b.total_distance)

@@ -18,9 +18,6 @@ from pyspark.sql import functions as F
 
 from ..schemas import DEPTH_COLS, KIND_UNSET
 
-_SIGNIFICANT_MAX = 3  # Discovered..ProcessedAndStored are significant kinds
-
-
 def merge_seen(seen: DataFrame, updates: DataFrame) -> DataFrame:
     """Batch blind-upsert with Unset-skip semantics (raw.rs:259-306).
 
@@ -42,20 +39,16 @@ def merge_seen(seen: DataFrame, updates: DataFrame) -> DataFrame:
         return F.when(update_is_set, F.col(f"u_{col}")).otherwise(F.col(col))
 
     new_kind = pick("kind")
-    # last_significant_kind: when the update overwrites the kind, remember
-    # the old kind if it was significant (raw.rs:336-351)
-    lsk = (
-        F.when(
-            update_is_set
-            & F.col("kind").isNotNull()
-            & (F.col("kind") <= F.lit(_SIGNIFICANT_MAX))
-            & (F.col("kind") != F.col("u_kind")),
-            F.col("kind"),
-        )
-        .otherwise(
-            F.coalesce(
-                F.col("last_significant_kind"), F.col("u_last_significant_kind"), F.lit(KIND_UNSET)
-            )
+    # last_significant_kind: whenever a newer operand overwrites an
+    # existing row, the PREVIOUS kind is copied into
+    # LAST_SIGNIFICANT_KIND_POS unconditionally — even when it equals
+    # the update's kind or is itself an error state
+    # (raw.rs fold_merge_linkstate:285-302).
+    lsk = F.when(
+        update_is_set & F.col("kind").isNotNull(), F.col("kind")
+    ).otherwise(
+        F.coalesce(
+            F.col("last_significant_kind"), F.col("u_last_significant_kind"), F.lit(KIND_UNSET)
         )
     )
 

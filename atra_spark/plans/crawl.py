@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
 from ..functions.extract import extract_pages_batch
-from ..functions.jvm_url import origin_col
+from ..functions.jvm_url import host_col, origin_col
 from ..functions.url_udfs import canonicalize_udf, origin_udf
 from ..schemas import (
     DEPTH_COLS,
@@ -311,8 +311,13 @@ class CrawlEngine:
             "src", F.col("url").alias("dst"), F.lit("link").alias("kind"), F.lit(rnd).alias("round")
         )
 
-        # depth advance (url_with_depth.rs:69-110) as column expressions
-        same_host = F.col("host") == F.col("src_host")
+        # depth advance (url_with_depth.rs:69-110) as column expressions.
+        # The same-host test uses FULL hostname equality (atra_uri.rs
+        # compare_hosts :200-225), not the registrable-domain politeness
+        # key: a subdomain hop (blog.x.com -> www.x.com) RESETS
+        # depth_on_website and increments distance_to_seed. "host" stays
+        # the origin/politeness/partition key only.
+        same_host = host_col(F.col("url")) == host_col(F.col("src"))
         expanded = links.select(
             "url",
             "host",

@@ -28,7 +28,7 @@ from ..schemas import (
     KIND_INTERNAL_ERROR,
     KIND_PROCESSED_AND_STORED,
 )
-from ..urlkit import Depth, advance_depth, origin
+from ..urlkit import Depth, advance_depth, host_of, origin
 
 
 def robots_disallowed(robots_txt: bytes | None, status: int, path: str) -> bool:
@@ -159,7 +159,9 @@ def crawl_oracle(
                 if kind == "data":
                     continue
                 res.edges.append((url, dst, "link", rnd))
-                same_host = origin(dst) == host
+                # full-host equality, not the origin/politeness key
+                # (atra_uri.rs compare_hosts :200-225)
+                same_host = host_of(dst) == host_of(url)
                 nd = advance_depth(depth, same_host)
                 if dst in candidates:  # within-round depth merge (depth.rs:59-65)
                     candidates[dst] = candidates[dst].merge_to_lowest(nd)

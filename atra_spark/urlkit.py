@@ -161,8 +161,15 @@ def advance_depth(parent: Depth, same_host: bool) -> Depth:
 
 # --------------------------------------------------------------------------
 # Budgets (config/crawl.rs:366-405 enum; is_in_budget :445-470).
-# A bound of 0 means "unlimited" in the reference; preserved here.
+# A depth_on_website / total_distance bound of 0 means "unlimited" in
+# the reference, but the Normal arm's distance_to_seed is ALWAYS
+# enforced (`url_depth.distance_to_seed.le(depth_distance)`,
+# config/crawl.rs:455-462) — 0 means "seed distance only", not
+# unlimited. Callers wanting unbounded seed distance pass a large
+# bound (UNBOUNDED_DISTANCE).
 # --------------------------------------------------------------------------
+UNBOUNDED_DISTANCE = 1 << 30
+
 @dataclass(frozen=True)
 class Budget:
     kind: str  # seed_only | normal | absolute | single_page
@@ -172,15 +179,19 @@ class Budget:
 
     def is_in_budget(self, d: Depth) -> bool:
         if self.kind == "single_page":
-            return d.total_distance_to_seed == 0
+            # reference: url.depth.is_zero() — all three components
+            return (
+                d.depth_on_website == 0
+                and d.distance_to_seed == 0
+                and d.total_distance_to_seed == 0
+            )
         if self.kind == "absolute":
             return self.total_distance == 0 or d.total_distance_to_seed < self.total_distance
         on_site_ok = self.depth_on_website == 0 or d.depth_on_website < self.depth_on_website
         if self.kind == "seed_only":
             return d.distance_to_seed == 0 and on_site_ok
         if self.kind == "normal":
-            dist_ok = self.distance_to_seed == 0 or d.distance_to_seed <= self.distance_to_seed
-            return on_site_ok and dist_ok
+            return on_site_ok and d.distance_to_seed <= self.distance_to_seed
         raise ValueError(f"unknown budget kind {self.kind!r}")
 
 

@@ -63,7 +63,7 @@ def crawl_bench(spark, n_pages: int, cpus: int) -> tuple[float, int]:
     from atra_spark.config import CrawlConfig
     from atra_spark.plans.crawl import CrawlEngine
     from atra_spark.sources.store import CheckpointStore
-    from atra_spark.urlkit import NORMAL, Budget
+    from atra_spark.urlkit import NORMAL, UNBOUNDED_DISTANCE, Budget
 
     paths = _bench_fixtures(n_pages)
     # warm-crawl protocol: one seed per host -> the BFS drains the corpus
@@ -77,7 +77,7 @@ def crawl_bench(spark, n_pages: int, cpus: int) -> tuple[float, int]:
         ).fetchall()
     ]
     config = CrawlConfig(
-        default_budget=Budget(kind=NORMAL, depth_on_website=0, distance_to_seed=0),
+        default_budget=Budget(kind=NORMAL, depth_on_website=0, distance_to_seed=UNBOUNDED_DISTANCE),
         delay_ms=1,
         round_budget_ms=60_000,  # one round ≈ 60 s of per-host serial time
         max_rounds=16,
@@ -113,7 +113,7 @@ def mega_round_bench(spark, n_pages: int) -> tuple[float, int]:
     from atra_spark.config import CrawlConfig
     from atra_spark.plans.crawl import CrawlEngine
     from atra_spark.sources.store import CheckpointStore
-    from atra_spark.urlkit import NORMAL, Budget
+    from atra_spark.urlkit import NORMAL, UNBOUNDED_DISTANCE, Budget
 
     paths = _bench_fixtures(n_pages)
     urls = [
@@ -121,7 +121,7 @@ def mega_round_bench(spark, n_pages: int) -> tuple[float, int]:
         for r in duckdb.sql(f"SELECT url FROM read_parquet('{paths['pages']}')").fetchall()
     ]
     config = CrawlConfig(
-        default_budget=Budget(kind=NORMAL, depth_on_website=0, distance_to_seed=0),
+        default_budget=Budget(kind=NORMAL, depth_on_website=0, distance_to_seed=UNBOUNDED_DISTANCE),
         delay_ms=1,
         round_budget_ms=1_000_000,
         max_rounds=1,

@@ -110,6 +110,57 @@ class TestParity:
         assert order.filter(F.col("url").contains("blocked.example")).count() == 0
 
 
+class TestSubdomainDepth:
+    """Depth advance compares FULL hostnames (atra_uri.rs compare_hosts),
+    not the registrable-domain politeness key: hopping blog.x.example ->
+    www.x.example (same origin 'x.example') must RESET depth_on_website
+    and increment distance_to_seed."""
+
+    def test_subdomain_hop_resets_depth(self, spark, tmp_path_factory):
+        from datetime import datetime
+
+        from atra_spark.config import CrawlConfig
+        from atra_spark.urlkit import NORMAL, Budget
+
+        ts = datetime(2024, 1, 1)
+        rows = [
+            (
+                "https://blog.x.example/a.html",
+                ts,
+                b'<html><body><a href="https://www.x.example/b.html">b</a></body></html>',
+            ),
+            (
+                "https://www.x.example/b.html",
+                ts,
+                b'<html><body><a href="https://blog.x.example/c.html">c</a></body></html>',
+            ),
+            ("https://blog.x.example/c.html", ts, b"<html><body>end</body></html>"),
+        ]
+        pages = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+        d = tmp_path_factory.mktemp("subdom")
+        pages_path = str(d / "pages.parquet")
+        pages.write.parquet(pages_path)
+        cfg = CrawlConfig(
+            default_budget=Budget(kind=NORMAL, depth_on_website=0, distance_to_seed=2),
+            respect_robots_txt=False,
+            max_rounds=4,
+        )
+        store = CheckpointStore(str(d / "store"), num_buckets=4)
+        eng = CrawlEngine(spark, store, cfg, pages_path, None, num_buckets=4)
+        eng.run(seeds=["https://blog.x.example/a.html"])
+        seen = {
+            r["url"]: (
+                r["depth_on_website"],
+                r["distance_to_seed"],
+                r["total_distance_to_seed"],
+            )
+            for r in store.read_snapshot(spark, "seen").collect()
+        }
+        assert seen["https://blog.x.example/a.html"] == (0, 0, 0)
+        assert seen["https://www.x.example/b.html"] == (0, 1, 1)
+        assert seen["https://blog.x.example/c.html"] == (0, 2, 2)
+
+
 class TestResume:
     def test_kill_and_resume_matches_oracle(
         self, spark, fixture_set, fixture_paths, oracle, tmp_path_factory

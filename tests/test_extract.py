@@ -94,6 +94,19 @@ class TestHtmlExtract:
         _, links = extract_html('<a href="/x" rel="nofollow">i</a><a href="/y">j</a>', PAGE)
         assert [u for u, _, _ in links] == ["https://h.example/y"]
 
+    def test_rel_nofollow_kept_when_disabled(self):
+        """respect_nofollow=False keeps anchor-level nofollow links too
+        (the config gates BOTH the meta-robots and the rel= case)."""
+        _, links = extract_html(
+            '<a href="/x" rel="nofollow">i</a><a href="/y">j</a>',
+            PAGE,
+            respect_nofollow=False,
+        )
+        assert [u for u, _, _ in links] == [
+            "https://h.example/x",
+            "https://h.example/y",
+        ]
+
     def test_meta_robots_nofollow_drops_all_links(self):
         html = '<meta name="robots" content="nofollow"><a href="/x">i</a>'
         text, links = extract_html(html, PAGE)

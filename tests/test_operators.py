@@ -95,6 +95,28 @@ class TestSeenMerge:
         out = merge_seen(seen, upd)
         assert out.count() == 2
 
+    def test_lsk_copies_previous_kind_unconditionally(self, spark):
+        """fold_merge_linkstate copies the previous kind into
+        LAST_SIGNIFICANT_KIND_POS on every overwrite — error kinds
+        (InternalError=32) included, and same-kind overwrites too
+        (raw.rs:285-302)."""
+        from atra_spark.schemas import KIND_INTERNAL_ERROR
+
+        seen = spark.createDataFrame(
+            [_seen_row("u1", KIND_INTERNAL_ERROR)], SEEN_SCHEMA
+        )
+        upd = spark.createDataFrame(
+            [_seen_row("u1", KIND_PROCESSED_AND_STORED)], SEEN_SCHEMA
+        )
+        out = merge_seen(seen, upd).collect()[0]
+        assert out["last_significant_kind"] == KIND_INTERNAL_ERROR
+
+        seen2 = spark.createDataFrame(
+            [_seen_row("u1", KIND_PROCESSED_AND_STORED)], SEEN_SCHEMA
+        )
+        out2 = merge_seen(seen2, upd).collect()[0]
+        assert out2["last_significant_kind"] == KIND_PROCESSED_AND_STORED
+
     def test_is_seed_sticky(self, spark):
         seen = spark.createDataFrame(
             [_seen_row("u1", KIND_DISCOVERED, is_seed=True)], SEEN_SCHEMA

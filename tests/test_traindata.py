@@ -91,15 +91,22 @@ class TestMinHash:
 
 class TestSimHash:
     def test_matches_pure_python(self, spark, docs_df):
+        """JVM simhash == the pure-Python definition: 60-bit md5-prefix
+        token hash, +1/-1 vote per bit over token OCCURRENCES."""
+
+        def tok_hash(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
         def py_simhash(t):
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in t.lower().split():
-                bits = np.unpackbits(
-                    np.frombuffer(hashlib.md5(tok.encode()).digest()[:8], dtype=np.uint8)
-                ).astype(np.int64)
-                acc += bits * 2 - 1
-            packed = np.packbits((acc > 0).astype(np.uint8)).tobytes()
-            return int.from_bytes(packed, "big", signed=True)
+            toks = t.lower().split()
+            if not toks:
+                return 0
+            sig = 0
+            for b in range(dedup.SIMHASH_BITS):
+                vote = sum(1 if (tok_hash(tk) >> b) & 1 else -1 for tk in toks)
+                if vote > 0:
+                    sig |= 1 << b
+            return sig
 
         got = {r["id"]: r["simhash"] for r in dedup.simhash(docs_df).collect()}
         for doc_id, text in DOCS:
@@ -113,6 +120,79 @@ class TestSimHash:
         assert pairs.get((0, 2)) == 0  # exact dups -> distance 0
         # one-token-different docs are close
         assert (0, 1) in pairs or (0, 4) in pairs
+
+    def test_banding_recall_guarantee(self, spark):
+        """Plant signature pairs at every Hamming distance 1..12 and
+        require 100% recall at max_hamming=12 — the round-1 fixed-4-band
+        blocking missed any pair differing in all four bands."""
+        rng = np.random.default_rng(7)
+        rows = [(0, int(rng.integers(0, 1 << 60)))]
+        base = rows[0][1]
+        expected = set()
+        for h in range(1, 13):
+            # flip h distinct, spread-out bit positions so multiple bands differ
+            positions = rng.choice(60, size=h, replace=False)
+            sig = base
+            for p in positions:
+                sig ^= 1 << int(p)
+            rows.append((h, sig))
+            expected.add((0, h))
+        sig_df = spark.createDataFrame(rows, "id long, simhash long")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in dedup.simhash_near_pairs_from_sigs(sig_df, max_hamming=12).collect()
+        }
+        for pair in expected:
+            assert pair in got, f"missed planted pair {pair}"
+            assert got[pair] == pair[1]
+
+    def test_band_slices_cover_all_bits(self):
+        for n_bands in (1, 4, 13, 60, 61):
+            sl = dedup.band_slices(60, n_bands)
+            assert sum(w for _, w in sl) == 60
+            assert sl[0][0] == 0
+            for (o1, w1), (o2, _) in zip(sl, sl[1:]):
+                assert o1 + w1 == o2
+            assert all(w >= 1 for _, w in sl)
+
+
+class TestHotShingleCap:
+    def test_cap_drops_hot_shingle_and_keeps_pairs(self, spark):
+        """One shingle present in 50% of docs must not create a quadratic
+        join; with a consistent cap the surviving pair set is computed on
+        the capped shingle universe."""
+        hot = "aaa bbb ccc"
+        docs = []
+        for i in range(40):
+            if i % 2 == 0:
+                docs.append((i, f"{hot} unique{i} tail{i} more{i}"))
+            else:
+                docs.append((i, f"text{i} unique{i} tail{i} more{i}"))
+        # two true near-dups that do NOT rely on the hot shingle
+        docs.append((100, "alpha beta gamma delta epsilon zeta"))
+        docs.append((101, "alpha beta gamma delta epsilon eta"))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.ngram_jaccard_pairs(
+                df, threshold=0.4, max_shingle_df=5
+            ).collect()
+        }
+        assert (100, 101) in pairs
+        # hot-shingle-only pairs are gone (their only common shingle was capped)
+        assert all(not (a < 40 and b < 40) for a, b in pairs)
+
+    def test_no_cap_matches_capped_on_cold_corpus(self, spark, docs_df):
+        """On a corpus with no hot shingles the cap is a no-op."""
+        a = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+            for r in dedup.ngram_jaccard_pairs(docs_df).collect()
+        }
+        b = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+            for r in dedup.ngram_jaccard_pairs(docs_df, max_shingle_df=100).collect()
+        }
+        assert a == b
 
 
 class TestSimilarity:

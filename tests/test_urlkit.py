@@ -122,3 +122,16 @@ class TestBudget:
     def test_zero_means_unlimited(self):
         assert Budget(kind=NORMAL).is_in_budget(Depth(99, 0, 99))
         assert Budget(kind=ABSOLUTE).is_in_budget(Depth(99, 99, 99))
+
+    def test_normal_distance_zero_is_seed_distance_only(self):
+        """Normal ALWAYS enforces distance_to_seed <= bound — 0 means
+        the seed's own host only, NOT unlimited (config/crawl.rs:455-462
+        has no 0-unlimited arm for the distance bound)."""
+        b = Budget(kind=NORMAL, depth_on_website=0, distance_to_seed=0)
+        assert b.is_in_budget(Depth(5, 0, 5))
+        assert not b.is_in_budget(Depth(0, 1, 1))
+
+    def test_single_page_requires_all_zero(self):
+        b = Budget(kind=SINGLE_PAGE)
+        assert not b.is_in_budget(Depth(1, 0, 0))
+        assert not b.is_in_budget(Depth(0, 1, 0))
