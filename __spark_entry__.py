@@ -68,6 +68,40 @@ def _array_len(expr: str, dialect: str) -> str:
     return f"size({expr})" if dialect == "spark" else f"len({expr})"
 
 
+def _bit(expr: str, b: int, dialect: str) -> str:
+    """Bit b of a BIGINT expression."""
+    if dialect == "spark":
+        return f"(shiftright({expr}, {b}) & 1)"
+    return f"(({expr} >> {b}) & 1)"
+
+
+def _shiftr(expr: str, b: int, dialect: str) -> str:
+    return f"shiftright({expr}, {b})" if dialect == "spark" else f"({expr} >> {b})"
+
+
+def _xor(a: str, b: str, dialect: str) -> str:
+    return f"({a} ^ {b})" if dialect == "spark" else f"xor({a}, {b})"
+
+
+def _tokens_cte(dialect: str) -> str:
+    """(doc_id, tok) — lowercased whitespace tokens, occurrences kept."""
+    if dialect == "spark":
+        return r"""
+toks AS (
+  SELECT doc_id, tok
+  FROM documents
+  LATERAL VIEW explode(split(lower(trim(text)), '\\s+')) t AS tok
+  WHERE tok <> ''
+)"""
+    return r"""
+toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+  ) u WHERE tok <> ''
+)"""
+
+
 # --------------------------------------------------------------------------
 # operator SQL templates (one body, two dialects)
 # --------------------------------------------------------------------------
@@ -393,6 +427,191 @@ SELECT doc_id, CAST({n} AS BIGINT) AS n_tokens_nostop
 FROM documents
 """
 
+def _simhash_ctes(dialect: str) -> str:
+    """CTE chain toks -> hashed -> votes -> sig: the 60-bit SimHash
+    (md5-prefix token hash, +1/-1 vote per bit) — the exact expression
+    family of atra_spark.functions.dedup.simhash."""
+    h = _hex_hash("tok", dialect)
+    vote_cols = ",\n         ".join(
+        f"sum(CASE WHEN {_bit('h', b, dialect)} = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(60)
+    )
+    return f"""{_tokens_cte(dialect)},
+hashed AS (SELECT doc_id, {h} AS h FROM toks),
+votes AS (
+  SELECT doc_id,
+         {vote_cols}
+  FROM hashed GROUP BY doc_id
+),
+sig0 AS (SELECT doc_id, {sig_terms} AS simhash FROM votes),
+sig AS (
+  SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id
+)"""
+
+
+def sql_simhash(dialect: str) -> str:
+    """60-bit SimHash signatures (dedup.simhash twin)."""
+    return f"WITH {_simhash_ctes(dialect)}\nSELECT doc_id, simhash FROM sig"
+
+
+def sql_simhash_near_pairs(dialect: str, max_hamming: int = 12) -> str:
+    """SimHash near-pairs at Hamming<=max_hamming with max_hamming+1
+    band blocking — twin of dedup.simhash_near_pairs."""
+    from atra_spark.functions.dedup import band_slices
+
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {i} AS band, "
+        f"{_shiftr('simhash', off, dialect)} & {(1 << w) - 1} AS key FROM sig"
+        for i, (off, w) in enumerate(band_slices(60, max_hamming + 1))
+    )
+    ham = f"CAST(bit_count({_xor('a.simhash', 'b.simhash', dialect)}) AS INT)"
+    return f"""WITH {_simhash_ctes(dialect)},
+bands AS (
+{band_rows}
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+) p WHERE hamming <= {max_hamming}
+"""
+
+
+def sql_rolling_fp(dialect: str, window: int = 8) -> str:
+    """Winnowing fingerprints: min 60-bit hash of every ``window``-token
+    gram per (doc, hash%64 bucket) — twin of textstats.rolling_fingerprints."""
+    if dialect == "spark":
+        pos_cte = r"""
+toks AS (
+  SELECT doc_id, pos, tok
+  FROM documents
+  LATERAL VIEW posexplode(split(lower(trim(text)), '\\s+')) t AS pos, tok
+)"""
+    else:
+        pos_cte = r"""
+toks AS (
+  SELECT doc_id, CAST(generate_subscripts(arr, 1) - 1 AS INT) AS pos, unnest(arr) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr FROM documents) d
+)"""
+    leads = ",\n         ".join(
+        f"lead(tok, {i}) OVER (PARTITION BY doc_id ORDER BY pos) AS t{i}"
+        for i in range(1, window)
+    )
+    gram = " || ' ' || ".join(["tok"] + [f"t{i}" for i in range(1, window)])
+    h = _hex_hash(f"({gram})", dialect)
+    return f"""WITH {pos_cte},
+numbered AS (
+  SELECT doc_id, pos, tok,
+         {leads}
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, {h} AS g
+  FROM numbered WHERE t{window - 1} IS NOT NULL
+)
+SELECT doc_id AS id, CAST(g % 64 AS INT) AS bucket, min(g) AS fp
+FROM grams GROUP BY doc_id, g % 64
+"""
+
+
+def sql_media_features(dialect: str) -> str:
+    """Constructive oracle for the multimodal feature pass: the media
+    table is derived from documents (ASCII magic prefix + UTF-8 text
+    payload), so size/magic-mime/md5 are all SQL-computable. The Spark
+    side runs the REAL mapInPandas batch extractor over binary payloads."""
+    ln = "octet_length(text)" if dialect == "spark" else "octet_length(encode(text))"
+    return f"""
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'audio' END AS kind,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE 4 END + ({ln}) AS BIGINT) AS n_bytes,
+       CASE doc_id % 3 WHEN 0 THEN 'image/gif' WHEN 1 THEN 'audio/mpeg' ELSE 'audio/wav' END AS sniffed_mime,
+       md5(CASE doc_id % 3 WHEN 0 THEN 'GIF8' WHEN 1 THEN 'ID3' ELSE 'RIFF' END || text) AS payload_hash,
+       'stubbed' AS decoded
+FROM documents
+"""
+
+
+def sql_sitemap_candidates(dialect: str) -> str:
+    """Constructive oracle for the sitemap source: the Spark side builds
+    per-source <urlset> XML from the documents table and runs the real
+    Arrow-batched XML parse; the truth is the URL construction rule."""
+    return """
+SELECT 'https://' || source || '.example/doc' || CAST(doc_id AS VARCHAR) || '.html' AS url,
+       source || '.example' AS host,
+       'https://' || source || '.example/sitemap.xml' AS sitemap_url
+FROM documents WHERE doc_id < 60
+"""
+
+
+def sql_embedding_lsh_topk(dialect: str) -> str:
+    """Oracle for the LSH-bucketed ANN: the random-hyperplane bucketing
+    is deterministic (seeded), so the planes are embedded as literals
+    and DuckDB replicates bucket assignment, the Hamming<=2 multiprobe
+    set, and the exact re-rank — approximate ANN, exactly specified."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((8, 64))
+    vals = ",\n    ".join(
+        f"({p}, {i}, {float(w)!r})"
+        for p in range(8)
+        for i, w in enumerate(planes[p])
+    )
+    if dialect == "spark":
+        expl = """
+comps AS (
+  SELECT vec_id, posexplode(embedding) AS (pos, v) FROM embeddings
+)"""
+    else:
+        expl = """
+comps AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)"""
+    ham = f"bit_count({_xor('b.bucket', '(SELECT bucket FROM qbucket)', dialect)})"
+    return f"""
+WITH planes(plane, pos, w) AS (VALUES
+    {vals}
+),
+{expl.strip()},
+dots AS (
+  SELECT c.vec_id, p.plane, sum(CAST(c.v AS DOUBLE) * p.w) AS dot
+  FROM comps c JOIN planes p ON c.pos = p.pos
+  GROUP BY c.vec_id, p.plane
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) * CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+qbucket AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+cands AS (
+  SELECT b.vec_id FROM buckets b
+  WHERE b.vec_id <> 0 AND {ham} <= 2
+),
+q AS (SELECT pos, v FROM comps WHERE vec_id = 0),
+scored AS (
+  SELECT c.vec_id,
+         sum(c.v * q.v) AS dot,
+         sum(c.v * c.v) AS nc
+  FROM comps c JOIN q ON c.pos = q.pos
+  WHERE c.vec_id IN (SELECT vec_id FROM cands)
+  GROUP BY c.vec_id
+),
+qn AS (SELECT sum(v * v) AS nq FROM q)
+SELECT vec_id, {_rnd('dot / sqrt(nc * (SELECT nq FROM qn))', 4)} AS cosine
+FROM scored
+ORDER BY dot / sqrt(nc * (SELECT nq FROM qn)) DESC, vec_id
+LIMIT 10
+"""
+
+
 _SQL_OPS: dict[str, Callable[[str], str]] = {
     "frontier_antijoin_dedup": sql_frontier_antijoin,
     "politeness_topk_admission": sql_politeness_topk,
@@ -425,51 +644,35 @@ def _make_sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 # ==========================================================================
-# non-SQL operators (rows-only driver check)
+# DataFrame-API operators with constructive DuckDB oracles
 # ==========================================================================
-def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document via an Arrow-batched pandas UDF
-    (token-hash bit voting) — near-dup fingerprinting at scale."""
-    import hashlib
-
-    import numpy as np
-    from pyspark.sql.types import LongType
-
-    @F.pandas_udf(LongType())
-    def simhash(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if not t:
-                out.append(0)
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in t.lower().split():
-                bits = np.unpackbits(
-                    np.frombuffer(hashlib.md5(tok.encode()).digest()[:8], dtype=np.uint8)
-                ).astype(np.int64)
-                acc += bits * 2 - 1
-            packed = np.packbits((acc > 0).astype(np.uint8)).tobytes()
-            out.append(int.from_bytes(packed, "big", signed=True))
-        return pd.Series(out, dtype="int64")
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document — pure JVM aggregation
+    (atra_spark.functions.dedup.simhash); oracle: sql_simhash."""
+    from atra_spark.functions.dedup import simhash
 
     _register(spark, sf_dir)
-    return spark.table("documents").select("doc_id", simhash(F.col("text")).alias("simhash"))
-
-
+    return simhash(spark.table("documents")).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs over documents (banded Hamming
+    """SimHash near-duplicate pairs at Hamming<=12 (13-band pigeonhole
     blocking; atra_spark.functions.dedup.simhash_near_pairs)."""
     from atra_spark.functions.dedup import simhash_near_pairs
 
     _register(spark, sf_dir)
-    return simhash_near_pairs(spark.table("documents"), max_hamming=12)
+    return simhash_near_pairs(spark.table("documents"), max_hamming=12).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 def q_minhash_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DataFrame-API MinHash-LSH candidates (xxhash64 band buckets —
-    the scale path; the SQL twin minhash_band_pairs is oracle-checked)."""
+    """DataFrame-API MinHash-LSH candidates (xxhash64 band buckets — the
+    scale path). Oracle: the band-pair SQL — the candidate set equals
+    'docs sharing any band' (the xxhash64 bucketing only adds hash
+    collisions, absent on this corpus)."""
     from atra_spark.functions.dedup import minhash_lsh_candidates
 
     _register(spark, sf_dir)
@@ -477,20 +680,26 @@ def q_minhash_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 via random-hyperplane LSH bucketing + exact re-rank
-    (atra_spark.functions.similarity.lsh_bucketed_topk)."""
+    """ANN top-10 via random-hyperplane LSH bucketing + Hamming<=2
+    multiprobe + exact re-rank. The planes are seeded, so the oracle
+    (sql_embedding_lsh_topk) replicates the bucketing with literal
+    plane weights and the same probe rule."""
     from atra_spark.functions.similarity import lsh_bucketed_topk
 
     _register(spark, sf_dir)
     emb = spark.table("embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return lsh_bucketed_topk(
+    out = lsh_bucketed_topk(
         emb.filter(F.col("vec_id") != 0), [float(x) for x in q], k=10, multiprobe=2
     )
+    # HALF_UP 4dp rounding, same formula as the SQL twin (_rnd)
+    rounded = F.floor(F.col("cosine") * 10000 + 0.5 + 1e-6).cast("double") / 10000
+    return out.select(F.col("id").alias("vec_id"), rounded.alias("cosine"))
 
 
 def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash document fingerprints."""
+    """Winnowing-style rolling-hash document fingerprints (60-bit md5
+    gram hash, min per 64-bucket). Oracle: sql_rolling_fp."""
     from atra_spark.functions.textstats import rolling_fingerprints
 
     _register(spark, sf_dir)
@@ -498,54 +707,220 @@ def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload feature pass over the
-    deterministic synthetic media table (decode step stubbed — no
-    codecs in this environment; schema/batching/hashing real)."""
-    from atra_spark.functions.multimodal import extract_media_features, synth_media
+    """Multimodal plumbing: binary payloads derived from the documents
+    table (ASCII magic + UTF-8 text bytes), run through the REAL
+    mapInPandas feature extractor (magic sniff, byte count, md5, decode
+    stub). Oracle: sql_media_features computes the same features
+    constructively."""
+    from atra_spark.functions.multimodal import extract_media_features
 
-    return extract_media_features(synth_media(spark, n=128))
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("GIF8"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("ID3"))
+        .otherwise(F.lit("RIFF"))
+    )
+    kind = F.when(F.col("doc_id") % 3 == 0, F.lit("image")).otherwise(F.lit("audio"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.encode(F.concat(magic, F.col("text")), "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("double").alias("duration_s"),
+    )
+    return extract_media_features(media)
 
 
 def q_sitemap_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sitemap source: <urlset> rows -> canonicalized frontier candidates."""
-    from atra_spark.sources.fixtures import generate_fixtures
+    """Sitemap source: per-source <urlset> XML built from the documents
+    table, parsed by the real Arrow-batched sitemap parser. Oracle:
+    sql_sitemap_candidates (the URL construction rule)."""
     from atra_spark.sources.sitemap import sitemap_candidates
-    import pyspark.sql.functions as SF
 
-    fx = generate_fixtures(n_pages=60, n_hosts=4)
-    locs = "".join(
-        f"<url><loc>{u}</loc></url>" for u, *_ in fx.pages[:40]
+    _register(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 60)
+    loc = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"), F.lit(".example/doc"),
+        F.col("doc_id").cast("string"), F.lit(".html</loc></url>"),
     )
-    xml = f'<?xml version="1.0"?><urlset>{locs}</urlset>'.encode()
-    pages = spark.createDataFrame(
-        [("https://host0000.example/sitemap.xml", None, xml, None, None)],
-        "url string, warc_ts timestamp, html binary, text string, lang string",
+    maps = (
+        docs.select("source", loc.alias("loc"))
+        .groupBy("source")
+        .agg(F.concat_ws("", F.collect_list("loc")).alias("locs"))
+        .select(
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example/sitemap.xml")).alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.encode(
+                F.concat(
+                    F.lit('<?xml version="1.0"?><urlset>'), F.col("locs"), F.lit("</urlset>")
+                ),
+                "UTF-8",
+            ).alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
     )
-    return sitemap_candidates(pages)
+    return sitemap_candidates(maps)
+
+
+# ==========================================================================
+# crawl-dataflow queries with serial-oracle parquet ground truth
+# ==========================================================================
+_ENTRY_FIX = dict(n_pages=600, n_hosts=12)
+_ORACLE_DIR = os.path.join(tempfile.gettempdir(), "atra_entry_oracle_v2")
+_ENTRY_STORE = os.path.join(tempfile.gettempdir(), "atra_entry_crawl_store_v2")
+_ENTRY_ROUNDS = 2
+
+
+def _ensure_crawl_oracle() -> str:
+    """Run the serial oracle crawler (pure Python, no Spark) over the
+    deterministic fixture corpus and materialize its truth as parquet:
+    results (per admitted url), order (crawl ordering), seen (final
+    link-state set). Idempotent; the driver's DuckDB reads these via
+    read_parquet()."""
+    marker = os.path.join(_ORACLE_DIR, "_done")
+    if os.path.exists(marker):
+        return _ORACLE_DIR
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from atra_spark.sources.fixtures import generate_fixtures
+    from atra_spark.sources.oracle_crawler import crawl_oracle
+
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    fx = generate_fixtures(**_ENTRY_FIX)
+    robots = {h: (t, s) for h, t, s, _ in fx.robots}
+    page_urls = {p[0] for p in fx.pages}
+    res = crawl_oracle(
+        fx.golden_links, page_urls, robots, fx.seeds, fx.config,
+        max_rounds=_ENTRY_ROUNDS,
+    )
+    n_links = {
+        u: sum(1 for (_d, k, _m) in ls if k != "data")
+        for u, ls in fx.golden_links.items()
+    }
+    results = [
+        (u, h, r, 200 if u in page_urls else 404,
+         n_links.get(u, 0) if u in page_urls else 0)
+        for (r, h, _i, u) in res.order
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "url": [r[0] for r in results],
+                "host": [r[1] for r in results],
+                "fetched_round": pa.array([r[2] for r in results], pa.int64()),
+                "status": pa.array([r[3] for r in results], pa.int64()),
+                "n_links": pa.array([r[4] for r in results], pa.int64()),
+            }
+        ),
+        os.path.join(_ORACLE_DIR, "crawl_results.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "round": pa.array([r for r, _h, _i, _u in res.order], pa.int64()),
+                "host": [h for _r, h, _i, _u in res.order],
+                "admission_index": pa.array([i for _r, _h, i, _u in res.order], pa.int64()),
+                "url": [u for _r, _h, _i, u in res.order],
+            }
+        ),
+        os.path.join(_ORACLE_DIR, "crawl_order.parquet"),
+    )
+    seen_items = sorted(res.seen.items())
+    pq.write_table(
+        pa.table(
+            {
+                "url": [u for u, _ in seen_items],
+                "kind": pa.array([k for _, (k, _s, _d) in seen_items], pa.int64()),
+                "is_seed": [s for _, (_k, s, _d) in seen_items],
+                "depth_on_website": pa.array(
+                    [d.depth_on_website for _, (_k, _s, d) in seen_items], pa.int64()
+                ),
+                "distance_to_seed": pa.array(
+                    [d.distance_to_seed for _, (_k, _s, d) in seen_items], pa.int64()
+                ),
+                "total_distance_to_seed": pa.array(
+                    [d.total_distance_to_seed for _, (_k, _s, d) in seen_items], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(_ORACLE_DIR, "crawl_seen.parquet"),
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return _ORACLE_DIR
+
+
+def _ensure_entry_crawl(spark: SparkSession):
+    """Run the Spark crawl engine ONCE over the same fixture corpus the
+    serial oracle consumed (shared across the crawl_* queries)."""
+    from atra_spark.config import CrawlConfig
+    from atra_spark.plans.crawl import CrawlEngine
+    from atra_spark.sources.fixtures import ensure_fixtures
+    from atra_spark.sources.store import CheckpointStore
+
+    store = CheckpointStore(_ENTRY_STORE, num_buckets=8)
+    marker = os.path.join(_ENTRY_STORE, "_done")
+    if not os.path.exists(marker):
+        fix_dir = os.path.join(tempfile.gettempdir(), "atra_entry_fixtures")
+        paths = ensure_fixtures(fix_dir, **_ENTRY_FIX)
+        with open(paths["seeds"]) as f:
+            seeds = [line.strip() for line in f if line.strip()]
+        with open(paths["config"]) as f:
+            config = CrawlConfig.from_json(f.read())
+        eng = CrawlEngine(
+            spark, store, config, paths["pages"], paths["robots"], num_buckets=8
+        )
+        eng.run(seeds=seeds, max_rounds=_ENTRY_ROUNDS)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return store
 
 
 def q_crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One full crawl round on the built-in deterministic fixture corpus
-    (pages synthesized at seed=42): admission -> politeness window ->
-    fetch-join -> Arrow extraction -> bloom-pruned dedup. Returns the
-    round's results table (non-SQL: exercises the crawl dataflow)."""
-    from atra_spark.plans.crawl import CrawlEngine
-    from atra_spark.sources.fixtures import ensure_fixtures, generate_fixtures
-    from atra_spark.sources.store import CheckpointStore
-
-    fix_dir = os.path.join(tempfile.gettempdir(), "atra_entry_fixtures")
-    paths = ensure_fixtures(fix_dir, n_pages=600, n_hosts=12)
-    with open(paths["seeds"]) as f:
-        seeds = [line.strip() for line in f if line.strip()]
-    from atra_spark.config import CrawlConfig
-
-    with open(paths["config"]) as f:
-        config = CrawlConfig.from_json(f.read())
-    store = CheckpointStore(tempfile.mkdtemp(prefix="atra_entry_store"), num_buckets=8)
-    eng = CrawlEngine(spark, store, config, paths["pages"], paths["robots"], num_buckets=8)
-    eng.run(seeds=seeds, max_rounds=2)
+    """Two full crawl rounds on the deterministic fixture corpus:
+    admission -> politeness window -> fetch-join -> Arrow extraction ->
+    bloom-pruned dedup. Oracle: the serial oracle crawler's results
+    parquet (read_parquet) — url set, host, round, status, n_links."""
+    store = _ensure_entry_crawl(spark)
     res = store.read_union(spark, "results")
-    return res.select("url", "host", "fetched_round", "status", "lang", "n_links")
+    return res.select(
+        "url",
+        "host",
+        F.col("fetched_round").cast("long").alias("fetched_round"),
+        F.col("status").cast("long").alias("status"),
+        F.col("n_links").cast("long").alias("n_links"),
+    )
+
+
+def q_crawl_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ordering parity (the north-rule gate): the engine's
+    admission log vs the serial oracle's ordering, row for row."""
+    store = _ensure_entry_crawl(spark)
+    return store.read_union(spark, "order").select(
+        F.col("round").cast("long").alias("round"),
+        "host",
+        F.col("admission_index").cast("long").alias("admission_index"),
+        "url",
+    )
+
+
+def q_crawl_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final URL-seen set parity (kind + is_seed + depth triple) vs the
+    serial oracle."""
+    store = _ensure_entry_crawl(spark)
+    return store.read_snapshot(spark, "seen").select(
+        "url",
+        F.col("kind").cast("long").alias("kind"),
+        "is_seed",
+        F.col("depth_on_website").cast("long").alias("depth_on_website"),
+        F.col("distance_to_seed").cast("long").alias("distance_to_seed"),
+        F.col("total_distance_to_seed").cast("long").alias("total_distance_to_seed"),
+    )
 
 
 # ==========================================================================
@@ -625,20 +1000,58 @@ def entry(spark: SparkSession) -> DataFrame:
     return res.select("url", "host", "fetched_round", "status", "encoding", "lang", "n_links")
 
 
+# custom (non-SQL Spark path) queries and their DuckDB oracles
+_CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "simhash": q_simhash,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "minhash_lsh_df": q_minhash_lsh_df,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+    "rolling_fingerprints": q_rolling_fingerprints,
+    "media_features": q_media_features,
+    "sitemap_candidates": q_sitemap_candidates,
+    "crawl_round": q_crawl_round,
+    "crawl_order": q_crawl_order,
+    "crawl_seen": q_crawl_seen,
+}
+
+
+def _custom_oracles() -> dict[str, str]:
+    oracle_dir = _ensure_crawl_oracle()
+    return {
+        "simhash": sql_simhash("duckdb"),
+        "simhash_near_pairs": sql_simhash_near_pairs("duckdb"),
+        # the DF LSH candidate set equals the band-pair SQL's (xxhash64
+        # band bucketing adds only hash collisions, absent here)
+        "minhash_lsh_df": sql_minhash_band_pairs("duckdb"),
+        "embedding_lsh_topk": sql_embedding_lsh_topk("duckdb"),
+        "rolling_fingerprints": sql_rolling_fp("duckdb"),
+        "media_features": sql_media_features("duckdb"),
+        "sitemap_candidates": sql_sitemap_candidates("duckdb"),
+        "crawl_round": (
+            "SELECT url, host, fetched_round, status, n_links "
+            f"FROM read_parquet('{oracle_dir}/crawl_results.parquet')"
+        ),
+        "crawl_order": (
+            "SELECT round, host, admission_index, url "
+            f"FROM read_parquet('{oracle_dir}/crawl_order.parquet')"
+        ),
+        "crawl_seen": (
+            "SELECT url, kind, is_seed, depth_on_website, distance_to_seed, "
+            "total_distance_to_seed "
+            f"FROM read_parquet('{oracle_dir}/crawl_seen.parquet')"
+        ),
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _make_sql_query(name) for name in _SQL_OPS
     }
-    out["simhash64"] = q_simhash64
-    out["simhash_near_pairs"] = q_simhash_near_pairs
-    out["minhash_lsh_df"] = q_minhash_lsh_df
-    out["embedding_lsh_topk"] = q_embedding_lsh_topk
-    out["rolling_fingerprints"] = q_rolling_fingerprints
-    out["media_features"] = q_media_features
-    out["sitemap_candidates"] = q_sitemap_candidates
-    out["crawl_round"] = q_crawl_round
+    out.update(_CUSTOM_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: fn("duckdb") for name, fn in _SQL_OPS.items()}
+    out = {name: fn("duckdb") for name, fn in _SQL_OPS.items()}
+    out.update(_custom_oracles())
+    return out

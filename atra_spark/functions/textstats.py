@@ -111,13 +111,19 @@ def rolling_fingerprints(
 ) -> DataFrame:
     """Winnowing-style document fingerprints: hash of every ``window``-
     token shingle, keep per-doc minima per 64-bucket — a compact
-    rolling-hash sketch for containment detection. Pure column math."""
+    rolling-hash sketch for containment detection. Pure column math.
+
+    The gram hash is the engine-wide 60-bit md5 prefix (so the DuckDB
+    oracle computes the identical sketch); swap in F.xxhash64 when
+    oracle parity is not needed and per-byte hash cost matters."""
+    from .dedup import content_hash
+
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n = F.size(toks)
     idx = F.when(n >= window, F.sequence(F.lit(1), n - (window - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))))
+    grams = F.transform(idx, lambda i: content_hash(F.concat_ws(" ", F.slice(toks, i, window))))
     return (
         df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
         .withColumn("bucket", F.pmod(F.col("g"), F.lit(64)).cast("int"))

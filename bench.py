@@ -36,7 +36,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "minhash_band_pairs",
     "embedding_cosine_topk",
-    "simhash64",
+    "simhash",
     "token_count",
 ]
 
