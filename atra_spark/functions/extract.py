@@ -119,19 +119,24 @@ def sniff_format(content_type: str | None, prefix: bytes | None, url: str | None
         return "IMAGE"
     if p.startswith(b"PK\x03\x04"):
         return "ZIP"
+    if p.startswith(b"{\\rtf"):
+        return "RTF"
+    if p.startswith(b"\xca\xfe\xba\xbe"):  # JVM class file
+        return "Unknown"
     if _HTML_HINT_RE.match(p):
         return "HTML"
     lowered = (url or "").lower().split("?")[0]
     for ext, fmt in (
         (".html", "HTML"), (".htm", "HTML"), (".json", "JSON"), (".xml", "XML"),
-        (".pdf", "PDF"), (".txt", "PlainText"), (".js", "JavaScript"),
+        (".svg", "XML"), (".rtf", "RTF"), (".pdf", "PDF"), (".txt", "PlainText"),
+        (".js", "JavaScript"), (".zip", "ZIP"),
     ):
         if lowered.endswith(ext):
             return fmt
     stripped = p.lstrip()
     if stripped.startswith(b"{") or stripped.startswith(b"["):
         return "JSON"
-    if stripped.startswith(b"<?xml"):
+    if stripped.startswith(b"<?xml") or stripped.startswith(b"<svg"):
         return "XML"
     if stripped.startswith(b"<"):
         return "HTML"
@@ -278,6 +283,143 @@ def extract_plaintext(text: str, page_url: str) -> list[tuple[str, str, str]]:
 
 
 # --------------------------------------------------------------------------
+# XML/SVG, RTF, binary-heuristic, ZIP extraction
+# (extraction/extractor_method.rs:699-787, extraction/raw.rs,
+# extraction/deflate.rs — re-expressed with stdlib only)
+# --------------------------------------------------------------------------
+_XML_TAG_RE = re.compile(r"<[^>]*>")
+_XML_HREF_RE = re.compile(
+    r"""(?:href|xlink:href|src)\s*=\s*["']([^"'<>\s]+)["']""", re.IGNORECASE
+)
+_RTF_CTRL_RE = re.compile(r"\\[a-zA-Z]+-?\d* ?|[{}]|\\'[0-9a-fA-F]{2}")
+# scheme-less candidates too (raw.rs uses linkify with
+# url_must_have_scheme(false)); canonicalized with an http:// prefix
+_WWW_RE = re.compile(r"""\bwww\.[^\s<>"')\]]+""")
+
+
+def extract_xml(xml_text: str, page_url: str) -> tuple[str, list[tuple[str, str, str]]]:
+    """XML/SVG: character data with tags stripped + href/xlink:href/src
+    attributes resolved against the page URL (extractor_method.rs:699-726).
+    Lenient regex pass — malformed markup must not raise."""
+    page_host = host_of(page_url)
+    links: list[tuple[str, str, str]] = []
+    seen: set[str] = set()
+    for m in _XML_HREF_RE.finditer(xml_text):
+        raw = m.group(1).strip()
+        if raw.startswith("data:"):
+            if raw not in seen:
+                seen.add(raw)
+                links.append((raw, "data", "xml"))
+            continue
+        cu = _canon(raw, page_url)
+        if cu is None or cu == page_url or cu in seen:
+            continue
+        seen.add(cu)
+        links.append((cu, "onseed" if _host_cached(cu) == page_host else "outgoing", "xml"))
+    import html as _html
+
+    text = _html.unescape(_XML_TAG_RE.sub("", xml_text))
+    return text, links
+
+
+def extract_rtf(rtf_text: str, page_url: str) -> tuple[str, list[tuple[str, str, str]]]:
+    """RTF: strip control words/groups, then linkify the residual text
+    (extractor_method.rs:741-757's rtf reader analog)."""
+    text = _RTF_CTRL_RE.sub(" ", rtf_text)
+    text = re.sub(r"[ \t]+", " ", text).strip()
+    return text, extract_plaintext(text, page_url)
+
+
+def extract_binary(raw: bytes, page_url: str) -> list[tuple[str, str, str]]:
+    """Binary heuristic scan (extraction/raw.rs): robust lossy UTF-8
+    decode of the payload, URL-shaped substrings linkified — absolute
+    http(s) plus scheme-less www. hosts."""
+    text = raw.decode("utf-8", errors="ignore")
+    out = extract_plaintext(text, page_url)
+    seen = {u for u, _, _ in out}
+    page_host = host_of(page_url)
+    for m in _WWW_RE.finditer(text):
+        cu = canonicalize("http://" + m.group(0).rstrip(".,;:"))
+        if cu and cu != page_url and cu not in seen:
+            seen.add(cu)
+            out.append((cu, "onseed" if host_of(cu) == page_host else "outgoing", "binary"))
+    return out
+
+
+_ZIP_MAX_ENTRIES = 256
+_ZIP_MAX_ENTRY_BYTES = 8 << 20
+_ZIP_MAX_NESTING = 2
+
+
+def extract_zip(
+    raw: bytes,
+    page_url: str,
+    respect_nofollow: bool = True,
+    aggressive: bool = False,
+    nesting: int = 0,
+) -> tuple[str, list[tuple[str, str, str]]]:
+    """ZIP recursion (extraction/deflate.rs:33-120): open the archive,
+    sniff+extract every entry with the normal dispatch, aggregate text
+    (entry order, newline-joined) and first-occurrence links. Nested
+    archives recurse up to _ZIP_MAX_NESTING; per-entry and entry-count
+    caps guard against zip bombs (the drop is bounded, not silent —
+    text notes skipped entries)."""
+    import io
+    import zipfile
+
+    texts: list[str] = []
+    links: list[tuple[str, str, str]] = []
+    seen: set[str] = set()
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(raw))
+    except Exception:
+        return "", extract_binary(raw, page_url)
+    names = zf.namelist()[:_ZIP_MAX_ENTRIES]
+    if len(zf.namelist()) > _ZIP_MAX_ENTRIES:
+        texts.append(f"[zip: {len(zf.namelist()) - _ZIP_MAX_ENTRIES} entries skipped]")
+    for name in names:
+        try:
+            info = zf.getinfo(name)
+            if info.is_dir():
+                continue
+            if info.file_size > _ZIP_MAX_ENTRY_BYTES:
+                texts.append(f"[zip entry {name}: skipped, too large]")
+                continue
+            data = zf.read(name)
+        except Exception:
+            continue
+        fmt = sniff_format(None, data[:1024], name)
+        if fmt == "ZIP" and nesting < _ZIP_MAX_NESTING:
+            t, ls = extract_zip(
+                data, page_url, respect_nofollow, aggressive, nesting + 1
+            )
+        else:
+            t, _enc, _err = decode_bytes(data) if fmt != "ZIP" else (None, "none", False)
+            if t is None or fmt in ("Unknown", "IMAGE", "PDF"):
+                t = ""
+                ls = extract_binary(data, page_url)
+            elif fmt == "HTML":
+                t, ls = extract_html(t, page_url, respect_nofollow, aggressive)
+            elif fmt == "JavaScript":
+                ls = extract_js(t, page_url)
+            elif fmt == "XML":
+                t, ls = extract_xml(t, page_url)
+            elif fmt == "RTF":
+                t, ls = extract_rtf(t, page_url)
+            elif fmt in ("PlainText", "Decodeable", "JSON"):
+                ls = extract_plaintext(t, page_url)
+            else:
+                ls = extract_binary(data, page_url)
+        if t:
+            texts.append(t)
+        for link in ls:
+            if link[0] not in seen:
+                seen.add(link[0])
+                links.append(link)
+    return "\n".join(texts), links
+
+
+# --------------------------------------------------------------------------
 # the batched stage: mapInPandas over (url, html[, content_type])
 # --------------------------------------------------------------------------
 def extract_pages_batch(
@@ -301,8 +443,20 @@ def extract_pages_batch(
             raw = bytes(raw) if raw is not None else None
             ct = pdf["content_type"].iat[i] if has_ct else None
             ts = pdf["warc_ts"].iat[i] if has_ts else None
-            text, enc, had_err = decode_bytes(raw)
             fmt = sniff_format(ct, raw[:1024] if raw else None, url)
+            if fmt == "ZIP":
+                enc, had_err = "binary", False
+                dom_text, links = extract_zip(
+                    raw or b"", url, respect_nofollow=respect_nofollow, aggressive=aggressive
+                )
+                lang, conf = detect_lang(dom_text)
+                row = (
+                    url, enc, had_err, dom_text, lang, conf, fmt,
+                    [{"url": u, "kind": k, "method": m} for (u, k, m) in links],
+                )
+                rows.append((url, ts) + row[1:] if has_ts else row)
+                continue
+            text, enc, had_err = decode_bytes(raw)
             if text is None:
                 row = (url, enc, had_err, None, None, None, fmt, [])
                 rows.append((url, ts) + row[1:] if has_ts else row)
@@ -313,8 +467,17 @@ def extract_pages_batch(
                 )
             elif fmt == "JavaScript":
                 dom_text, links = text, extract_js(text, url)
+            elif fmt == "XML":
+                dom_text, links = extract_xml(text, url)
+            elif fmt == "RTF":
+                dom_text, links = extract_rtf(text, url)
             elif fmt in ("PlainText", "Decodeable", "StructuredPlainText"):
                 dom_text, links = text, extract_plaintext(text, url)
+            elif fmt in ("Unknown", "IMAGE", "PDF"):
+                # binary payload: no text (the lossy decode is mojibake,
+                # not document text), links from the raw UTF-8 windowed
+                # scan (extraction/raw.rs fallback extractor)
+                dom_text, links = None, extract_binary(raw or b"", url)
             else:
                 dom_text, links = text, []
             lang, conf = detect_lang(dom_text)

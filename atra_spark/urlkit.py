@@ -37,17 +37,76 @@ _MULTI_LABEL_SUFFIXES = {
 }
 
 
+# WHATWG percent-encode sets (url::Url parse-time normalization —
+# https://url.spec.whatwg.org/#percent-encoded-bytes): the path set is
+# C0/DEL/non-ASCII + space " # < > ? ` { }; the query set (special
+# schemes) is C0/DEL/non-ASCII + space " # < > '.
+_PATH_ENCODE = set(' "<>`{}?#')
+_QUERY_ENCODE = set(' "<>#\'')
+
+
+def _pct_encode(s: str, extra: set[str]) -> str:
+    out: list[str] = []
+    for ch in s:
+        o = ord(ch)
+        if o <= 0x1F or o == 0x7F or o > 0x7E or ch in extra:
+            out.append("".join(f"%{b:02X}" for b in ch.encode("utf-8")))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 — url::Url applies this at PARSE time for every
+    URL (urllib only applies it inside urljoin), '..' above the root
+    clamps to '/'."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+            continue
+        out.append(seg)
+    # preserve a trailing slash implied by a final '.'/'..'
+    if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
+        out.append("")
+    norm = "/".join(out)
+    if not norm.startswith("/"):
+        norm = "/" + norm.lstrip("/")
+    return norm
+
+
+def _idna_host(host: str) -> str | None:
+    """Lowercased ASCII host; non-ASCII labels punycoded like
+    url::Url's IDNA to_ascii (Python's idna codec — IDNA2003 — agrees
+    on the common cases; documented deviation on UTS46 edge labels)."""
+    host = host.lower()
+    if host.isascii():
+        return host
+    try:
+        return host.encode("idna").decode("ascii")
+    except UnicodeError:
+        return None
+
+
 def canonicalize(url: str, base: str | None = None) -> str | None:
     """Canonical absolute URL or None if unparseable/unsupported.
 
-    Rules (the engine-wide spec; fixtures generate golden URLs with the
-    same function family so parity is exact):
+    Rules — the engine-wide spec, matching the Rust ``url`` crate's
+    (WHATWG) parse-time normalization that the reference inherits via
+    AtraUri (atra/src/url/atra_uri.rs):
       1. resolve relative references against ``base`` (RFC 3986)
       2. strip the fragment ALWAYS
-      3. lowercase scheme and host
+      3. lowercase scheme; lowercase + IDNA-punycode the host
       4. drop default ports (http:80, https:443)
-      5. empty path -> "/"
-      6. only http/https survive ("data:" handled by callers as Data links)
+      5. backslashes in the path act as slashes (special schemes)
+      6. remove dot segments ('..' above root clamps)
+      7. percent-encode the WHATWG path/query encode sets (existing
+         %XX triplets are preserved, not double-encoded)
+      8. empty path -> "/"
+      9. only http/https survive ("data:" handled by callers as Data links)
     """
     if url is None:
         return None
@@ -63,7 +122,10 @@ def canonicalize(url: str, base: str | None = None) -> str | None:
     scheme = parts.scheme.lower()
     if scheme not in ("http", "https"):
         return None
-    host = (parts.hostname or "").lower()
+    raw_host = parts.hostname or ""
+    if not raw_host:
+        return None
+    host = _idna_host(raw_host)
     if not host:
         return None
     userinfo = ""
@@ -80,8 +142,31 @@ def canonicalize(url: str, base: str | None = None) -> str | None:
     if port is not None and port != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"
     netloc = userinfo + netloc
-    path = parts.path or "/"
-    return urlunsplit((scheme, netloc, path, parts.query, ""))
+    path = (parts.path or "/").replace("\\", "/")
+    path = _remove_dot_segments(path)
+    # preserve existing %XX triplets: split on them, encode the rest
+    path = _encode_preserving_pct(path, _PATH_ENCODE)
+    query = _encode_preserving_pct(parts.query, _QUERY_ENCODE)
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+_PCT_RE = None
+
+
+def _encode_preserving_pct(s: str, extra: set[str]) -> str:
+    global _PCT_RE
+    if _PCT_RE is None:
+        import re
+
+        _PCT_RE = re.compile(r"%[0-9A-Fa-f]{2}")
+    out: list[str] = []
+    last = 0
+    for m in _PCT_RE.finditer(s):
+        out.append(_pct_encode(s[last : m.start()], extra))
+        out.append(m.group(0))
+        last = m.end()
+    out.append(_pct_encode(s[last:], extra))
+    return "".join(out)
 
 
 def clean_url(url: str) -> str | None:

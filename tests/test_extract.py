@@ -150,6 +150,47 @@ class TestHtmlExtract:
 
 
 class TestOtherExtractors:
+    def test_xml_svg_extraction(self):
+        from atra_spark.functions.extract import extract_xml
+
+        xml = (
+            '<svg xmlns="http://www.w3.org/2000/svg">'
+            '<a xlink:href="/img/x.svg"><text>Label &amp; more</text></a>'
+            '<image href="https://cdn.example/pic.png"/></svg>'
+        )
+        text, links = extract_xml(xml, PAGE)
+        assert "Label & more" in text
+        urls = {u for u, _k, _m in links}
+        assert "https://h.example/img/x.svg" in urls
+        assert "https://cdn.example/pic.png" in urls
+
+    def test_rtf_extraction(self):
+        from atra_spark.functions.extract import extract_rtf
+
+        rtf = r"{\rtf1\ansi Hello \b world\b0 see https://h.example/doc}"
+        text, links = extract_rtf(rtf, PAGE)
+        assert "Hello" in text and "world" in text
+        assert any(u == "https://h.example/doc" for u, _k, _m in links)
+
+    def test_zip_recursion(self):
+        import io
+        import zipfile
+
+        from atra_spark.functions.extract import extract_zip
+
+        inner = io.BytesIO()
+        with zipfile.ZipFile(inner, "w") as z:
+            z.writestr("deep.html", '<html><a href="https://deep.example/x">d</a></html>')
+        outer = io.BytesIO()
+        with zipfile.ZipFile(outer, "w") as z:
+            z.writestr("page.html", '<html><a href="/top">t</a>body text</html>')
+            z.writestr("nested.zip", inner.getvalue())
+        text, links = extract_zip(outer.getvalue(), PAGE)
+        urls = {u for u, _k, _m in links}
+        assert "https://h.example/top" in urls
+        assert "https://deep.example/x" in urls  # one-level recursion
+        assert "body text" in text
+
     def test_js_href_scan(self):
         links = extract_js('nav({href: "/x"}); a.href="https://o.example/y"', PAGE)
         urls = {u for u, _, _ in links}

@@ -17,6 +17,45 @@ from atra_spark.urlkit import (
 )
 
 
+class TestWhatwgNormalization:
+    """Pinned expectations derived from the Rust ``url`` crate's
+    documented WHATWG behavior (the reference's AtraUri parse path) —
+    exactly the cases urllib handles differently out of the box."""
+
+    def test_dot_segments_removed_in_absolute_urls(self):
+        assert canonicalize("https://h.example/a/./b/../c") == "https://h.example/a/c"
+        assert canonicalize("https://h.example/a/b/..") == "https://h.example/a/"
+        assert canonicalize("https://h.example/./") == "https://h.example/"
+
+    def test_dotdot_above_root_clamps(self):
+        assert canonicalize("https://h.example/../../x") == "https://h.example/x"
+        assert canonicalize("https://h.example/a/../../../b") == "https://h.example/b"
+
+    def test_path_percent_encoding(self):
+        assert canonicalize("https://h.example/a b") == "https://h.example/a%20b"
+        assert (
+            canonicalize('https://h.example/a"b<c>d`e{f}g')
+            == "https://h.example/a%22b%3Cc%3Ed%60e%7Bf%7Dg"
+        )
+        # non-ASCII path chars are UTF-8 percent-encoded
+        assert canonicalize("https://h.example/caf\xe9") == "https://h.example/caf%C3%A9"
+
+    def test_existing_percent_triplets_preserved(self):
+        assert canonicalize("https://h.example/a%2Fb?x=%3D") == "https://h.example/a%2Fb?x=%3D"
+
+    def test_backslash_is_path_separator(self):
+        # special schemes treat \ as / (WHATWG)
+        assert canonicalize("https://h.example/a\\b") == "https://h.example/a/b"
+
+    def test_query_percent_encoding(self):
+        assert canonicalize("https://h.example/?q=a b") == "https://h.example/?q=a%20b"
+        assert canonicalize("https://h.example/?q='v'") == "https://h.example/?q=%27v%27"
+
+    def test_idn_host_punycoded(self):
+        assert canonicalize("https://b\xfccher.example/x") == "https://xn--bcher-kva.example/x"
+        assert canonicalize("https://例え.jp/") == "https://xn--r8jz45g.jp/"
+
+
 class TestCanonicalize:
     def test_fragment_always_stripped(self):
         assert canonicalize("https://a.example/p#frag") == "https://a.example/p"
