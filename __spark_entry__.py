@@ -770,8 +770,10 @@ def q_sitemap_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # crawl-dataflow queries with serial-oracle parquet ground truth
 # ==========================================================================
 _ENTRY_FIX = dict(n_pages=600, n_hosts=12)
-_ORACLE_DIR = os.path.join(tempfile.gettempdir(), "atra_entry_oracle_v2")
-_ENTRY_STORE = os.path.join(tempfile.gettempdir(), "atra_entry_crawl_store_v2")
+from atra_spark.sources.fixtures import FIXTURE_FORMAT_VERSION as _FXV
+
+_ORACLE_DIR = os.path.join(tempfile.gettempdir(), f"atra_entry_oracle_v{_FXV}")
+_ENTRY_STORE = os.path.join(tempfile.gettempdir(), f"atra_entry_crawl_store_v{_FXV}")
 _ENTRY_ROUNDS = 2
 
 

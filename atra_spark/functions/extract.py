@@ -34,7 +34,7 @@ import pandas as pd
 
 from functools import lru_cache
 
-from ..urlkit import canonicalize, host_of
+from ..urlkit import canonicalize, host_of, origin
 from .langdata import detect_lang
 
 # Per-executor canonicalization caches: hrefs repeat heavily within a
@@ -42,6 +42,9 @@ from .langdata import detect_lang
 # the base (urljoin with an absolute reference returns the reference).
 _canon_abs = lru_cache(maxsize=1 << 16)(canonicalize)
 _host_cached = lru_cache(maxsize=1 << 16)(host_of)
+# PSL origin per link target (full public-suffix list, urlkit.origin);
+# cached per executor — unique hosts per batch are few
+_origin_cached = lru_cache(maxsize=1 << 16)(origin)
 
 
 def _canon(raw: str, base: str) -> str | None:
@@ -62,8 +65,102 @@ _BOMS = (
 )
 
 
-def decode_bytes(raw: bytes | None) -> tuple[str | None, str, bool]:
-    """(text, encoding_name, had_errors) per the decode ladder."""
+# --------------------------------------------------------------------------
+# chardetng-style frequency guesser (decoding/mod.rs:203-261): candidate
+# encodings scored by script plausibility of the decoded text, with a
+# TLD hint boost (enc.guess_assess(Some(domain.suffix()), ...)).
+# --------------------------------------------------------------------------
+_GUESS_CANDIDATES = (
+    ("windows-1252", "latin"),
+    ("iso-8859-2", "latin"),
+    ("windows-1254", "latin"),
+    ("windows-1251", "cyrillic"),
+    ("koi8-r", "cyrillic"),
+    ("iso-8859-7", "greek"),
+    ("shift_jis", "jp"),
+    ("euc-jp", "jp"),
+    ("gbk", "zh"),
+    ("big5", "zh"),
+    ("euc-kr", "ko"),
+)
+
+_TLD_ENC_HINTS = {
+    "ru": {"windows-1251", "koi8-r"}, "ua": {"windows-1251", "koi8-r"},
+    "by": {"windows-1251"}, "bg": {"windows-1251"}, "rs": {"windows-1251"},
+    "kz": {"windows-1251"}, "jp": {"shift_jis", "euc-jp"}, "cn": {"gbk"},
+    "tw": {"big5"}, "hk": {"big5"}, "kr": {"euc-kr"}, "gr": {"iso-8859-7"},
+    "tr": {"windows-1254"},
+}
+
+
+def _script_score(text: str, expect: str) -> int:
+    """Plausibility of decoded text for the encoding's native script.
+    C1 controls / replacement chars are near-proof of a wrong decode;
+    lowercase-dominant letters beat uppercase (a cp1251 page decoded as
+    koi8-r flips case, the classic confusion pair)."""
+    score = 0
+    for ch in text[:2048]:
+        o = ord(ch)
+        if 0x80 <= o <= 0x9F or ch == "�":
+            score -= 8
+            continue
+        if o < 0x80:
+            continue
+        if expect == "latin":
+            score += 1 if 0xC0 <= o <= 0x17F else -2
+        elif expect == "cyrillic":
+            score += (3 if ch.islower() else 1) if 0x400 <= o <= 0x4FF else -3
+        elif expect == "greek":
+            score += (3 if ch.islower() else 1) if 0x370 <= o <= 0x3FF else -3
+        elif expect == "jp":
+            if 0x3040 <= o <= 0x30FF:
+                score += 3  # kana: the Japanese fingerprint
+            elif 0x4E00 <= o <= 0x9FFF or 0x3000 <= o <= 0x303F or 0xFF00 <= o <= 0xFFEF:
+                score += 1
+            else:
+                score -= 3
+        elif expect == "zh":
+            if 0x4E00 <= o <= 0x9FFF:
+                score += 2
+            elif 0x3000 <= o <= 0x303F or 0xFF00 <= o <= 0xFFEF:
+                score += 1
+            else:
+                score -= 3
+        elif expect == "ko":
+            score += 3 if (0xAC00 <= o <= 0xD7AF or 0x1100 <= o <= 0x11FF) else -3
+    if expect == "latin":
+        letters = [c for c in text[:2048] if c.isalpha()]
+        if letters:
+            frac = sum(1 for c in letters if ord(c) > 0x7F) / len(letters)
+            if frac > 0.4:  # real western text is mostly ASCII letters
+                score -= int((frac - 0.4) * 200)
+    return score
+
+
+def guess_encoding(raw: bytes, tld: str | None = None) -> tuple[str, str] | None:
+    """(text, encoding) of the best-scoring candidate, or None when no
+    candidate decodes with a positive plausibility score."""
+    hints = _TLD_ENC_HINTS.get((tld or "").lower(), set())
+    best: tuple[int, str, str] | None = None
+    for enc, expect in _GUESS_CANDIDATES:
+        try:
+            text = raw.decode(enc)
+        except (UnicodeDecodeError, LookupError):
+            continue
+        s = _script_score(text, expect)
+        if enc in hints:
+            s += max(10, abs(s) // 5)
+        if best is None or s > best[0]:
+            best = (s, text, enc)
+    if best is not None and best[0] > 0:
+        return best[1], best[2]
+    return None
+
+
+def decode_bytes(raw: bytes | None, tld: str | None = None) -> tuple[str | None, str, bool]:
+    """(text, encoding_name, had_errors) per the decode ladder
+    (decoding/mod.rs:83-261): BOM -> meta charset -> UTF-8 strict ->
+    frequency guess (TLD-hinted) -> windows-1252 lossy."""
     if raw is None:
         return None, "none", False
     for bom, enc in _BOMS:
@@ -86,7 +183,11 @@ def decode_bytes(raw: bytes | None) -> tuple[str | None, str, bool]:
     try:
         return raw.decode("utf-8"), "utf-8", False
     except UnicodeDecodeError:
-        return raw.decode("windows-1252", errors="replace"), "windows-1252", True
+        pass
+    guessed = guess_encoding(raw, tld)
+    if guessed is not None:
+        return guessed[0], guessed[1], False
+    return raw.decode("windows-1252", errors="replace"), "windows-1252", True
 
 
 # --------------------------------------------------------------------------
@@ -452,11 +553,21 @@ def extract_pages_batch(
                 lang, conf = detect_lang(dom_text)
                 row = (
                     url, enc, had_err, dom_text, lang, conf, fmt,
-                    [{"url": u, "kind": k, "method": m} for (u, k, m) in links],
+                    [
+                        {
+                            "url": u,
+                            "kind": k,
+                            "method": m,
+                            "host": None if k == "data" else _origin_cached(u),
+                        }
+                        for (u, k, m) in links
+                    ],
                 )
                 rows.append((url, ts) + row[1:] if has_ts else row)
                 continue
-            text, enc, had_err = decode_bytes(raw)
+            page_host = _host_cached(url) if url else None
+            tld = page_host.rsplit(".", 1)[-1] if page_host else None
+            text, enc, had_err = decode_bytes(raw, tld=tld)
             if text is None:
                 row = (url, enc, had_err, None, None, None, fmt, [])
                 rows.append((url, ts) + row[1:] if has_ts else row)
@@ -489,7 +600,15 @@ def extract_pages_batch(
                 lang,
                 conf,
                 fmt,
-                [{"url": u, "kind": k, "method": m} for (u, k, m) in links],
+                [
+                        {
+                            "url": u,
+                            "kind": k,
+                            "method": m,
+                            "host": None if k == "data" else _origin_cached(u),
+                        }
+                        for (u, k, m) in links
+                    ],
             )
             rows.append((url, ts) + row[1:] if has_ts else row)
         cols = [

@@ -1,19 +1,19 @@
 """JVM-side (whole-stage-codegen) column implementations of the hot
 URL functions — no Python worker in the per-link path.
 
-``origin_col`` mirrors :func:`atra_spark.urlkit.origin` exactly
-(pytest-verified equivalence) and is used in the link-expansion hot
-path where a pandas UDF would put millions of rows per round through
-Python. The pandas UDFs in functions/url_udfs.py remain the reference
-implementations and handle the odd cases (seeding, ad-hoc input).
+``attach_origin`` computes the FULL public-suffix-list registrable
+domain (urlkit.origin's exact semantics, pytest-verified equivalence)
+with k broadcast hash joins against the vendored PSL snapshot — the
+scale-correct JVM shape (a 9.4k-rule table broadcast once per stage;
+wildcard/exception rules are small enough to inline as literals).
+The pandas UDFs in functions/url_udfs.py remain the reference
+implementations for seeding and ad-hoc input.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-from ..urlkit import _MULTI_LABEL_SUFFIXES
 
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@?#]*@)?([^:/?#]+)"
 _SCHEME_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*"
@@ -25,25 +25,73 @@ def host_col(url: Column) -> Column:
     return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
 
 
-def origin_col(url: Column) -> Column:
-    """Registrable-domain politeness key (urlkit.origin, JVM-side).
+# --------------------------------------------------------------------------
+# full-PSL origin as JVM plan: k broadcast joins + literal wildcard set
+# --------------------------------------------------------------------------
+_MAX_K = 5  # longest PSL rule depth (incl. wildcard label)
 
-    IPs and <=2-label hosts pass through; known multi-label suffixes
-    keep 3 labels; everything else keeps 2 (atra/src/url/origin.rs:23-49
-    semantics with the embedded PSL subset).
+
+def _psl_exact_df(spark: SparkSession) -> DataFrame:
+    from ..urlkit import _psl_load
+
+    exact, _wild, _exc = _psl_load()
+    return spark.createDataFrame([(s,) for s in sorted(exact)], "psl_suffix string")
+
+
+def attach_origin(
+    df: DataFrame, spark: SparkSession, url_col: str = "url", out: str = "host"
+) -> DataFrame:
+    """Adds ``out`` = PSL registrable domain (fallback host) of
+    ``url_col`` — pure JVM: label slicing + per-depth broadcast joins
+    against the exact-rule table, wildcard parents / exceptions as
+    literal IN lists (107 / 8 rules). Mirrors urlkit.origin.
     """
-    host = host_col(url)
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    last2 = F.concat_ws(".", F.slice(labels, n - 1, 2))
-    last3 = F.concat_ws(".", F.slice(labels, n - 2, 3))
+    from ..urlkit import _psl_load
+
+    _exact, wild, exc = _psl_load()
+    host = host_col(F.col(url_col))
     is_ip = host.rlike(r"^[0-9.]+$") | host.contains(":")
-    return (
-        F.when(host.isNull(), F.lit(None).cast("string"))
-        .when(is_ip | (n <= 2), host)
-        .when(last2.isin(*sorted(_MULTI_LABEL_SUFFIXES)), last3)
-        .otherwise(last2)
+    work = df.withColumn("_h", host)
+    labels = F.split(F.col("_h"), r"\.")
+    n = F.size(labels)
+
+    exact_df = _psl_exact_df(spark)
+    match_flags = []
+    for k in range(1, _MAX_K + 1):
+        lastk = F.when(n >= k, F.concat_ws(".", F.slice(labels, n - k + 1, k)))
+        work = work.withColumn(f"_l{k}", lastk)
+        j = F.broadcast(
+            exact_df.select(
+                F.col("psl_suffix").alias(f"_l{k}"), F.lit(True).alias(f"_x{k}")
+            )
+        )
+        work = work.join(j, on=f"_l{k}", how="left")
+        wild_hit = (
+            F.col(f"_l{k-1}").isin(*sorted(wild)) if k >= 2 and wild else F.lit(False)
+        )
+        match_flags.append((k, F.coalesce(F.col(f"_x{k}"), F.lit(False)) | wild_hit))
+
+    # exception rules beat everything: suffix = rule minus first label
+    suffix_len = None
+    for k, flag in match_flags:  # ascending: later (longer) match overwrites
+        expr = F.when(flag, F.lit(k))
+        suffix_len = expr.otherwise(suffix_len) if suffix_len is not None else expr
+    suffix_len = F.coalesce(suffix_len, F.lit(1))
+    if exc:
+        for k in range(2, _MAX_K + 1):
+            suffix_len = F.when(
+                F.col(f"_l{k}").isin(*sorted(exc)), F.lit(k - 1)
+            ).otherwise(suffix_len)
+
+    origin = F.when(
+        F.col("_h").isNull(), F.lit(None).cast("string")
+    ).when(is_ip | (n <= suffix_len), F.col("_h")).otherwise(
+        F.concat_ws(".", F.slice(labels, n - suffix_len, suffix_len + 1))
     )
+    drop = ["_h"] + [f"_l{k}" for k in range(1, _MAX_K + 1)] + [
+        f"_x{k}" for k in range(1, _MAX_K + 1)
+    ]
+    return work.withColumn(out, origin).drop(*drop)
 
 
 def path_col(url: Column) -> Column:

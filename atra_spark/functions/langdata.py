@@ -1,37 +1,97 @@
-"""Deterministic mini language model: per-language marker word lists.
+"""Language identification: Cavnar-Trenkle character-trigram rank
+profiles (the public algorithm family behind whatlang's trigram model,
+atra/src/toolkit/language_detection.rs:97-253), plus the marker-word
+lists that drive the JVM-side lang_scores operator and the fixture
+vocabulary.
 
-Stands in for the reference's whatlang trigram model
-(atra/src/toolkit/language_detection.rs:97-140) in this sandbox: the
-fixture generator writes pages whose body text draws from exactly one
-language's vocabulary, and the detector scores marker-word hits per
-language. Marker sets are pairwise disjoint, so detection is exact on
-fixture data while remaining a real (if simple) frequency classifier
-on arbitrary text. Codes are ISO-639-3 like the reference.
+Profiles are built at import from embedded per-language sample text
+(written for this repo; no external data). Detection ranks the
+document's top trigrams against each language profile and picks the
+minimum out-of-place distance — deterministic, pure Python, run inside
+the Arrow extraction batches. Codes are ISO-639-3 like the reference.
 """
 
 from __future__ import annotations
 
-# marker words (function words, pairwise disjoint across languages)
+import re
+from collections import Counter
+
+# marker words (function words, pairwise disjoint across languages) —
+# used by the fixture generator, the JVM lang_scores operator, and as
+# profile vocabulary
 MARKERS: dict[str, tuple[str, ...]] = {
     "eng": ("the", "and", "of", "with", "from", "that", "this", "have", "was", "are"),
     "deu": ("der", "und", "nicht", "das", "ist", "ein", "mit", "für", "auf", "sich"),
     "fra": ("le", "les", "est", "une", "dans", "pour", "qui", "pas", "sur", "vous"),
     "spa": ("el", "los", "es", "una", "para", "por", "con", "como", "más", "pero"),
     "ita": ("il", "di", "che", "non", "per", "sono", "anche", "della", "come", "questo"),
+    "rus": ("это", "как", "что", "для", "его", "она", "они", "был", "при", "или"),
+    "jpn": ("これ", "それ", "です", "ます", "から", "まで", "など", "して", "いる", "ある"),
 }
 
 # filler vocabulary per language (content words; overlap allowed — only
-# MARKERS drive classification)
+# MARKERS drive the fixture construction golden)
 FILLER: dict[str, tuple[str, ...]] = {
     "eng": ("crawl", "page", "link", "data", "host", "queue", "table", "value"),
     "deu": ("seite", "daten", "wert", "tabelle", "rechner", "netz", "kette", "zahl"),
     "fra": ("page", "valeur", "table", "chaine", "reseau", "nombre", "texte", "mot"),
     "spa": ("pagina", "valor", "tabla", "cadena", "red", "numero", "texto", "palabra"),
     "ita": ("pagina", "valore", "tavola", "catena", "rete", "numero", "testo", "parola"),
+    "rus": ("страница", "данные", "таблица", "ссылка", "число", "сеть", "текст", "слово"),
+    "jpn": ("ページ", "データ", "リンク", "テーブル", "ネット", "テキスト", "数値", "言葉"),
+}
+
+# per-language sample text for trigram profiles (written for this repo)
+_SAMPLES: dict[str, str] = {
+    "eng": (
+        "the quick survey shows that this page links data from every host "
+        "we have seen and the table of values was built with care so that "
+        "all of the results are stored with the text and the links that "
+        "come from this crawl of the network"
+    ),
+    "deu": (
+        "der rechner speichert die daten und die tabelle ist nicht leer "
+        "denn ein netz von seiten wurde mit sorgfalt gebaut und der wert "
+        "jeder kette steht auf der seite für sich damit das ergebnis "
+        "nicht verloren geht und sich die zahl der seiten erhöht"
+    ),
+    "fra": (
+        "le réseau garde les pages et la table est pleine de valeurs car "
+        "une chaine de textes a été construite pour que les mots restent "
+        "dans le nombre et que vous puissiez voir qui a mis le texte sur "
+        "la page sans que les valeurs ne soient pas perdues"
+    ),
+    "spa": (
+        "el sistema guarda los datos y la tabla es una red de paginas con "
+        "valores para que el numero de palabras quede como texto y no se "
+        "pierda pero los enlaces siguen en la cadena por si el valor de "
+        "una pagina cambia más tarde con el texto"
+    ),
+    "ita": (
+        "il sistema salva i dati e la tavola non è vuota perché una rete "
+        "di pagine è stata costruita per questo e anche il numero delle "
+        "parole resta come testo della catena che sono i valori di ogni "
+        "pagina come questo testo che non si perde"
+    ),
+    "rus": (
+        "это система хранит данные и таблица не пуста потому что сеть "
+        "страниц была построена для того чтобы число слов осталось как "
+        "текст и ссылка не потерялась при этом они видят что его значение "
+        "или она была на странице как текст для всех"
+    ),
+    "jpn": (
+        "これ は システム です データ を テーブル に 保存 します ページ の "
+        "ネット から リンク まで テキスト など を 集めて いる 数値 も ある "
+        "それ から 言葉 を して 保存 します これ まで の ページ です"
+    ),
 }
 
 LANGS = tuple(MARKERS)
 UND = "und"
+
+_PROFILE_TOP = 300
+_WORD_CLEAN_RE = re.compile(r"[^\w\s]", re.UNICODE)
+_WS_RE = re.compile(r"\s+")
 
 _MARKER_INDEX: dict[str, str] = {}
 for _lang, _words in MARKERS.items():
@@ -39,19 +99,51 @@ for _lang, _words in MARKERS.items():
         _MARKER_INDEX[_w] = _lang
 
 
+def _trigram_ranks(text: str, top: int = _PROFILE_TOP) -> dict[str, int]:
+    """Rank map of the ``top`` most frequent char trigrams (padded,
+    punctuation stripped, whitespace collapsed). Counter ties break by
+    first occurrence — deterministic for identical input."""
+    t = _WS_RE.sub(" ", _WORD_CLEAN_RE.sub("", text.lower()))
+    t = f" {t.strip()} "
+    if len(t) < 3:
+        return {}
+    grams = Counter(t[i : i + 3] for i in range(len(t) - 2))
+    return {g: r for r, (g, _c) in enumerate(grams.most_common(top))}
+
+
+def _build_profiles() -> dict[str, dict[str, int]]:
+    out = {}
+    for lang in LANGS:
+        corpus = " ".join(
+            (_SAMPLES[lang],)
+            + MARKERS[lang] * 3  # function words dominate real rank profiles
+            + FILLER[lang] * 2
+        )
+        out[lang] = _trigram_ranks(corpus)
+    return out
+
+
+_PROFILES = _build_profiles()
+
+
 def detect_lang(text: str | None) -> tuple[str | None, float | None]:
-    """(iso639-3 code, confidence) by marker-word frequency; und if no hits."""
+    """(iso639-3 code, confidence) by trigram rank distance
+    (Cavnar-Trenkle out-of-place measure); ``und`` when the document
+    profile matches no language (numbers-only, empty, markup noise)."""
     if not text:
         return None, None
-    counts: dict[str, int] = {}
-    total = 0
-    for token in text.lower().split():
-        token = token.strip(".,;:!?\"'()[]")
-        lang = _MARKER_INDEX.get(token)
-        if lang is not None:
-            counts[lang] = counts.get(lang, 0) + 1
-            total += 1
-    if not counts:
+    doc = _trigram_ranks(text[:4096])
+    if not doc:
         return UND, 0.0
-    best = max(counts, key=lambda k: (counts[k], k))
-    return best, counts[best] / total
+    max_rank = _PROFILE_TOP
+    worst = len(doc) * max_rank
+    best_lang, best_dist = None, None
+    for lang in LANGS:
+        prof = _PROFILES[lang]
+        d = sum(abs(prof.get(g, max_rank) - r) for g, r in doc.items())
+        if best_dist is None or d < best_dist or (d == best_dist and lang < best_lang):
+            best_lang, best_dist = lang, d
+    conf = 1.0 - (best_dist / worst) if worst else 0.0
+    if conf <= 0.02:  # indistinguishable from "matches nothing"
+        return UND, 0.0
+    return best_lang, conf

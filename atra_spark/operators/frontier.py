@@ -26,13 +26,78 @@ def filter_age(df: DataFrame, max_queue_age: int) -> DataFrame:
     return df.filter(F.col("age") <= F.lit(max_queue_age))
 
 
-def filter_state(frontier: DataFrame, seen: DataFrame) -> DataFrame:
+def filter_state(
+    frontier: DataFrame, seen: DataFrame, allow_recrawl: bool = False
+) -> DataFrame:
     """State-based drop on dequeue (polling.rs:180-204): only URLs whose
     seen-state is Discovered proceed; everything else is in-flight,
     done, or failed elsewhere. Inner join on the bucketed seen table
-    (both sides share the host-hash layout -> co-partitioned)."""
-    discovered = seen.filter(F.col("kind") == KIND_DISCOVERED).select("url")
-    return frontier.join(discovered, on="url", how="left_semi")
+    (both sides share the host-hash layout -> co-partitioned).
+
+    With ``allow_recrawl`` (recrawl_interval configured),
+    ProcessedAndStored URLs pass too — they are recrawl re-enqueues
+    (crawler.rs:264-300) — tagged ``is_recrawl`` so the cooldown filter
+    can treat them separately."""
+    from ..schemas import KIND_PROCESSED_AND_STORED
+
+    kinds = seen.select("url", "kind")
+    joined = frontier.join(kinds, on="url", how="left")
+    if allow_recrawl:
+        keep = (F.col("kind") == KIND_DISCOVERED) | (
+            F.col("kind") == KIND_PROCESSED_AND_STORED
+        )
+        return (
+            joined.filter(keep)
+            .withColumn("is_recrawl", F.col("kind") == KIND_PROCESSED_AND_STORED)
+            .drop("kind")
+        )
+    return (
+        joined.filter(F.col("kind") == KIND_DISCOVERED)
+        .withColumn("is_recrawl", F.lit(False))
+        .drop("kind")
+    )
+
+
+def filter_recrawl_cooldown(
+    df: DataFrame,
+    host_state: DataFrame | None,
+    interval_s: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Recrawl-cooldown admission check (crawler.rs:264-300 +
+    recrawl_management/mod.rs:27-70): a recrawl re-enqueue whose host
+    was accessed within ``interval_s`` is NOT admitted this round — it
+    goes back on the queue with age reset to 0 (the reference
+    re-enqueues ``UrlQueueElement::new(is_seed, 0, ...)``).
+
+    Returns (eligible, deferred_by_cooldown); fresh URLs
+    (``is_recrawl`` false) always pass. host_state shares the host-hash
+    bucketing, so the join is co-partitioned.
+    """
+    if host_state is None:
+        return df.drop("is_recrawl"), None
+    hs = host_state.select("host", "last_access")
+    joined = df.join(hs, on="host", how="left")
+    on_cooldown = (
+        F.col("is_recrawl")
+        & F.col("last_access").isNotNull()
+        & (
+            F.col("last_access")
+            >= F.current_timestamp() - F.expr(f"INTERVAL {int(interval_s)} SECONDS")
+        )
+    )
+    eligible = joined.filter(~on_cooldown).drop("last_access", "is_recrawl")
+    deferred = joined.filter(on_cooldown).select(
+        "url",
+        "host",
+        "is_seed",
+        F.lit(0).alias("age"),
+        F.lit(False).alias("host_was_in_use"),
+        "depth_on_website",
+        "distance_to_seed",
+        "total_distance_to_seed",
+        "enqueue_round",
+    )
+    return eligible, deferred
 
 
 def filter_blacklist(df: DataFrame, patterns: list[str]) -> DataFrame:

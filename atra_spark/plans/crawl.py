@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
 from ..functions.extract import extract_pages_batch
-from ..functions.jvm_url import host_col, origin_col
+from ..functions.jvm_url import host_col
 from ..functions.url_udfs import canonicalize_udf, origin_udf
 from ..schemas import (
     DEPTH_COLS,
@@ -42,6 +42,7 @@ from ..operators.frontier import (
     filter_age,
     filter_blacklist,
     filter_budget,
+    filter_recrawl_cooldown,
     filter_robots,
     filter_state,
     parse_robots,
@@ -190,8 +191,17 @@ class CrawlEngine:
         n_polled = self.store.count_rows("frontier") or 0
 
         # ---- admission pipeline (cheap-first, crawler.rs:653-704) ----
+        recrawl_on = cfg.recrawl_interval_s is not None
         eligible = filter_age(frontier, cfg.max_queue_age)
-        eligible = filter_state(eligible, seen)
+        eligible = filter_state(eligible, seen, allow_recrawl=recrawl_on)
+        cooldown_deferred = None
+        if recrawl_on:
+            host_state_prev = self.store.read_snapshot(spark, "host_state")
+            eligible, cooldown_deferred = filter_recrawl_cooldown(
+                eligible, host_state_prev, cfg.recrawl_interval_s
+            )
+        else:
+            eligible = eligible.drop("is_recrawl")
         eligible = filter_blacklist(eligible, cfg.blacklist)
         eligible = filter_budget(eligible, cfg)
         if cfg.respect_robots_txt and self.robots_parsed is not None:
@@ -298,12 +308,14 @@ class CrawlEngine:
             F.col("host").alias("src_host"),
             *[F.col(c).alias(f"p_{c}") for c in DEPTH_COLS],
         )
+        # the link's politeness origin (full PSL) was computed inside
+        # the extraction batch (LINK_STRUCT.host) — the expansion stays
+        # a pure JVM projection with no per-link Python stage
         links = (
             extracted.select(F.col("url").alias("src"), F.explode("links").alias("l"))
             .filter(F.col("l.kind") != "data")
-            .select("src", F.col("l.url").alias("url"))
+            .select("src", F.col("l.url").alias("url"), F.col("l.host").alias("host"))
             .join(F.broadcast(parent), on="src", how="inner")
-            .withColumn("host", origin_col(F.col("url")))
             .filter(F.col("host").isNotNull())
         )
 
@@ -372,6 +384,8 @@ class CrawlEngine:
             F.lit(rnd + 1).alias("enqueue_round"),
         )
         frontier_next = deferred.unionByName(new_frontier)
+        if cooldown_deferred is not None:
+            frontier_next = frontier_next.unionByName(cooldown_deferred)
 
         # ---- commit the round (one transaction on Iceberg) ----
         # The results write runs first and materializes the sched/
@@ -410,24 +424,37 @@ class CrawlEngine:
         jobs = {
             "seen": lambda: st.write_snapshot("seen", seen_next, rnd + 1, bucket_by="host"),
         }
+        # host_state (recrawl_management/mod.rs:27-70) is ALWAYS
+        # maintained — the recrawl-cooldown admission predicate consults
+        # it. Merge-upsert: latest access per host across rounds.
+        host_state_now = admitted.groupBy("host").agg(
+            F.max("scheduled_offset_ms").alias("last_offset_ms"),
+            F.max("crawl_delay_ms").alias("crawl_delay_ms"),
+        ).select(
+            "host",
+            F.timestamp_millis(
+                F.unix_millis(F.current_timestamp()) + F.col("last_offset_ms")
+            ).alias("last_access"),
+            "crawl_delay_ms",
+        )
+        host_state_prev_w = self.store.read_snapshot(spark, "host_state")
+        if host_state_prev_w is not None:
+            host_state_next = (
+                host_state_prev_w.unionByName(host_state_now)
+                .groupBy("host")
+                .agg(
+                    F.max("last_access").alias("last_access"),
+                    F.max("crawl_delay_ms").alias("crawl_delay_ms"),
+                )
+            )
+        else:
+            host_state_next = host_state_now
+        jobs["host_state"] = lambda: st.write_snapshot(
+            "host_state", host_state_next, rnd + 1, bucket_by="host"
+        )
         if cfg.audit_tables:
             jobs["edges"] = lambda: st.write_snapshot("edges", edges, rnd + 1)
             jobs["order"] = lambda: st.write_snapshot("order", admission_log, rnd)
-            # host_state (recrawl_management/mod.rs:27-70): last access
-            # offset per host this round + its effective crawl delay
-            host_state = admitted.groupBy("host").agg(
-                F.max("scheduled_offset_ms").alias("last_offset_ms"),
-                F.max("crawl_delay_ms").alias("crawl_delay_ms"),
-            ).select(
-                "host",
-                F.timestamp_millis(
-                    F.unix_millis(F.current_timestamp()) + F.col("last_offset_ms")
-                ).alias("last_access"),
-                "crawl_delay_ms",
-            )
-            jobs["host_state"] = lambda: st.write_snapshot(
-                "host_state", host_state, rnd + 1, bucket_by="host"
-            )
         with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
             futs = {k: pool.submit(fn) for k, fn in jobs.items()}
             for f in futs.values():
@@ -529,9 +556,30 @@ class CrawlEngine:
                     )
         report = CrawlReport()
         limit = max_rounds if max_rounds is not None else self.config.max_rounds
-        for rnd in range(start, start + limit):
+        refilled = False
+        rnd = start
+        while rnd < start + limit:
             n = self.store.count_rows("frontier")
             if not n:
+                # after-drain recrawl refill, once (app/atra.rs:392-414)
+                if self.config.recrawl_interval_s is not None and not refilled:
+                    refilled = True
+                    from datetime import datetime, timezone
+
+                    from .recover import recrawl_candidates
+
+                    seen = self.store.read_snapshot(self.spark, "seen")
+                    cands = recrawl_candidates(
+                        seen,
+                        datetime.now(timezone.utc),
+                        self.config.recrawl_interval_s,
+                        rnd,
+                        require_flag=False,
+                    )
+                    self.store.write_snapshot("frontier", cands, rnd, bucket_by="host")
+                    if self.store.count_rows("frontier"):
+                        continue
                 break
             report.rounds.append(self.run_round(rnd))
+            rnd += 1
         return report

@@ -29,43 +29,164 @@ _EXPORT_REPORT = StructType(
 )
 
 
-def _warc_record(url: str, ts, payload: bytes, content_type: str) -> bytes:
-    """One WARC response record. Record-id is UUIDv5 of the URL in URN
-    form (warc_ext/write.rs:80-86); digest labels follow the reference's
-    labeled-digest scheme (toolkit/digest.rs) with sha1 in place of the
-    xxh128 crate."""
-    import hashlib
+MAX_SEGMENT_BYTES = 1 << 30  # 1 GB record segmentation (write.rs:219-230)
+ROTATE_BYTES = 1 << 30       # size-based file rotation (forward_if_filesize)
 
-    rid = uuid.uuid5(uuid.NAMESPACE_URL, url).urn
-    date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None else "1970-01-01T00:00:00Z")
-    digest = "sha1:" + hashlib.sha1(payload).hexdigest()
-    header = (
+
+def _labeled_digest(data: bytes) -> str:
+    """Labeled digest (toolkit/digest.rs labeled_xxh128_digest):
+    ``xxh128:<hex>`` when the xxhash module is available, else a
+    documented ``sha1:`` stand-in (no pip installs in this sandbox)."""
+    try:
+        import xxhash
+
+        return "xxh128:" + xxhash.xxh128(data).hexdigest()
+    except ImportError:
+        import hashlib
+
+        return "sha1:" + hashlib.sha1(data).hexdigest()
+
+
+def _http_header_block(status: int, headers: dict | None, n_bytes: int, content_type: str) -> bytes:
+    """Packed HTTP response header block (the reference stores the raw
+    response head before the payload; result.rs:32-90 meta.headers)."""
+    reason = {200: "OK", 404: "Not Found"}.get(status, "")
+    lines = [f"HTTP/1.1 {status} {reason}".rstrip()]
+    hdrs = dict(headers or {})
+    hdrs.setdefault("Content-Type", content_type)
+    hdrs.setdefault("Content-Length", str(n_bytes))
+    lines += [f"{k}: {v}" for k, v in hdrs.items()]
+    return ("\r\n".join(lines) + "\r\n\r\n").encode()
+
+
+def _warc_headers(fields: list[tuple[str, str]]) -> bytes:
+    return (
         f"{WARC_VERSION}\r\n"
-        f"WARC-Type: response\r\n"
-        f"WARC-Record-ID: <{rid}>\r\n"
-        f"WARC-Date: {date}\r\n"
-        f"WARC-Target-URI: {url}\r\n"
-        f"WARC-Payload-Digest: {digest}\r\n"
-        f"Content-Type: {content_type}\r\n"
-        f"Content-Length: {len(payload)}\r\n"
-        "\r\n"
+        + "".join(f"{k}: {v}\r\n" for k, v in fields)
+        + "\r\n"
     ).encode()
-    return header + payload + b"\r\n\r\n"
 
 
-def export_warc(results: DataFrame, pages: DataFrame, out_dir: str) -> DataFrame:
-    """Write one ``.warc`` file per partition under ``out_dir``.
+def warc_records(
+    url: str,
+    ts,
+    payload: bytes,
+    content_type: str = "text/html",
+    status: int = 200,
+    headers: dict | None = None,
+    max_segment: int = MAX_SEGMENT_BYTES,
+) -> Iterator[bytes]:
+    """WARC records for one response — 1:1 with warc_ext/write.rs:200-305:
 
-    ``results`` supplies metadata (url, fetched_at, status); payload
-    bytes come from the pages table (the results table stores text, not
-    raw bytes, in this deployment). Returns a report DataFrame
-    (path, records, bytes) — the per-partition lineage of the export.
-    """
+    body = packed HTTP header block + payload; if the body exceeds
+    ``max_segment`` it is split into segments: the first is the
+    ``response`` record carrying the whole-body payload digest, the
+    rest are ``continuation`` records with fresh record-ids,
+    WARC-Segment-Number (1-based), WARC-Segment-Origin-ID, and the
+    last adds WARC-Segment-Total-Length. Every record carries a
+    per-chunk block digest."""
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, url).urn
+    date = ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None else "1970-01-01T00:00:00Z"
+    body = _http_header_block(status, headers, len(payload), content_type) + payload
+    payload_digest = _labeled_digest(body)
+    common = [
+        ("WARC-Date", date),
+        ("WARC-Target-URI", url),
+        ("Content-Type", "application/http;msgtype=response"),
+    ]
+    if len(body) <= max_segment:
+        fields = (
+            [("WARC-Type", "response"), ("WARC-Record-ID", f"<{rid}>")]
+            + common
+            + [
+                ("WARC-Payload-Digest", payload_digest),
+                ("WARC-Block-Digest", _labeled_digest(body)),
+                ("Content-Length", str(len(body))),
+            ]
+        )
+        yield _warc_headers(fields) + body + b"\r\n\r\n"
+        return
+    chunks = [body[i : i + max_segment] for i in range(0, len(body), max_segment)]
+    for idx, chunk in enumerate(chunks):
+        if idx == 0:
+            head = [("WARC-Type", "response"), ("WARC-Record-ID", f"<{rid}>")]
+            extra = [("WARC-Payload-Digest", payload_digest)]
+        else:
+            head = [
+                ("WARC-Type", "continuation"),
+                ("WARC-Record-ID", f"<{uuid.uuid4().urn}>"),
+            ]
+            extra = []
+        fields = (
+            head
+            + common
+            + extra
+            + [
+                ("WARC-Block-Digest", _labeled_digest(chunk)),
+                ("WARC-Segment-Number", str(idx + 1)),
+                ("WARC-Segment-Origin-ID", f"<{rid}>"),
+            ]
+            + ([("WARC-Segment-Total-Length", str(len(body)))] if idx == len(chunks) - 1 else [])
+            + [("Content-Length", str(len(chunk)))]
+        )
+        yield _warc_headers(fields) + chunk + b"\r\n\r\n"
+
+
+class _RotatingWarcWriter:
+    """Size-rotated .warc file family for one Spark partition
+    (worker_warc_writer.forward_if_filesize analog)."""
+
+    def __init__(self, out_dir: str, part: str, rotate_bytes: int) -> None:
+        self.out_dir, self.part, self.rotate = out_dir, part, rotate_bytes
+        self.idx = 0
+        self.f = None
+        self.paths: list[str] = []
+        self.sizes: list[int] = []
+        self.counts: list[int] = []
+
+    def _open(self) -> None:
+        path = os.path.join(self.out_dir, f"atra-{self.part}-{self.idx:04d}.warc")
+        self.f = open(path, "wb")
+        self.paths.append(path)
+        self.sizes.append(0)
+        self.counts.append(0)
+
+    def write_record(self, rec: bytes) -> None:
+        if self.f is None:
+            self._open()
+        self.f.write(rec)
+        self.sizes[-1] += len(rec)
+        self.counts[-1] += 1
+        if self.sizes[-1] >= self.rotate:  # rotate AFTER the record completes
+            self.f.close()
+            self.f = None
+            self.idx += 1
+
+    def close(self):
+        if self.f is not None:
+            self.f.close()
+            self.f = None
+
+
+def export_warc(
+    results: DataFrame,
+    pages: DataFrame,
+    out_dir: str,
+    rotate_bytes: int = ROTATE_BYTES,
+    max_segment_bytes: int = MAX_SEGMENT_BYTES,
+) -> DataFrame:
+    """Write size-rotated ``.warc`` files per partition under
+    ``out_dir``; payloads over ``max_segment_bytes`` become
+    continuation-record chains. ``results`` supplies metadata (url,
+    fetched_at, status, headers); payload bytes come from the pages
+    table. Returns a report DataFrame (path, records, bytes) — the
+    per-file lineage of the export."""
     os.makedirs(out_dir, exist_ok=True)
-    rows = (
-        results.filter(F.col("status") == 200)
-        .select("url", "fetched_at")
-        .join(pages.select("url", "html"), on="url", how="inner")
+    res = results.filter(F.col("status") == 200)
+    if "headers" not in res.columns:
+        res = res.withColumn("headers", F.create_map().cast("map<string,string>"))
+    rows = res.select("url", "fetched_at", "status", "headers").join(
+        pages.select("url", "html"), on="url", how="inner"
     )
 
     def write_partition(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -73,26 +194,28 @@ def export_warc(results: DataFrame, pages: DataFrame, out_dir: str) -> DataFrame
         import threading
 
         part = f"{socket.gethostname()}-{threading.get_ident()}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        path = os.path.join(out_dir, f"atra-{part}.warc")
-        n = 0
-        size = 0
-        f = None
+        w = _RotatingWarcWriter(out_dir, part, rotate_bytes)
         for pdf in batches:
-            if len(pdf) and f is None:
-                f = open(path, "wb")
             for i in range(len(pdf)):
-                rec = _warc_record(
+                hdrs = pdf["headers"].iat[i] if "headers" in pdf.columns else None
+                if hdrs is not None and not isinstance(hdrs, dict):
+                    hdrs = dict(hdrs)
+                for rec in warc_records(
                     pdf["url"].iat[i],
                     pdf["fetched_at"].iat[i],
                     bytes(pdf["html"].iat[i]),
                     "text/html",
-                )
-                f.write(rec)
-                n += 1
-                size += len(rec)
-        if f is not None:
-            f.close()
-            yield pd.DataFrame([(path, n, size)], columns=["path", "records", "bytes"])
+                    int(pdf["status"].iat[i]) if "status" in pdf.columns else 200,
+                    hdrs,
+                    max_segment_bytes,
+                ):
+                    w.write_record(rec)
+        w.close()
+        if w.paths:
+            yield pd.DataFrame(
+                list(zip(w.paths, w.counts, w.sizes)),
+                columns=["path", "records", "bytes"],
+            )
 
     return rows.mapInPandas(write_partition, _EXPORT_REPORT)
 

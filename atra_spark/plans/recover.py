@@ -47,15 +47,18 @@ def recover(spark: SparkSession, store: CheckpointStore) -> int:
 
 
 def recrawl_candidates(
-    seen: DataFrame, now_ts, interval_s: int, round_no: int
+    seen: DataFrame, now_ts, interval_s: int, round_no: int, require_flag: bool = True
 ) -> DataFrame:
-    """Recrawl refill: processed URLs flagged recrawl whose last state
-    change is older than the interval (app/atra.rs:392-414)."""
+    """Recrawl refill: processed URLs whose last state change is older
+    than the interval (app/atra.rs:392-414). ``require_flag`` keeps the
+    reference's per-URL RecrawlYesNo gate; pass False when the crawl
+    config recrawls every processed URL on the interval."""
     age_ok = F.col("ts") < (F.lit(now_ts) - F.expr(f"INTERVAL {int(interval_s)} SECONDS"))
+    flag_ok = F.col("recrawl") if require_flag else F.lit(True)
     return (
         seen.filter(
             (F.col("kind") == KIND_PROCESSED_AND_STORED)
-            & F.col("recrawl")
+            & flag_ok
             & age_ok
         )
         .select(

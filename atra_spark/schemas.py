@@ -128,6 +128,12 @@ LINK_STRUCT = StructType(
         StructField("url", StringType(), False),
         StructField("kind", StringType(), False),  # onseed | outgoing | data
         StructField("method", StringType(), False),  # html_a | html_media | js | text
+        # PSL origin (politeness key) of the link target — computed
+        # inside the extraction batch where the full public-suffix list
+        # is already resident (origin.rs:23-49); null for data: links.
+        # Carrying it in the struct keeps the link-expansion hot path
+        # free of any per-link Python stage.
+        StructField("host", StringType(), True),
     ]
 )
 

@@ -156,9 +156,20 @@ def generate_fixtures(
         n_h = len(host_pages[h])
         for j, url in enumerate(host_pages[h]):
             page_rng = random.Random(zlib.crc32(f"{seed}|{h}|{j}".encode()))
-            latin1 = page_rng.random() < 0.10
+            latin1 = page_rng.random() < 0.10 and lang not in ("rus", "jpn")
             meta_nofollow = page_rng.random() < 0.05
             use_base = page_rng.random() < 0.08
+            # non-UTF8 legacy encodings WITHOUT meta charset: the
+            # chardetng-style guess tier must byte-identically recover
+            # these (decoding/mod.rs:203-261)
+            if lang == "rus":
+                enc = "cp1251"
+            elif lang == "jpn":
+                enc = "shift_jis"
+            elif latin1:
+                enc = "iso-8859-1"
+            else:
+                enc = "utf-8"
             b = _HtmlBuilder()
             b.raw("<!DOCTYPE html>")
             b.raw("<html><head>")
@@ -232,7 +243,6 @@ def generate_fixtures(
                 b.gap("\n")
             b.raw("</body></html>")
 
-            enc = "iso-8859-1" if latin1 else "utf-8"
             html_bytes = b.html().encode(enc)
             text = b.golden_text()
             ts = EPOCH + timedelta(seconds=len(pages))
@@ -357,7 +367,7 @@ def write_fixtures(fx: FixtureSet, out_dir: str) -> dict[str, str]:
     return paths
 
 
-FIXTURE_FORMAT_VERSION = 2  # bump to invalidate cached fixture dirs
+FIXTURE_FORMAT_VERSION = 3  # bump to invalidate cached fixture dirs
 
 
 def ensure_fixtures(

@@ -78,23 +78,42 @@ def crawl_oracle(
     config: CrawlConfig,
     max_rounds: int | None = None,
 ) -> OracleResult:
+    import time
+
     res = OracleResult()
     blacklist = [re.compile(p) for p in config.blacklist]
     max_rounds = max_rounds if max_rounds is not None else config.max_rounds
+    interval = config.recrawl_interval_s
 
     # frontier rows: url -> (is_seed, age, enqueue_round, depth)
     frontier: dict[str, tuple[bool, int, int, Depth]] = {}
+    seen_ts: dict[str, float] = {}  # last state-change wall time
+    host_last_access: dict[str, float] = {}  # recrawl_management analog
+    refilled = False
     for s in seeds:
         if s in res.seen:
             continue  # duplicate seed: second enqueue is a no-op
         d = Depth(0, 0, 0)
         frontier[s] = (True, 0, 0, d)
         res.seen[s] = (KIND_DISCOVERED, True, d)
+        seen_ts[s] = time.time()
         res.edges.append((origin(s) or "", s, "seed", 0))
 
-    for rnd in range(max_rounds):
+    rnd = -1
+    while rnd + 1 < max_rounds:
         if not frontier:
-            break
+            # after-drain recrawl refill, once (app/atra.rs:392-414)
+            if interval is not None and not refilled:
+                refilled = True
+                now = time.time()
+                for u, (k, s, d) in res.seen.items():
+                    if k == KIND_PROCESSED_AND_STORED and (
+                        now - seen_ts.get(u, 0.0) > interval
+                    ):
+                        frontier[u] = (s, 0, rnd + 1, d)
+            if not frontier:
+                break
+        rnd += 1
         res.rounds_run = rnd + 1
 
         # ---- admission filters (checker order, crawler.rs:653-704) ----
@@ -104,13 +123,25 @@ def crawl_oracle(
                 del frontier[url]  # stale (polling.rs:101-105)
                 continue
             kind = res.seen[url][0]
-            if kind != KIND_DISCOVERED:
+            allowed_kinds = (
+                (KIND_DISCOVERED, KIND_PROCESSED_AND_STORED)
+                if interval is not None
+                else (KIND_DISCOVERED,)
+            )
+            if kind not in allowed_kinds:
                 del frontier[url]  # state-based drop (polling.rs:180-204)
                 continue
+            host = origin(url) or ""
+            if interval is not None and kind == KIND_PROCESSED_AND_STORED:
+                # recrawl cooldown (crawler.rs:264-300): recent host
+                # access -> re-enqueue with age 0, skip this round
+                la = host_last_access.get(host)
+                if la is not None and (time.time() - la) <= interval:
+                    frontier[url] = (is_seed, 0, enq, depth)
+                    continue
             if any(b.search(url) for b in blacklist):
                 del frontier[url]
                 continue
-            host = origin(url) or ""
             if not config.budget_for(host).is_in_budget(depth):
                 del frontier[url]
                 continue
@@ -151,6 +182,8 @@ def crawl_oracle(
         candidates: dict[str, Depth] = {}
         cand_meta: dict[str, bool] = {}
         for url, host, idx, depth, is_seed in admitted:
+            host_last_access[host] = time.time()
+            seen_ts[url] = time.time()
             if url not in page_urls:  # fetch error analog
                 res.seen[url] = (KIND_INTERNAL_ERROR, is_seed, depth)
                 continue
@@ -174,6 +207,7 @@ def crawl_oracle(
             if dst in res.seen:
                 continue
             res.seen[dst] = (KIND_DISCOVERED, False, nd)
+            seen_ts[dst] = time.time()
             frontier[dst] = (False, 0, rnd + 1, nd)
 
     return res

@@ -22,19 +22,93 @@ from urllib.parse import urljoin, urlsplit, urlunsplit
 _DEFAULT_PORTS = {"http": 443 - 363, "https": 443, "ftp": 21, "ws": 80, "wss": 443}
 _DEFAULT_PORTS["http"] = 80
 
-# Minimal embedded public-suffix subset. The fixture universe uses
-# ``*.example``; the extra entries keep the origin function honest for
-# real-world shaped URLs in tests. At production scale this would be
-# the full PSL snapshot broadcast to executors.
-_MULTI_LABEL_SUFFIXES = {
-    "co.uk",
-    "ac.uk",
-    "gov.uk",
-    "com.au",
-    "co.jp",
-    "com.br",
-    "co.in",
-}
+# --------------------------------------------------------------------------
+# Public Suffix List (full snapshot, atra/src/url/origin.rs:23-49 uses
+# the psl crate over the same public data). The official
+# public_suffix_list.dat (MPL-2.0, publicsuffix.org) is vendored at
+# atra_spark/data/; rules are parsed once per process into three sets
+# (exact / wildcard parents / exceptions), ICANN + PRIVATE sections
+# both included (the psl crate's default list has both — private
+# domains like github.io ARE suffixes for origin purposes).
+# --------------------------------------------------------------------------
+_PSL_RULES: tuple[frozenset, frozenset, frozenset] | None = None
+_PSL_MAX_LABELS = 1
+
+
+def _psl_load() -> tuple[frozenset, frozenset, frozenset]:
+    global _PSL_RULES, _PSL_MAX_LABELS
+    if _PSL_RULES is not None:
+        return _PSL_RULES
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data",
+                        "public_suffix_list.dat")
+    exact: set[str] = set()
+    wildcard_parents: set[str] = set()
+    exceptions: set[str] = set()
+    max_labels = 1
+
+    def ascii_forms(rule: str):
+        yield rule
+        if not rule.isascii():
+            try:
+                yield ".".join(
+                    lb.encode("idna").decode("ascii") if not lb.isascii() else lb
+                    for lb in rule.split(".")
+                )
+            except UnicodeError:
+                pass
+
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            token = line.split()[0].lower()
+            if token.startswith("!"):
+                for r in ascii_forms(token[1:]):
+                    exceptions.add(r)
+                    max_labels = max(max_labels, r.count(".") + 1)
+            elif token.startswith("*."):
+                for r in ascii_forms(token[2:]):
+                    wildcard_parents.add(r)
+                    max_labels = max(max_labels, r.count(".") + 2)
+            else:
+                for r in ascii_forms(token):
+                    exact.add(r)
+                    max_labels = max(max_labels, r.count(".") + 1)
+    _PSL_MAX_LABELS = max_labels
+    _PSL_RULES = (frozenset(exact), frozenset(wildcard_parents), frozenset(exceptions))
+    return _PSL_RULES
+
+
+def public_suffix(host: str) -> str:
+    """Longest matching public suffix of ``host`` per the PSL algorithm
+    (exception > wildcard/exact longest match > implicit '*' TLD rule)."""
+    exact, wild, exc = _psl_load()
+    labels = host.split(".")
+    n = len(labels)
+    start = max(0, n - _PSL_MAX_LABELS)
+    best = 1  # implicit '*' rule: the TLD itself
+    for i in range(start, n):
+        cand = ".".join(labels[i:])
+        if cand in exc:
+            return ".".join(labels[i + 1 :])  # exception beats everything
+        k = n - i
+        if cand in exact and k > best:
+            best = k
+        if i + 1 < n and ".".join(labels[i + 1 :]) in wild and k > best:
+            best = k
+    return ".".join(labels[n - best :])
+
+
+def registrable_domain(host: str) -> str | None:
+    """suffix + one label (None when the host IS a public suffix)."""
+    ps = public_suffix(host)
+    if host == ps:
+        return None
+    k = ps.count(".") + 2
+    return ".".join(host.split(".")[-k:])
 
 
 # WHATWG percent-encode sets (url::Url parse-time normalization —
@@ -192,23 +266,16 @@ def host_of(url: str) -> str | None:
 
 
 def origin(url: str) -> str | None:
-    """Politeness key: registrable domain, fallback full host, lowercase.
-
-    Mirrors atra/src/url/origin.rs:23-49 (psl crate -> registrable
-    domain; IPs and single labels pass through).
+    """Politeness key: PSL registrable domain, fallback full host,
+    lowercase. Mirrors atra/src/url/origin.rs:23-49 (psl crate ->
+    registrable domain; IPs and public-suffix-only hosts pass through).
     """
     h = host_of(url)
     if not h:
         return None
     if h.replace(".", "").isdigit() or ":" in h:  # IPv4 / IPv6
         return h
-    labels = h.split(".")
-    if len(labels) <= 2:
-        return h
-    two = ".".join(labels[-2:])
-    if two in _MULTI_LABEL_SUFFIXES:
-        return ".".join(labels[-3:])
-    return two
+    return registrable_domain(h) or h
 
 
 @dataclass(frozen=True)

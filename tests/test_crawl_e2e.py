@@ -190,6 +190,135 @@ class TestResume:
         assert eng_order == sorted(oracle.order)
 
 
+class TestRecrawl:
+    """Recrawl refill + cooldown at admission (crawler.rs:264-300,
+    recrawl_management/mod.rs:27-70, app/atra.rs:392-414)."""
+
+    def _mini_pages(self, spark, tmp, n=3):
+        from datetime import datetime
+
+        ts = datetime(2024, 1, 1)
+        rows = []
+        for i in range(n):
+            nxt = (i + 1) % n
+            rows.append(
+                (
+                    f"https://r{i}.example/p.html",
+                    ts,
+                    f'<html><body><a href="https://r{nxt}.example/p.html">n</a></body></html>'.encode(),
+                )
+            )
+        pages = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+        p = str(tmp / "pages.parquet")
+        pages.write.parquet(p)
+        return p, [r[0] for r in rows]
+
+    def test_refill_and_reprocess_matches_oracle(self, spark, tmp_path_factory):
+        """interval=0: after the frontier drains, every processed URL is
+        due for recrawl; the refilled wave must admit in the same order
+        as the serial oracle and leave the same seen set."""
+        from atra_spark.config import CrawlConfig
+        from atra_spark.sources.oracle_crawler import crawl_oracle
+        from atra_spark.urlkit import NORMAL, Budget, origin
+
+        tmp = tmp_path_factory.mktemp("recrawl")
+        pages_path, urls = self._mini_pages(spark, tmp)
+        cfg = CrawlConfig(
+            default_budget=Budget(kind=NORMAL, depth_on_website=0, distance_to_seed=99),
+            respect_robots_txt=False,
+            delay_ms=1,
+            recrawl_interval_s=0,
+            max_rounds=6,
+        )
+        golden_links = {
+            u: [(urls[(i + 1) % len(urls)], "onseed", "html_a")]
+            for i, u in enumerate(urls)
+        }
+        oracle = crawl_oracle(golden_links, set(urls), {}, [urls[0]], cfg, max_rounds=6)
+        store = CheckpointStore(str(tmp / "store"), num_buckets=4)
+        eng = CrawlEngine(spark, store, cfg, pages_path, None, num_buckets=4)
+        eng.run(seeds=[urls[0]])
+        eng_order = sorted(
+            (r["round"], r["host"], r["admission_index"], r["url"])
+            for r in store.read_union(spark, "order").collect()
+        )
+        assert eng_order == sorted(oracle.order)
+        # each URL was admitted (at least) twice: initial + recrawl wave
+        from collections import Counter
+
+        per_url = Counter(u for _r, _h, _i, u in eng_order)
+        assert all(c >= 2 for c in per_url.values()), per_url
+        eng_seen = {
+            r["url"]: r["kind"] for r in store.read_snapshot(spark, "seen").collect()
+        }
+        assert eng_seen == {u: k for u, (k, _s, _d) in oracle.seen.items()}
+        # host_state is maintained for every crawled host
+        hs = {r["host"] for r in store.read_snapshot(spark, "host_state").collect()}
+        assert hs == {origin(u) for u in urls}
+
+    def test_cooldown_defers_admission(self, spark, tmp_path_factory):
+        """A recrawl re-enqueue whose host_state.last_access is within
+        the interval is NOT admitted: it returns to the frontier with
+        age reset to 0 (UrlQueueElement::new(is_seed, 0, ...))."""
+        from datetime import datetime, timedelta, timezone
+
+        from atra_spark.config import CrawlConfig
+        from atra_spark.schemas import KIND_PROCESSED_AND_STORED
+        from atra_spark.urlkit import NORMAL, Budget
+
+        tmp = tmp_path_factory.mktemp("cooldown")
+        pages_path, urls = self._mini_pages(spark, tmp, n=1)
+        url = urls[0]
+        cfg = CrawlConfig(
+            default_budget=Budget(kind=NORMAL, depth_on_website=0, distance_to_seed=99),
+            respect_robots_txt=False,
+            recrawl_interval_s=3600,
+            max_rounds=1,
+        )
+        store = CheckpointStore(str(tmp / "store"), num_buckets=4)
+        eng = CrawlEngine(spark, store, cfg, pages_path, None, num_buckets=4)
+        # construct checkpoint state: url already processed, host accessed now
+        now = datetime.now(timezone.utc)
+        frontier = spark.createDataFrame(
+            [(url, "r0.example", True, 3, False, 0, 0, 0, 5)],
+            "url string, host string, is_seed boolean, age int, host_was_in_use boolean, "
+            "depth_on_website long, distance_to_seed long, total_distance_to_seed long, "
+            "enqueue_round int",
+        )
+        seen = spark.createDataFrame(
+            [(url, "r0.example", KIND_PROCESSED_AND_STORED, 254, False, True, now, 0, 0, 0)],
+            "url string, host string, kind int, last_significant_kind int, recrawl boolean, "
+            "is_seed boolean, ts timestamp, depth_on_website long, distance_to_seed long, "
+            "total_distance_to_seed long",
+        )
+        host_state = spark.createDataFrame(
+            [("r0.example", now - timedelta(seconds=60), 1000)],
+            "host string, last_access timestamp, crawl_delay_ms long",
+        )
+        store.write_snapshot("frontier", frontier, 0, bucket_by="host")
+        store.write_snapshot("seen", seen, 0, bucket_by="host")
+        store.write_snapshot("host_state", host_state, 0, bucket_by="host")
+        import atra_spark.operators.bloom as bloom_ops
+
+        eng._blooms = bloom_ops.build_bloom(
+            seen.select("url"), num_buckets=4, m=eng.bloom_bits
+        )
+        stats = eng.run_round(0)
+        assert stats.admitted == 0 and stats.fetched_ok == 0
+        nxt = store.read_snapshot(spark, "frontier").collect()
+        assert len(nxt) == 1
+        assert nxt[0]["url"] == url and nxt[0]["age"] == 0  # age reset
+        # with an expired last_access the same URL IS admitted
+        old = now - timedelta(seconds=7200)
+        host_state2 = spark.createDataFrame(
+            [("r0.example", old, 1000)],
+            "host string, last_access timestamp, crawl_delay_ms long",
+        )
+        store.write_snapshot("host_state", host_state2, 1, bucket_by="host")
+        stats2 = eng.run_round(1)
+        assert stats2.admitted == 1 and stats2.fetched_ok == 1
+
+
 class TestPandasSchedulerPath:
     """The applyInPandas politeness scheduler (north-star shape) must
     reproduce the oracle exactly, like the window path."""

@@ -282,19 +282,46 @@ class TestJvmUrl:
         "https://localhost/",
         "https://u:p@h.example:8443/a/b?c=d",
         "http://UPPER.Example/Y",
+        # full-PSL cases: private domains, wildcard, exception, deep rules
+        "https://foo.github.io/page",
+        "https://a.b.foo.github.io/page",
+        "https://myapp.blogspot.com.br/",
+        "https://x.y.ck/",                 # *.ck wildcard
+        "https://www.ck/",                 # !www.ck exception
+        "https://a.www.ck/",
+        "https://deep.s3.dualstack.eu-west-1.amazonaws.com/",
+        "https://a.b.co.uk/x",
+        "https://xn--bcher-kva.example/x",
+        "https://only-tld.com/",
+        "https://com/",                    # host IS a public suffix
     ]
 
     def test_origin_matches_kernel(self, spark):
-        from atra_spark.functions.jvm_url import host_col, origin_col, path_col
+        from atra_spark.functions.jvm_url import attach_origin, host_col
         from atra_spark.urlkit import host_of, origin
 
         df = spark.createDataFrame([(u,) for u in self.URLS], "url string")
-        rows = df.select(
-            "url", origin_col(F.col("url")).alias("o"), host_col(F.col("url")).alias("h")
-        ).collect()
-        for r in rows:
+        df = attach_origin(df, spark, "url", "o").withColumn("h", host_col(F.col("url")))
+        for r in df.collect():
             assert r["o"] == origin(r["url"]), r["url"]
             assert r["h"] == host_of(r["url"]), r["url"]
+
+    def test_psl_vectors(self):
+        """Pinned publicsuffix.org test vectors (full-list semantics)."""
+        from atra_spark.urlkit import origin, public_suffix, registrable_domain
+
+        assert public_suffix("foo.github.io") == "github.io"
+        assert origin("https://a.b.foo.github.io/") == "foo.github.io"
+        assert origin("https://myapp.blogspot.com.br/") == "myapp.blogspot.com.br"
+        assert public_suffix("x.y.ck") == "y.ck"           # *.ck
+        assert registrable_domain("x.y.ck") == "x.y.ck"
+        assert origin("https://www.ck/") == "www.ck"       # !www.ck exception
+        assert origin("https://a.www.ck/") == "www.ck"
+        assert origin("https://a.b.co.uk/") == "b.co.uk"
+        assert origin("https://b.co.uk/") == "b.co.uk"
+        assert registrable_domain("co.uk") is None
+        assert origin("https://co.uk/") == "co.uk"         # fallback host
+        assert origin("https://localhost/") == "localhost"
 
     def test_robots_allowed_col(self, spark):
         from atra_spark.functions.jvm_url import robots_allowed_col
@@ -313,10 +340,10 @@ class TestJvmUrl:
         assert got == [True, False, True, True, True]
 
     def test_fixture_corpus_origin_parity(self, spark, fixture_set):
-        from atra_spark.functions.jvm_url import origin_col
+        from atra_spark.functions.jvm_url import attach_origin
         from atra_spark.urlkit import origin
 
         urls = [(p[0],) for p in fixture_set.pages[:300]]
         df = spark.createDataFrame(urls, "url string")
-        for r in df.select("url", origin_col(F.col("url")).alias("o")).collect():
+        for r in attach_origin(df, spark, "url", "o").collect():
             assert r["o"] == origin(r["url"])

@@ -57,6 +57,75 @@ class TestWarcExport:
         assert f"<{rid}>".encode() in blob  # UUIDv5 record id (write.rs:80-86)
         assert b"<html>aaa</html>" in blob
 
+    def test_segmentation_continuation_records(self, spark, tmp_path):
+        """A payload over max_segment becomes a response record plus
+        continuation records with segment numbers, origin id, and a
+        total length on the last (warc_ext/write.rs:219-291)."""
+        big = b"<html>" + b"x" * 5000 + b"</html>"
+        pages = spark.createDataFrame(
+            [("https://h.example/big", TS, big)],
+            "url string, fetched_at timestamp, html binary",
+        )
+        results = pages.select("url", "fetched_at", F.lit(200).alias("status"))
+        out = str(tmp_path / "warcseg")
+        report = export_warc(
+            results, pages.select("url", "html"), out, max_segment_bytes=2048
+        ).collect()
+        blob = b"".join(
+            open(os.path.join(out, f), "rb").read() for f in sorted(os.listdir(out))
+        )
+        n_seg = blob.count(b"WARC-Segment-Number:")
+        assert n_seg >= 3  # ~5 KB body / 2 KB segments
+        assert blob.count(b"WARC-Type: response") == 1
+        assert blob.count(b"WARC-Type: continuation") == n_seg - 1
+        assert blob.count(b"WARC-Segment-Total-Length:") == 1
+        rid = uuid.uuid5(uuid.NAMESPACE_URL, "https://h.example/big").urn
+        assert blob.count(f"WARC-Segment-Origin-ID: <{rid}>".encode()) == n_seg
+        # reassembled body carries the HTTP header block then payload
+        assert b"HTTP/1.1 200 OK" in blob
+        assert sum(r["records"] for r in report) == n_seg
+
+    def test_size_rotation(self, spark, tmp_path):
+        """Files rotate once they pass rotate_bytes: many records from
+        one partition land in multiple .warc files."""
+        rows = [
+            (f"https://h.example/p{i}", TS, b"<html>" + bytes(str(i), "ascii") * 300 + b"</html>")
+            for i in range(20)
+        ]
+        pages = spark.createDataFrame(
+            rows, "url string, fetched_at timestamp, html binary"
+        ).coalesce(1)
+        results = pages.select("url", "fetched_at", F.lit(200).alias("status"))
+        out = str(tmp_path / "warcrot")
+        report = export_warc(
+            results, pages.select("url", "html"), out, rotate_bytes=4096
+        ).collect()
+        assert len(report) > 1  # multiple files from one partition
+        assert sum(r["records"] for r in report) == 20
+        for r in report:
+            assert os.path.exists(r["path"])
+
+    def test_http_header_block_packing(self, spark, tmp_path):
+        pages = spark.createDataFrame(
+            [("https://h.example/a", TS, b"<html>hdr</html>")],
+            "url string, fetched_at timestamp, html binary",
+        )
+        results = pages.select(
+            "url",
+            "fetched_at",
+            F.lit(200).alias("status"),
+            F.create_map(F.lit("X-Custom"), F.lit("v1")).alias("headers"),
+        )
+        out = str(tmp_path / "warchdr")
+        export_warc(results, pages.select("url", "html"), out).collect()
+        blob = b"".join(
+            open(os.path.join(out, f), "rb").read() for f in sorted(os.listdir(out))
+        )
+        assert b"Content-Type: application/http;msgtype=response" in blob
+        assert b"HTTP/1.1 200 OK\r\n" in blob
+        assert b"X-Custom: v1\r\n" in blob
+        assert b"WARC-Block-Digest: " in blob
+
     def test_skips_errors(self, spark, tmp_path):
         pages = spark.createDataFrame(
             [("https://h.example/a", TS, b"x")],
@@ -145,8 +214,54 @@ SITEMAP_XML = b"""<?xml version="1.0" encoding="UTF-8"?>
 
 class TestSitemap:
     def test_parse(self):
-        locs = parse_sitemap(SITEMAP_XML)
+        locs, refs = parse_sitemap(SITEMAP_XML)
         assert len(locs) == 4 and locs[0] == "https://h.example/p1.html"
+        assert refs == []
+
+    def test_parse_index(self):
+        xml = (
+            b'<?xml version="1.0"?><sitemapindex>'
+            b"<sitemap><loc>https://h.example/sm1.xml</loc></sitemap>"
+            b"<sitemap><loc>https://h.example/sm2.xml</loc></sitemap>"
+            b"</sitemapindex>"
+        )
+        locs, refs = parse_sitemap(xml)
+        assert locs == []
+        assert refs == ["https://h.example/sm1.xml", "https://h.example/sm2.xml"]
+
+    def test_robots_declared_and_index_recursion(self, spark):
+        """Sitemap: lines in robots.txt are followed (sitemaps.rs:35-50)
+        and a <sitemapindex> recurses one level into nested sitemaps."""
+        from atra_spark.sources.sitemap import robots_declared_sitemaps
+
+        index_xml = (
+            b"<sitemapindex><sitemap><loc>https://h.example/nested.xml</loc>"
+            b"</sitemap></sitemapindex>"
+        )
+        nested_xml = b"<urlset><url><loc>https://h.example/deep.html</loc></url></urlset>"
+        pages = spark.createDataFrame(
+            [
+                ("https://h.example/custom-map.xml", TS, index_xml, None, None),
+                ("https://h.example/nested.xml", TS, nested_xml, None, None),
+            ],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        robots = spark.createDataFrame(
+            [
+                (
+                    "h.example",
+                    b"User-agent: *\nSitemap: https://h.example/custom-map.xml\n",
+                    200,
+                    TS,
+                )
+            ],
+            "host string, robots_txt binary, status int, retrieved_at timestamp",
+        )
+        declared = {r["sitemap_url"] for r in robots_declared_sitemaps(robots).collect()}
+        assert declared == {"https://h.example/custom-map.xml"}
+        rows = {r["url"] for r in sitemap_candidates(pages, robots).collect()}
+        assert "https://h.example/deep.html" in rows  # via index recursion
+        assert "https://h.example/nested.xml" not in rows  # refs are not candidates
 
     def test_candidates(self, spark):
         pages = spark.createDataFrame(
