@@ -548,6 +548,47 @@ FROM documents WHERE doc_id < 60
 """
 
 
+def sql_tfidf_topk(dialect: str) -> str:
+    """TF-IDF top-5 terms per document — twin of
+    atra_spark.functions.tfidf.vectorize_topk (TermFrequency x
+    InverseDocumentFrequencySmooth, tf_idf.rs:196-198,:276-281; the
+    reference counts a word's TOTAL corpus occurrences as its idf
+    frequency, corpus.rs:102-110)."""
+    return f"""
+WITH {_tokens_cte(dialect)},
+counts AS (SELECT doc_id, tok AS word, count(*) AS c FROM toks GROUP BY doc_id, tok),
+stats AS (SELECT tok AS word, count(*) AS wf FROM toks GROUP BY tok),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+weighted AS (
+  SELECT c.doc_id, c.word,
+         (c.c * 1.0 / sum(c.c) OVER (PARTITION BY c.doc_id))
+           * (log10((SELECT n FROM nd) / (s.wf + 1.0)) + 1.0) AS w
+  FROM counts c JOIN stats s ON c.word = s.word
+),
+scored AS (
+  SELECT doc_id, word,
+         CAST(floor(w * 1000000 + 0.5 + 1e-9) AS DOUBLE) / 1000000 AS tf_idf
+  FROM weighted
+),
+ranked AS (
+  SELECT doc_id, word, tf_idf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tf_idf DESC, word ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, word, tf_idf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF document vectors, top-5 terms per doc
+    (atra_spark.functions.tfidf.vectorize_topk)."""
+    from atra_spark.functions.tfidf import vectorize_topk
+
+    _register(spark, sf_dir)
+    return vectorize_topk(spark.table("documents"), k=5)
+
+
 def sql_embedding_lsh_topk(dialect: str) -> str:
     """Oracle for the LSH-bucketed ANN: the random-hyperplane bucketing
     is deterministic (seeded), so the planes are embedded as literals
@@ -1011,6 +1052,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_fingerprints": q_rolling_fingerprints,
     "media_features": q_media_features,
     "sitemap_candidates": q_sitemap_candidates,
+    "tfidf_topk": q_tfidf_topk,
     "crawl_round": q_crawl_round,
     "crawl_order": q_crawl_order,
     "crawl_seen": q_crawl_seen,
@@ -1029,6 +1071,7 @@ def _custom_oracles() -> dict[str, str]:
         "rolling_fingerprints": sql_rolling_fp("duckdb"),
         "media_features": sql_media_features("duckdb"),
         "sitemap_candidates": sql_sitemap_candidates("duckdb"),
+        "tfidf_topk": sql_tfidf_topk("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
             f"FROM read_parquet('{oracle_dir}/crawl_results.parquet')"

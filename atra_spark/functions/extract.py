@@ -527,12 +527,19 @@ def extract_pages_batch(
     batches: Iterable[pd.DataFrame],
     respect_nofollow: bool = True,
     aggressive: bool = False,
+    gdbr_model=None,
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas body: pages batch -> EXTRACTED_SCHEMA batch.
 
     Extractor dispatch (extraction/extractor/mod.rs:37-158): format
     decides which extractor runs; HTML -> DOM pass, JavaScript -> token
     scan, PlainText/Decodeable -> linkify, else no links.
+
+    ``gdbr_model`` (a functions.gdbr.GdbrModel) enables consent-banner
+    removal on HTML text, like the reference's optional gdbr registry
+    (off by default — byte-parity mode). Text-only cleaning: banner
+    LINKS are not suppressed (documented deviation from remove_gdbr,
+    which detaches the node before extraction).
     """
     for pdf in batches:
         rows = []
@@ -576,6 +583,12 @@ def extract_pages_batch(
                 dom_text, links = extract_html(
                     text, url, respect_nofollow=respect_nofollow, aggressive=aggressive
                 )
+                if gdbr_model is not None:
+                    from .gdbr import remove_consent_banner
+
+                    cleaned, removed, _score = remove_consent_banner(text, gdbr_model)
+                    if removed:
+                        dom_text = cleaned
             elif fmt == "JavaScript":
                 dom_text, links = text, extract_js(text, url)
             elif fmt == "XML":

@@ -195,6 +195,89 @@ class TestHotShingleCap:
         assert a == b
 
 
+class TestTfIdf:
+    """Formulas must match tf_idf.rs exactly (incl. the reference's
+    total-occurrence idf frequency, corpus.rs:102-110)."""
+
+    DOCS2 = [
+        (0, "a b b c"),
+        (1, "a a d"),
+        (2, "e e e a"),
+    ]
+
+    @pytest.fixture(scope="class")
+    def docs2(self, spark):
+        return spark.createDataFrame(self.DOCS2, "doc_id long, text string")
+
+    def _py_tfidf(self, tf_kind="term_frequency", idf_kind="idf_smooth"):
+        import math
+        from collections import Counter
+
+        docs = {i: t.split() for i, t in self.DOCS2}
+        wf = Counter(w for ws in docs.values() for w in ws)
+        n = float(len(docs))
+        out = {}
+        for i, ws in docs.items():
+            c = Counter(ws)
+            for w, cnt in c.items():
+                if tf_kind == "term_frequency":
+                    tf = cnt / sum(c.values())
+                elif tf_kind == "raw_count":
+                    tf = float(cnt)
+                elif tf_kind == "log_normalization":
+                    tf = math.log10(cnt + 1.0)
+                if idf_kind == "idf_smooth":
+                    idf = math.log10(n / (wf[w] + 1.0)) + 1.0
+                elif idf_kind == "idf":
+                    idf = math.log10(n / wf[w])
+                elif idf_kind == "idf_probabilistic":
+                    idf = (n - wf[w]) / wf[w]
+                out[(i, w)] = tf * idf
+        return out
+
+    @pytest.mark.parametrize(
+        "tf_kind,idf_kind",
+        [
+            ("term_frequency", "idf_smooth"),
+            ("raw_count", "idf"),
+            ("log_normalization", "idf_probabilistic"),
+        ],
+    )
+    def test_matches_reference_formulas(self, spark, docs2, tf_kind, idf_kind):
+        from atra_spark.functions import tfidf
+
+        got = {
+            (r["id"], r["word"]): r["tf_idf"]
+            for r in tfidf.tf_idf(docs2, tf=tf_kind, idf=idf_kind).collect()
+        }
+        exp = self._py_tfidf(tf_kind, idf_kind)
+        assert set(got) == set(exp)
+        for k in exp:
+            assert abs(got[k] - exp[k]) < 1e-12, k
+
+    def test_vectorize_topk_ranks(self, spark, docs2):
+        from atra_spark.functions import tfidf
+
+        rows = tfidf.vectorize_topk(docs2, k=2).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["word"]))
+        assert all(len(v) == 2 for v in by_doc.values())
+        # doc 2: 'e' (3 occurrences, rare) must outrank shared 'a'
+        assert sorted(by_doc[2])[0][1] == "e"
+
+    def test_cosine_pairs_self_similarity(self, spark, docs2):
+        from atra_spark.functions import tfidf
+
+        vec = tfidf.tf_idf(docs2).select("id", "word", "tf_idf")
+        sims = {
+            (r["ida"], r["idb"]): r["cosine"]
+            for r in tfidf.cosine_pairs(vec, vec).collect()
+        }
+        for i in (0, 1, 2):
+            assert abs(sims[(i, i)] - 1.0) < 1e-9
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def vecs_df(self, spark):
