@@ -544,13 +544,16 @@ def extract_pages_batch(
     for pdf in batches:
         rows = []
         has_ct = "content_type" in pdf.columns
-        has_ts = "warc_ts" in pdf.columns
+        # metadata columns of the pages table pass through untouched
+        # (real response status/headers when the input carries them,
+        # crawl/crawler/result.rs:32-90 meta fidelity)
+        passthrough = [c for c in ("warc_ts", "status", "headers") if c in pdf.columns]
         for i in range(len(pdf)):
             url = pdf["url"].iat[i]
             raw = pdf["html"].iat[i]
             raw = bytes(raw) if raw is not None else None
             ct = pdf["content_type"].iat[i] if has_ct else None
-            ts = pdf["warc_ts"].iat[i] if has_ts else None
+            extras = tuple(pdf[c].iat[i] for c in passthrough)
             fmt = sniff_format(ct, raw[:1024] if raw else None, url)
             if fmt == "ZIP":
                 enc, had_err = "binary", False
@@ -570,14 +573,14 @@ def extract_pages_batch(
                         for (u, k, m) in links
                     ],
                 )
-                rows.append((url, ts) + row[1:] if has_ts else row)
+                rows.append((url,) + extras + row[1:])
                 continue
             page_host = _host_cached(url) if url else None
             tld = page_host.rsplit(".", 1)[-1] if page_host else None
             text, enc, had_err = decode_bytes(raw, tld=tld)
             if text is None:
                 row = (url, enc, had_err, None, None, None, fmt, [])
-                rows.append((url, ts) + row[1:] if has_ts else row)
+                rows.append((url,) + extras + row[1:])
                 continue
             if fmt == "HTML":
                 dom_text, links = extract_html(
@@ -623,11 +626,13 @@ def extract_pages_batch(
                         for (u, k, m) in links
                     ],
             )
-            rows.append((url, ts) + row[1:] if has_ts else row)
-        cols = [
-            "url", "encoding", "had_decode_errors", "text",
-            "lang", "lang_confidence", "format", "links",
-        ]
-        if has_ts:
-            cols = cols[:1] + ["warc_ts"] + cols[1:]
+            rows.append((url,) + extras + row[1:])
+        cols = (
+            ["url"]
+            + passthrough
+            + [
+                "encoding", "had_decode_errors", "text",
+                "lang", "lang_confidence", "format", "links",
+            ]
+        )
         yield pd.DataFrame(rows, columns=cols)

@@ -159,7 +159,19 @@ def prune_new_candidates(
     tagged = bloom_maybe_contains(
         spark, candidates, blooms, key=key, num_buckets=num_buckets
     )
-    definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-    confirmed_new = maybe.join(seen.select(key), on=key, how="left_anti")
-    return definitely_new.unionByName(confirmed_new)
+    # ONE anti-join, no union split: the join key is NULLed for
+    # definitely-new rows, and a NULL key never matches in an equality
+    # anti-join, so bloom misses pass straight through while maybe-seen
+    # rows are confirmed against the bucketed seen table. (The previous
+    # two-branch union recomputed the whole candidate subtree — explode,
+    # salted agg, probe — once per branch.)
+    probe_key = F.when(F.col("maybe_seen"), F.col(key))
+    return (
+        tagged.withColumn("_probe_key", probe_key)
+        .join(
+            seen.select(F.col(key).alias("_probe_key")),
+            on="_probe_key",
+            how="left_anti",
+        )
+        .drop("_probe_key", "maybe_seen")
+    )

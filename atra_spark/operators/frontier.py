@@ -40,20 +40,19 @@ def filter_state(
     can treat them separately."""
     from ..schemas import KIND_PROCESSED_AND_STORED
 
+    if not allow_recrawl:
+        # fast path: left-semi on the Discovered subset (no payload
+        # columns cross the join)
+        discovered = seen.filter(F.col("kind") == KIND_DISCOVERED).select("url")
+        return frontier.join(discovered, on="url", how="left_semi")
     kinds = seen.select("url", "kind")
     joined = frontier.join(kinds, on="url", how="left")
-    if allow_recrawl:
-        keep = (F.col("kind") == KIND_DISCOVERED) | (
-            F.col("kind") == KIND_PROCESSED_AND_STORED
-        )
-        return (
-            joined.filter(keep)
-            .withColumn("is_recrawl", F.col("kind") == KIND_PROCESSED_AND_STORED)
-            .drop("kind")
-        )
+    keep = (F.col("kind") == KIND_DISCOVERED) | (
+        F.col("kind") == KIND_PROCESSED_AND_STORED
+    )
     return (
-        joined.filter(F.col("kind") == KIND_DISCOVERED)
-        .withColumn("is_recrawl", F.lit(False))
+        joined.filter(keep)
+        .withColumn("is_recrawl", F.col("kind") == KIND_PROCESSED_AND_STORED)
         .drop("kind")
     )
 

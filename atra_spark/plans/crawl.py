@@ -31,7 +31,6 @@ from ..functions.jvm_url import host_col
 from ..functions.url_udfs import canonicalize_udf, origin_udf
 from ..schemas import (
     DEPTH_COLS,
-    EXTRACTED_WITH_TS_SCHEMA,
     KIND_DISCOVERED,
     KIND_INTERNAL_ERROR,
     KIND_PROCESSED_AND_STORED,
@@ -92,7 +91,13 @@ class CrawlEngine:
         # at 10^10 URLs size this to ~12 bits/URL/bucket — the bitmaps
         # stay broadcastable because they are per host-hash bucket
         self.bloom_bits = bloom_bits
-        self.pages = spark.read.parquet(pages_path).select("url", "warc_ts", "html")
+        all_pages = spark.read.parquet(pages_path)
+        # real response metadata passes through when the input carries
+        # it (result.rs:32-90); content_type feeds format sniffing
+        self._page_meta = [
+            c for c in ("status", "headers", "content_type") if c in all_pages.columns
+        ]
+        self.pages = all_pages.select("url", "warc_ts", "html", *self._page_meta)
         if robots_path:
             robots_df = spark.read.parquet(robots_path)
             self.robots_parsed = parse_robots(robots_df).cache()
@@ -184,6 +189,16 @@ class CrawlEngine:
         """
         spark, cfg = self.spark, self.config
         t0 = time.monotonic()
+        import os as _os
+
+        _timing = _os.environ.get("ATRA_PHASE_TIMING") == "1"
+        _last = [t0]
+
+        def _phase(name: str) -> None:
+            if _timing:
+                now = time.monotonic()
+                print(f"[phase] {name}: {now - _last[0]:.2f}s", flush=True)
+                _last[0] = now
         frontier = self.store.read_snapshot(spark, "frontier")
         seen = self.store.read_snapshot(spark, "seen")
         assert frontier is not None and seen is not None, "seed() first"
@@ -200,8 +215,6 @@ class CrawlEngine:
             eligible, cooldown_deferred = filter_recrawl_cooldown(
                 eligible, host_state_prev, cfg.recrawl_interval_s
             )
-        else:
-            eligible = eligible.drop("is_recrawl")
         eligible = filter_blacklist(eligible, cfg.blacklist)
         eligible = filter_budget(eligible, cfg)
         if cfg.respect_robots_txt and self.robots_parsed is not None:
@@ -250,32 +263,56 @@ class CrawlEngine:
                 it, respect_nofollow=respect_nofollow, aggressive=aggressive
             )
 
-        extracted = (
-            hit_pages.select("url", "warc_ts", "html")
-            .mapInPandas(_extract, EXTRACTED_WITH_TS_SCHEMA)
-            .persist()
-        )
-        # Materialize the two shared caches ONCE, in dependency order,
-        # before consumers fan out. Without this, the results write's
-        # union branches + the misses anti-join + the broadcast
-        # sub-jobs all race on the cold cache and each re-runs the
-        # full fetch+extract scan (observed 3-4x concurrent extraction
-        # in the event log).
+        from ..schemas import extracted_schema_with_passthrough
+
+        page_fields = {f.name: f for f in self.pages.schema.fields}
+        passthrough = [
+            page_fields[c]
+            for c in ("warc_ts", "status", "headers")
+            if c in page_fields
+        ]
+        extracted = hit_pages.select(
+            "url", "warc_ts", "html", *self._page_meta
+        ).mapInPandas(_extract, extracted_schema_with_passthrough(passthrough))
+        # materialize the (small) admission state once; every later
+        # consumer (results join, deferred, admission log, host_state)
+        # reads the warm cache instead of re-running the window
         sched.count()
-        extracted.count()
-        misses = admitted.join(extracted.select("url"), on="url", how="left_anti")
+        _phase("admission")
+
+        # misses = admitted URLs with no page row (fetch-error analog ->
+        # InternalError, crawler.rs:608-622) — computed from the url
+        # column alone (columnar-pruned scan), NOT from the extraction
+        # output, so extraction stays a single pass
+        misses = admitted.join(self.pages.select("url"), on="url", how="left_anti")
 
         # admitted-side metadata rejoined after extraction (broadcast)
         admitted_meta = admitted.select("url", "host", "is_seed", *DEPTH_COLS)
 
-        # ---- results rows ----
+        # ---- results rows (single extraction pass, links included —
+        # CrawlResult carries its outlinks in the reference too,
+        # result.rs:32-90; the frontier path re-reads the committed
+        # links column columnar-pruned instead of caching ~1 GB of
+        # extraction output in executor memory) ----
+        empty_map = F.create_map().cast("map<string,string>")
+        links_type = "array<struct<url:string,kind:string,method:string,host:string>>"
+        status_expr = (
+            F.coalesce(F.col("status"), F.lit(200))
+            if "status" in extracted.columns
+            else F.lit(200)
+        )
+        headers_expr = (
+            F.coalesce(F.col("headers"), empty_map)
+            if "headers" in extracted.columns
+            else empty_map
+        )
         results = extracted.join(F.broadcast(admitted_meta), on="url").select(
             "url",
             "host",
             F.lit(rnd).alias("fetched_round"),
             F.col("warc_ts").alias("fetched_at"),
-            F.lit(200).alias("status"),
-            F.create_map().cast("map<string,string>").alias("headers"),
+            status_expr.cast("int").alias("status"),
+            headers_expr.alias("headers"),
             F.lit(None).cast("string").alias("redirect"),
             "format",
             "encoding",
@@ -284,6 +321,8 @@ class CrawlEngine:
             "lang_confidence",
             "text",
             F.size(F.filter("links", lambda l: l["kind"] != "data")).alias("n_links"),
+            F.lit(True).alias("fetched"),
+            F.col("links").cast(links_type).alias("links"),
         )
         miss_results = misses.select(
             "url",
@@ -300,9 +339,22 @@ class CrawlEngine:
             F.lit(None).cast("double").alias("lang_confidence"),
             F.lit(None).cast("string").alias("text"),
             F.lit(0).alias("n_links"),
+            F.lit(False).alias("fetched"),
+            F.array().cast(links_type).alias("links"),
         )
 
-        # ---- link expansion ----
+        # ---- commit the results snapshot: THE single extraction pass
+        # of the round (scan -> decode -> extract -> write; nothing
+        # cached, nothing computed twice) ----
+        st = self.store
+        results_path = st.write_snapshot(
+            "results", results.unionByName(miss_results), rnd
+        )
+        _phase("results_write")
+        res_read = spark.read.parquet(results_path)
+
+        # ---- link expansion from the committed links column (columnar
+        # pruning: only url+links are read back) ----
         parent = admitted.select(
             F.col("url").alias("src"),
             F.col("host").alias("src_host"),
@@ -312,7 +364,8 @@ class CrawlEngine:
         # the extraction batch (LINK_STRUCT.host) — the expansion stays
         # a pure JVM projection with no per-link Python stage
         links = (
-            extracted.select(F.col("url").alias("src"), F.explode("links").alias("l"))
+            res_read.filter(F.col("fetched"))
+            .select(F.col("url").alias("src"), F.explode("links").alias("l"))
             .filter(F.col("l.kind") != "data")
             .select("src", F.col("l.url").alias("url"), F.col("l.host").alias("host"))
             .join(F.broadcast(parent), on="src", how="inner")
@@ -352,26 +405,24 @@ class CrawlEngine:
             spark, candidates, seen, self._blooms, num_buckets=self.num_buckets
         )
 
-        # ---- state transitions for this round (batch MERGE) ----
-        ok_updates = extracted.join(F.broadcast(admitted_meta), on="url").select(
-            "url",
-            "host",
-            F.lit(KIND_PROCESSED_AND_STORED).alias("kind"),
-            F.lit(254).alias("last_significant_kind"),
-            F.lit(False).alias("recrawl"),
-            "is_seed",
-            F.current_timestamp().alias("ts"),
-            *DEPTH_COLS,
-        )
-        err_updates = misses.select(
-            "url",
-            "host",
-            F.lit(KIND_INTERNAL_ERROR).alias("kind"),
-            F.lit(254).alias("last_significant_kind"),
-            F.lit(False).alias("recrawl"),
-            "is_seed",
-            F.current_timestamp().alias("ts"),
-            *DEPTH_COLS,
+        # ---- state transitions for this round (batch MERGE): one
+        # branch over the committed results (fetched -> Processed,
+        # miss -> InternalError) ----
+        fetch_updates = (
+            res_read.select("url", "fetched")
+            .join(F.broadcast(admitted_meta), on="url")
+            .select(
+                "url",
+                "host",
+                F.when(F.col("fetched"), F.lit(KIND_PROCESSED_AND_STORED))
+                .otherwise(F.lit(KIND_INTERNAL_ERROR))
+                .alias("kind"),
+                F.lit(254).alias("last_significant_kind"),
+                F.lit(False).alias("recrawl"),
+                "is_seed",
+                F.current_timestamp().alias("ts"),
+                *DEPTH_COLS,
+            )
         )
         # ---- next frontier = deferred + newly discovered ----
         new_frontier = new_urls.select(
@@ -387,20 +438,14 @@ class CrawlEngine:
         if cooldown_deferred is not None:
             frontier_next = frontier_next.unionByName(cooldown_deferred)
 
-        # ---- commit the round (one transaction on Iceberg) ----
-        # The results write runs first and materializes the sched/
-        # extracted caches; the remaining snapshots are independent
-        # Spark jobs and run CONCURRENTLY from driver threads (Spark
-        # schedules them FIFO across the same executors), cutting the
-        # per-round fixed cost roughly in half.
-        st = self.store
-        results_path = st.write_snapshot("results", results.unionByName(miss_results), rnd)
-        # frontier goes second: it materializes the expensive link-
-        # expansion + bloom-anti-join path exactly once; every later
-        # consumer of "new URLs" reads the committed snapshot instead
+        # ---- commit the rest of the round: the frontier snapshot
+        # materializes the link-expansion + bloom-anti-join path exactly
+        # once; every later consumer of "new URLs" reads the committed
+        # snapshot instead ----
         frontier_path = st.write_snapshot(
             "frontier", frontier_next, rnd + 1, bucket_by="host"
         )
+        _phase("frontier_write")
         new_from_snapshot = (
             spark.read.parquet(frontier_path)
             .filter(F.col("enqueue_round") == rnd + 1)
@@ -416,7 +461,7 @@ class CrawlEngine:
             F.current_timestamp().alias("ts"),
             *DEPTH_COLS,
         )
-        updates = ok_updates.unionByName(err_updates).unionByName(new_seen)
+        updates = fetch_updates.unionByName(new_seen)
         seen_next = merge_seen(seen, updates)
 
         from concurrent.futures import ThreadPoolExecutor
@@ -455,13 +500,12 @@ class CrawlEngine:
         if cfg.audit_tables:
             jobs["edges"] = lambda: st.write_snapshot("edges", edges, rnd + 1)
             jobs["order"] = lambda: st.write_snapshot("order", admission_log, rnd)
-        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-            futs = {k: pool.submit(fn) for k, fn in jobs.items()}
-            for f in futs.values():
-                f.result()
 
         # ---- per-bucket metrics from the committed snapshots (lineage,
-        # north rule) — one light aggregation over written files ----
+        # north rule) — one light aggregation over written files; runs
+        # INSIDE the concurrent commit pool (it reads the results/
+        # frontier parquet written above, independent of the other
+        # writes) ----
         bucket = F.pmod(F.xxhash64(F.col("host")), F.lit(self.num_buckets)).cast("int")
         r_agg = (
             spark.read.parquet(results_path)
@@ -501,7 +545,12 @@ class CrawlEngine:
                 F.lit(wall).cast("long").alias("wall_ms"),
             )
         )
-        st.write_snapshot("metrics", metrics, rnd)
+        jobs["metrics"] = lambda: st.write_snapshot("metrics", metrics, rnd)
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futs = {k: pool.submit(fn) for k, fn in jobs.items()}
+            for f in futs.values():
+                f.result()
+        _phase("commit_pool")
 
         # driver-side stats from the tiny metrics snapshot (no Spark job)
         mt = st.read_small("metrics", rnd)
@@ -523,7 +572,7 @@ class CrawlEngine:
                 )
             )
 
-        for df in (sched, extracted, seen):
+        for df in (sched, seen):
             df.unpersist()
 
         return RoundStats(

@@ -118,6 +118,13 @@ RESULTS_SCHEMA = StructType(
         StructField("lang_confidence", DoubleType(), True),
         StructField("text", StringType(), True),
         StructField("n_links", IntegerType(), False),
+        # fetched=false marks the fetch-error analog rows (miss -> 404)
+        StructField("fetched", BooleanType(), False),
+        # extracted outlinks — CrawlResult carries its links in the
+        # reference too (result.rs:32-90); materializing them here makes
+        # the results write the ONE extraction pass per round (the
+        # frontier path re-reads this column, columnar-pruned)
+        # (array<LINK_STRUCT>, declared below)
     ]
 )
 
@@ -150,6 +157,15 @@ EXTRACTED_WITH_TS_SCHEMA = StructType(
         StructField("links", ArrayType(LINK_STRUCT), False),
     ]
 )
+
+
+def extracted_schema_with_passthrough(passthrough) -> StructType:
+    """EXTRACTED schema with the pages table's metadata columns
+    (warc_ts / status / headers) spliced in after url — the extraction
+    batch passes them through untouched (result.rs:32-90 meta fidelity
+    when the input carries real response metadata)."""
+    base = [f for f in EXTRACTED_WITH_TS_SCHEMA.fields if f.name != "warc_ts"]
+    return StructType([base[0]] + list(passthrough) + base[1:])
 
 EXTRACTED_SCHEMA = StructType(
     [

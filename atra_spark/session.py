@@ -47,8 +47,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Arrow batch size for the pandas stages: ~7 KB/page means 512
+        # rows ≈ 3.5 MB per batch — measured 25-30% faster extraction
+        # than the old 10000-row (70 MB) batches at 16 cores (smoother
+        # JVM<->Python pipelining, less per-batch memory pressure)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # pages-scan split size: extraction is Python-CPU-heavy (~10-50x
+        # a plain scan per byte), so scan tasks must be much smaller
+        # than the 128m default or the mapInPandas stage runs a handful
+        # of tasks and starves >8 cores. 8m over the ~400 MB bench
+        # corpus = ~50 tasks = 3+ waves at 16 cores.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local mode: driver JVM hosts every executor thread. Measured
         # on this box: 8g outperforms 16-48g by 2-3x on the crawl bench

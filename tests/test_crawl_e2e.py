@@ -161,6 +161,66 @@ class TestSubdomainDepth:
         assert seen["https://blog.x.example/c.html"] == (0, 2, 2)
 
 
+class TestResultMetadataFidelity:
+    """When the pages table carries real response metadata (status,
+    headers), the results table passes it through instead of the
+    constant 200/empty-map (crawl/crawler/result.rs:32-90)."""
+
+    def test_status_and_headers_passthrough(self, spark, tmp_path_factory):
+        from datetime import datetime
+
+        from atra_spark.config import CrawlConfig
+        from atra_spark.urlkit import NORMAL, Budget
+
+        ts = datetime(2024, 1, 1)
+        pages = spark.createDataFrame(
+            [
+                (
+                    "https://m.example/ok.html",
+                    ts,
+                    b"<html><body>fine</body></html>",
+                    200,
+                    {"Content-Type": "text/html", "Server": "ref"},
+                ),
+                (
+                    "https://m.example/gone.html",
+                    ts,
+                    b"<html><body>moved</body></html>",
+                    410,
+                    {"X-Reason": "gone"},
+                ),
+            ],
+            "url string, warc_ts timestamp, html binary, status int, "
+            "headers map<string,string>",
+        )
+        d = tmp_path_factory.mktemp("meta")
+        pages_path = str(d / "pages.parquet")
+        pages.write.parquet(pages_path)
+        cfg = CrawlConfig(
+            default_budget=Budget(kind=NORMAL, depth_on_website=0, distance_to_seed=5),
+            respect_robots_txt=False,
+            max_rounds=1,
+        )
+        store = CheckpointStore(str(d / "store"), num_buckets=4)
+        eng = CrawlEngine(spark, store, cfg, pages_path, None, num_buckets=4)
+        eng.run(
+            seeds=[
+                "https://m.example/ok.html",
+                "https://m.example/gone.html",
+                "https://m.example/missing.html",
+            ],
+            max_rounds=1,
+        )
+        rows = {r["url"]: r for r in store.read_union(spark, "results").collect()}
+        assert rows["https://m.example/ok.html"]["status"] == 200
+        assert rows["https://m.example/ok.html"]["headers"]["Server"] == "ref"
+        assert rows["https://m.example/gone.html"]["status"] == 410
+        assert rows["https://m.example/gone.html"]["headers"]["X-Reason"] == "gone"
+        # absent page -> fetch-error analog, still 404 + empty headers
+        assert rows["https://m.example/missing.html"]["status"] == 404
+        assert rows["https://m.example/missing.html"]["headers"] == {}
+
+
 class TestResume:
     def test_kill_and_resume_matches_oracle(
         self, spark, fixture_set, fixture_paths, oracle, tmp_path_factory
