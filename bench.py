@@ -239,7 +239,11 @@ def _main_bench() -> None:
 
     # steady-state round throughput (the north-rule metric: per-round
     # work dominating orchestration, the shape of a 10^10 frontier)
+    # best-of-2, matching the BENCH/BASELINE.md protocol (the shared
+    # sandbox has ±20-30% external-load variance run to run)
     mega_sec, mega_fetched = mega_round_bench(spark, n_pages)
+    mega_sec2, _ = mega_round_bench(spark, n_pages)
+    mega_sec = min(mega_sec, mega_sec2)
     timings["steady_state_round"] = round(mega_sec, 3)
     steady_urls_per_sec = round(mega_fetched / mega_sec, 1) if mega_sec > 0 else 0.0
 
