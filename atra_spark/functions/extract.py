@@ -26,6 +26,7 @@ batches — no row-at-a-time Spark UDFs.
 from __future__ import annotations
 
 import codecs
+import html as _html_mod
 import re
 from html.parser import HTMLParser
 from typing import Iterable, Iterator
@@ -213,12 +214,27 @@ def sniff_format(content_type: str | None, prefix: bytes | None, url: str | None
             return "IMAGE"
         if ct == "text/plain":
             return "PlainText"
+        if ct.startswith("application/vnd.openxmlformats"):
+            return "OOXML"
+        if ct.startswith("application/vnd.oasis.opendocument"):
+            return "ODF"
     p = prefix or b""
     if p.startswith(b"%PDF-"):
         return "PDF"
     if p.startswith(b"\x89PNG") or p.startswith(b"\xff\xd8\xff") or p.startswith(b"GIF8"):
         return "IMAGE"
+    if p.startswith(b"II*\x00") or p.startswith(b"MM\x00*"):
+        return "IMAGE"
     if p.startswith(b"PK\x03\x04"):
+        # OOXML/ODF are zip containers; the first local-file header name
+        # is visible in the prefix ([Content_Types].xml / the ODF
+        # `mimetype` entry, stored uncompressed by spec) — the same
+        # container discrimination file_format_detection.rs gets from
+        # the file_format crate
+        if b"[Content_Types].xml" in p or b"word/" in p[:128] or b"xl/" in p[:128]:
+            return "OOXML"
+        if b"mimetypeapplication/vnd.oasis.opendocument" in p:
+            return "ODF"
         return "ZIP"
     if p.startswith(b"{\\rtf"):
         return "RTF"
@@ -231,6 +247,11 @@ def sniff_format(content_type: str | None, prefix: bytes | None, url: str | None
         (".html", "HTML"), (".htm", "HTML"), (".json", "JSON"), (".xml", "XML"),
         (".svg", "XML"), (".rtf", "RTF"), (".pdf", "PDF"), (".txt", "PlainText"),
         (".js", "JavaScript"), (".zip", "ZIP"),
+        (".docx", "OOXML"), (".xlsx", "OOXML"), (".pptx", "OOXML"),
+        (".odt", "ODF"), (".ods", "ODF"), (".odp", "ODF"),
+        (".png", "IMAGE"), (".jpg", "IMAGE"), (".jpeg", "IMAGE"),
+        (".gif", "IMAGE"), (".tif", "IMAGE"), (".tiff", "IMAGE"),
+        (".webp", "IMAGE"),
     ):
         if lowered.endswith(ext):
             return fmt
@@ -256,7 +277,7 @@ _VOID_TAGS = {
 }
 _JS_HREF_RE = re.compile(r"""href\s*[=:]?\s*["']([^"'\s]+)["']""")
 _ONCLICK_RE = re.compile(r"""location\.href\s*=\s*["']([^"']+)["']""")
-_LINKIFY_RE = re.compile(r"""https?://[^\s<>"')\]]+""")
+_LINKIFY_RE = re.compile(r"""https?://[^\s<>"')\]\x00-\x1f\x7f]+""")
 
 
 class _PageParser(HTMLParser):
@@ -395,7 +416,7 @@ _XML_HREF_RE = re.compile(
 _RTF_CTRL_RE = re.compile(r"\\[a-zA-Z]+-?\d* ?|[{}]|\\'[0-9a-fA-F]{2}")
 # scheme-less candidates too (raw.rs uses linkify with
 # url_must_have_scheme(false)); canonicalized with an http:// prefix
-_WWW_RE = re.compile(r"""\bwww\.[^\s<>"')\]]+""")
+_WWW_RE = re.compile(r"""\bwww\.[^\s<>"')\]\x00-\x1f\x7f]+""")
 
 
 def extract_xml(xml_text: str, page_url: str) -> tuple[str, list[tuple[str, str, str]]]:
@@ -494,9 +515,17 @@ def extract_zip(
             t, ls = extract_zip(
                 data, page_url, respect_nofollow, aggressive, nesting + 1
             )
+        elif fmt == "OOXML":
+            t, ls = extract_ooxml(data, page_url)
+        elif fmt == "ODF":
+            t, ls = extract_odf(data, page_url)
+        elif fmt == "PDF":
+            t, ls = extract_pdf(data, page_url)
+        elif fmt == "IMAGE":
+            t, ls = "", extract_image(data, page_url)
         else:
             t, _enc, _err = decode_bytes(data) if fmt != "ZIP" else (None, "none", False)
-            if t is None or fmt in ("Unknown", "IMAGE", "PDF"):
+            if t is None or fmt == "Unknown":
                 t = ""
                 ls = extract_binary(data, page_url)
             elif fmt == "HTML":
@@ -518,6 +547,263 @@ def extract_zip(
                 seen.add(link[0])
                 links.append(link)
     return "\n".join(texts), links
+
+
+# --------------------------------------------------------------------------
+# Office containers: OOXML / ODF are zip archives of XML parts
+# (extractor_method.rs:733-755 dispatches them to link_scraper's
+# ooxml/odf format scrapers, which unzip and scrape each XML part).
+# Links: explicit external Relationship targets (.rels), plus
+# href/xlink:href attributes in the XML parts. Text: the document body
+# parts, tag-stripped with paragraph boundaries preserved (superset of
+# the reference, which scrapes links only — supports_decoding() is
+# false for OOXML/ODF, supported.rs:62-68 — declared deviation).
+# --------------------------------------------------------------------------
+_RELS_TAG_RE = re.compile(r"<Relationship\b[^>]*>", re.IGNORECASE)
+_RELS_TARGET_RE = re.compile(r"""Target\s*=\s*["']([^"']+)["']""", re.IGNORECASE)
+_RELS_EXTERNAL_RE = re.compile(r"""TargetMode\s*=\s*["']External["']""", re.IGNORECASE)
+_OOXML_TEXT_PART_RE = re.compile(
+    r"^(?:word/document[^/]*\.xml|xl/sharedStrings\.xml|ppt/slides/slide\d+\.xml)$"
+)
+_ODF_TEXT_PARTS = {"content.xml"}
+_XML_PARA_RE = re.compile(r"</(?:w:p|text:p|text:h|a:p)>")
+
+
+def _office_extract(
+    raw: bytes,
+    page_url: str,
+    text_part_pred,
+) -> tuple[str, list[tuple[str, str, str]]]:
+    import io
+    import zipfile
+
+    page_host = host_of(page_url)
+    texts: list[str] = []
+    links: list[tuple[str, str, str]] = []
+    seen: set[str] = set()
+
+    def _add(raw_url: str, method: str) -> None:
+        if raw_url.startswith("data:"):
+            if raw_url not in seen:
+                seen.add(raw_url)
+                links.append((raw_url, "data", method))
+            return
+        cu = _canon(raw_url, page_url)
+        if cu is None or cu == page_url or cu in seen:
+            return
+        seen.add(cu)
+        links.append((cu, "onseed" if _host_cached(cu) == page_host else "outgoing", method))
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(raw))
+    except Exception:
+        return "", extract_binary(raw, page_url)
+    for name in zf.namelist()[:_ZIP_MAX_ENTRIES]:
+        if not (name.endswith(".xml") or name.endswith(".rels")):
+            continue
+        try:
+            info = zf.getinfo(name)
+            if info.is_dir() or info.file_size > _ZIP_MAX_ENTRY_BYTES:
+                continue
+            part = zf.read(name).decode("utf-8", errors="replace")
+        except Exception:
+            continue
+        if name.endswith(".rels"):
+            # explicit hyperlink relationships; only External targets
+            # are URLs (internal ones are archive-relative part paths)
+            for tag in _RELS_TAG_RE.findall(part):
+                if not _RELS_EXTERNAL_RE.search(tag):
+                    continue
+                m = _RELS_TARGET_RE.search(tag)
+                if m:
+                    _add(_html_mod.unescape(m.group(1)), "office")
+            continue
+        for m in _XML_HREF_RE.finditer(part):
+            u = _html_mod.unescape(m.group(1).strip())
+            # skip relationship-id indirections and fragments
+            if u and not u.startswith("#"):
+                _add(u, "office")
+        if text_part_pred(name):
+            body = _XML_PARA_RE.sub("\n", part)
+            texts.append(_html_mod.unescape(_XML_TAG_RE.sub("", body)).strip())
+    return "\n".join(t for t in texts if t), links
+
+
+def extract_ooxml(raw: bytes, page_url: str) -> tuple[str, list[tuple[str, str, str]]]:
+    """OOXML (docx/xlsx/pptx): external .rels targets + XML-part hrefs;
+    text from the document body parts (extractor_method.rs:733-743)."""
+    return _office_extract(raw, page_url, lambda n: _OOXML_TEXT_PART_RE.match(n) is not None)
+
+
+def extract_odf(raw: bytes, page_url: str) -> tuple[str, list[tuple[str, str, str]]]:
+    """ODF (odt/ods/odp): xlink:href links from the XML parts; text from
+    content.xml (extractor_method.rs:745-755)."""
+    return _office_extract(raw, page_url, lambda n: n in _ODF_TEXT_PARTS)
+
+
+# --------------------------------------------------------------------------
+# EXIF link scraping for IMAGE payloads (extractor_method.rs:757-766 →
+# link_scraper::formats::image: read the EXIF directory, scrape URLs
+# out of its string fields). Pure-struct TIFF/IFD walk — no codec
+# library, none needed: EXIF is metadata, not pixels.
+# --------------------------------------------------------------------------
+_EXIF_MAX_ENTRIES = 64
+
+
+def _exif_strings(raw: bytes) -> list[str]:
+    """ASCII/UserComment fields from IFD0 + the Exif sub-IFD of a JPEG
+    (APP1 Exif segment) or bare TIFF payload. Lenient: any structural
+    surprise returns what was collected so far."""
+    import struct
+
+    tiff: bytes | None = None
+    if raw[:4] in (b"II*\x00", b"MM\x00*"):
+        tiff = raw
+    elif raw[:3] == b"\xff\xd8\xff":
+        # walk JPEG segments to APP1/Exif
+        i = 2
+        while i + 4 <= len(raw) and raw[i] == 0xFF:
+            marker, seglen = raw[i + 1], int.from_bytes(raw[i + 2 : i + 4], "big")
+            if marker == 0xE1 and raw[i + 4 : i + 10] == b"Exif\x00\x00":
+                tiff = raw[i + 10 : i + 2 + seglen]
+                break
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+            else:
+                i += 2 + seglen
+    if not tiff or len(tiff) < 8:
+        return []
+    bo = "<" if tiff[:2] == b"II" else ">"
+    out: list[str] = []
+
+    def _read_ifd(off: int, depth: int) -> None:
+        if depth > 2 or off + 2 > len(tiff):
+            return
+        try:
+            (n,) = struct.unpack_from(bo + "H", tiff, off)
+        except struct.error:
+            return
+        for k in range(min(n, _EXIF_MAX_ENTRIES)):
+            base = off + 2 + 12 * k
+            if base + 12 > len(tiff):
+                return
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", tiff, base)
+            val_off = base + 8 if typ == 2 and cnt <= 4 else None
+            if val_off is None:
+                (ptr,) = struct.unpack_from(bo + "I", tiff, base + 8)
+                val_off = ptr
+            if tag == 0x8769:  # Exif sub-IFD pointer
+                _read_ifd(val_off, depth + 1)
+                continue
+            if typ == 2:  # ASCII
+                s = tiff[val_off : val_off + cnt].split(b"\x00")[0]
+                try:
+                    out.append(s.decode("utf-8", errors="replace"))
+                except Exception:
+                    pass
+            elif tag == 0x9286 and typ == 7:  # UserComment: 8-byte charset prefix
+                body = tiff[val_off + 8 : val_off + cnt]
+                out.append(body.decode("utf-8", errors="replace"))
+
+    _read_ifd(int.from_bytes(tiff[4:8], "little" if bo == "<" else "big"), 0)
+    return out
+
+
+def extract_image(raw: bytes, page_url: str) -> list[tuple[str, str, str]]:
+    """IMAGE: URLs from EXIF string fields (the reference's exif
+    extractor), falling back to the raw binary scan — both run under
+    aggressive dispatch in the reference (extractor_method.rs:150-158,
+    raw fallback is a separately registered method)."""
+    out: list[tuple[str, str, str]] = []
+    seen: set[str] = set()
+    for s in _exif_strings(raw):
+        for u, k, m in extract_plaintext(s, page_url):
+            if u not in seen:
+                seen.add(u)
+                out.append((u, k, "exif"))
+    for link in extract_binary(raw, page_url):
+        if link[0] not in seen:
+            seen.add(link[0])
+            out.append(link)
+    return out
+
+
+# --------------------------------------------------------------------------
+# PDF: /URI link-annotation strings + text from FlateDecode content
+# streams (extractor_method.rs:779-787 → link_scraper::formats::pdf).
+# stdlib zlib inflates the streams; Tj/TJ show-text operators carry the
+# page text. Lenient + capped: malformed PDFs degrade to the raw scan.
+# --------------------------------------------------------------------------
+_PDF_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_PDF_URI_RE = re.compile(rb"/URI\s*\(((?:\\.|[^\\()])*)\)")
+_PDF_TJ_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*(?:Tj|')")
+_PDF_TJARR_RE = re.compile(rb"\[((?:\\.|[^\]])*?)\]\s*TJ")
+_PDF_STR_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
+_PDF_ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+            b"(": b"(", b")": b")", b"\\": b"\\"}
+_PDF_MAX_STREAMS = 256
+
+
+def _pdf_unescape(b: bytes) -> str:
+    out = bytearray()
+    i = 0
+    while i < len(b):
+        c = b[i : i + 1]
+        if c == b"\\" and i + 1 < len(b):
+            nxt = b[i + 1 : i + 2]
+            if nxt in _PDF_ESC:
+                out += _PDF_ESC[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal \ooo (1-3 digits)
+                j = i + 1
+                while j < min(i + 4, len(b)) and b[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(b[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            i += 1
+            continue
+        out += c
+        i += 1
+    return out.decode("utf-8", errors="replace")
+
+
+def extract_pdf(raw: bytes, page_url: str) -> tuple[str, list[tuple[str, str, str]]]:
+    import zlib
+
+    page_host = host_of(page_url)
+    bodies = [raw]
+    for m in _PDF_STREAM_RE.finditer(raw):
+        if len(bodies) > _PDF_MAX_STREAMS:
+            break
+        try:
+            bodies.append(zlib.decompress(m.group(1)))
+        except Exception:
+            continue
+    texts: list[str] = []
+    links: list[tuple[str, str, str]] = []
+    seen: set[str] = set()
+    for body in bodies:
+        for m in _PDF_URI_RE.finditer(body):
+            u = _pdf_unescape(m.group(1))
+            cu = _canon(u, page_url)
+            if cu and cu != page_url and cu not in seen:
+                seen.add(cu)
+                links.append(
+                    (cu, "onseed" if _host_cached(cu) == page_host else "outgoing", "pdf")
+                )
+        parts = [_pdf_unescape(m.group(1)) for m in _PDF_TJ_RE.finditer(body)]
+        for arr in _PDF_TJARR_RE.finditer(body):
+            parts.extend(_pdf_unescape(s.group(1)) for s in _PDF_STR_RE.finditer(arr.group(1)))
+        if parts:
+            texts.append(" ".join(parts))
+    text = "\n".join(texts)
+    for u, k, m in extract_plaintext(text, page_url):
+        if u not in seen:
+            seen.add(u)
+            links.append((u, k, "pdf"))
+    return text, links
 
 
 # --------------------------------------------------------------------------
@@ -555,11 +841,25 @@ def extract_pages_batch(
             ct = pdf["content_type"].iat[i] if has_ct else None
             extras = tuple(pdf[c].iat[i] for c in passthrough)
             fmt = sniff_format(ct, raw[:1024] if raw else None, url)
-            if fmt == "ZIP":
+            if fmt in ("ZIP", "OOXML", "ODF", "PDF", "IMAGE"):
+                # raw-bytes formats: no decode ladder (supports_decoding
+                # is false for these in supported.rs:62-68; PDF streams
+                # carry their own encoding)
                 enc, had_err = "binary", False
-                dom_text, links = extract_zip(
-                    raw or b"", url, respect_nofollow=respect_nofollow, aggressive=aggressive
-                )
+                if fmt == "ZIP":
+                    dom_text, links = extract_zip(
+                        raw or b"", url,
+                        respect_nofollow=respect_nofollow, aggressive=aggressive,
+                    )
+                elif fmt == "OOXML":
+                    dom_text, links = extract_ooxml(raw or b"", url)
+                elif fmt == "ODF":
+                    dom_text, links = extract_odf(raw or b"", url)
+                elif fmt == "PDF":
+                    dom_text, links = extract_pdf(raw or b"", url)
+                    dom_text = dom_text or None
+                else:  # IMAGE: metadata links only, pixels are not text
+                    dom_text, links = None, extract_image(raw or b"", url)
                 lang, conf = detect_lang(dom_text)
                 row = (
                     url, enc, had_err, dom_text, lang, conf, fmt,
@@ -600,7 +900,7 @@ def extract_pages_batch(
                 dom_text, links = extract_rtf(text, url)
             elif fmt in ("PlainText", "Decodeable", "StructuredPlainText"):
                 dom_text, links = text, extract_plaintext(text, url)
-            elif fmt in ("Unknown", "IMAGE", "PDF"):
+            elif fmt == "Unknown":
                 # binary payload: no text (the lossy decode is mojibake,
                 # not document text), links from the raw UTF-8 windowed
                 # scan (extraction/raw.rs fallback extractor)
