@@ -80,8 +80,12 @@ def lang_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # ---------------------------------------------------------------------------
-# tokenizer (reference: NFC normalize -> unicode words -> lowercase ->
-# stopword filter; Snowball stemming stubbed to suffix stripping)
+# tokenizer — the reference pipeline (text_processing/src/tokenizer.rs:
+# 50-81): NFC normalize -> unicode words -> stopword filter -> Snowball
+# stem -> lowercase. The default stopword set stays the compact marker
+# list (the oracle SQL embeds it); `stopwords="snowball"` selects the
+# published Snowball stopword lists per language, `stemmer=` the
+# pure-Python Snowball stemmers (functions/stemmer.py).
 # ---------------------------------------------------------------------------
 _STOPWORDS = {w for words in MARKERS.values() for w in words}
 
@@ -90,14 +94,35 @@ import re as _re
 _WORD_RE = _re.compile(r"\w+", _re.UNICODE)
 
 
-def tokenize(text: str, remove_stopwords: bool = True) -> list[str]:
-    """Pure-Python kernel (used inside the Arrow UDF + tests)."""
+def tokenize(
+    text: str,
+    remove_stopwords: bool = True,
+    stopwords: str = "markers",
+    stemmer: str | None = None,
+) -> list[str]:
+    """Pure-Python kernel (used inside the Arrow UDF + tests).
+
+    ``stopwords``: "markers" (default, compact oracle-friendly list) or
+    "snowball" (published Snowball list for ``stemmer``'s language,
+    English when unset). ``stemmer``: None | "english" | "german".
+    """
     if not text:
         return []
     norm = unicodedata.normalize("NFC", text)
     toks = [t.lower() for t in _WORD_RE.findall(norm)]
     if remove_stopwords:
-        toks = [t for t in toks if t not in _STOPWORDS]
+        if stopwords == "snowball":
+            from .stemmer import SNOWBALL_STOPWORDS
+
+            stop = SNOWBALL_STOPWORDS.get((stemmer or "english").lower(), _STOPWORDS)
+        else:
+            stop = _STOPWORDS
+        toks = [t for t in toks if t not in stop]
+    if stemmer is not None:
+        from .stemmer import get_stemmer
+
+        stem = get_stemmer(stemmer)
+        toks = [stem(t) for t in toks]
     return toks
 
 
