@@ -720,6 +720,37 @@ def q_minhash_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(spark.table("documents"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH
+    candidate pair graph (iterative min-label propagation; cluster_id =
+    min doc_id of the component). Oracle: recursive-CTE transitive
+    closure over the identical band-pair edge set."""
+    from atra_spark.functions.dedup import connected_components, minhash_lsh_candidates
+
+    _register(spark, sf_dir)
+    pairs = minhash_lsh_candidates(spark.table("documents"))
+    return connected_components(pairs).orderBy("doc_id")
+
+
+def sql_dedup_clusters(dialect: str) -> str:
+    pairs = sql_minhash_band_pairs(dialect)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via random-hyperplane LSH bucketing + Hamming<=2
     multiprobe + exact re-rank. The planes are seeded, so the oracle
@@ -1048,6 +1079,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
     "minhash_lsh_df": q_minhash_lsh_df,
+    "dedup_clusters": q_dedup_clusters,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "rolling_fingerprints": q_rolling_fingerprints,
     "media_features": q_media_features,
@@ -1067,6 +1099,7 @@ def _custom_oracles() -> dict[str, str]:
         # the DF LSH candidate set equals the band-pair SQL's (xxhash64
         # band bucketing adds only hash collisions, absent here)
         "minhash_lsh_df": sql_minhash_band_pairs("duckdb"),
+        "dedup_clusters": sql_dedup_clusters("duckdb"),
         "embedding_lsh_topk": sql_embedding_lsh_topk("duckdb"),
         "rolling_fingerprints": sql_rolling_fp("duckdb"),
         "media_features": sql_media_features("duckdb"),

@@ -249,3 +249,56 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming."""
     return simhash_near_pairs_from_sigs(simhash(df, text_col, id_col), max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Dedup clusters: connected components over a near-dup pair graph
+    (the step a training-data pipeline runs after MinHash-LSH/SimHash
+    candidate generation, so one canonical doc survives per cluster).
+
+    Iterative min-label propagation — the standard distributed CC
+    pattern: each round every node takes the min label among itself and
+    its neighbors; converges in O(graph diameter) rounds. Scale
+    posture: joins are keyed on node ids over the PAIR set (candidates
+    only, orders of magnitude smaller than the corpus); lineage is
+    truncated per round with localCheckpoint so plans stay flat; the
+    driver sees only a per-round convergence COUNT, never row data.
+    The per-round driver loop is inherent to iterative fixpoints
+    (GraphFrames' own CC does the same).
+
+    Returns (doc_id, cluster_id) for every node that appears in a pair;
+    cluster_id = min doc_id of the component.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iters):
+        msgs = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(msgs).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()  # flat lineage; also materializes for the 2 uses below
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -72,7 +72,7 @@ def merge_seen(seen: DataFrame, updates: DataFrame) -> DataFrame:
 
 
 def aggregate_candidates(
-    exploded_links: DataFrame, num_salts: int = 8, salt_threshold: int = 0
+    exploded_links: DataFrame, num_salts: int = 0, salt_threshold: int = 0
 ) -> DataFrame:
     """Collapse one round's extracted links to unique candidate URLs
     with the lowest depth triple (depth merge_to_lowest,
@@ -80,14 +80,23 @@ def aggregate_candidates(
     discovered multiple times in a round).
 
     Hot-key discipline (north rule "salted aggregation for hot hosts"):
-    two-phase aggregation — partial min per (url, salt-of-src) then
-    final min per url — so a URL linked from millions of pages (or a
-    mega-host funneling into one reducer) pre-combines map-side instead
-    of skewing a single partition.
+    for an ALGEBRAIC aggregate like min, Spark's physical plan is
+    already two-phase — HashAggregate(partial) runs map-side before the
+    exchange, so a URL linked from millions of pages contributes at
+    most ONE pre-combined row per map partition to its reducer; no
+    reducer ever sees the raw hot-key fan-in. An explicit salt layer on
+    top adds a whole extra shuffle for zero additional skew protection
+    (measured: the salted variant costs one more exchange + stage
+    barrier per round). ``num_salts>0`` keeps the explicit salted
+    two-phase available for HOLISTIC aggregates (collect_list-style
+    merges, where map-side combine cannot reduce) and for the plan
+    test that pins its shape.
 
     Expects columns: url, host, ``DEPTH_COLS``.
     """
     aggs = [F.min(c).alias(c) for c in DEPTH_COLS]
+    if num_salts <= 1:
+        return exploded_links.groupBy("url", "host").agg(*aggs)
     partial = (
         exploded_links.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col("url")) + F.spark_partition_id(), F.lit(num_salts))

@@ -546,10 +546,21 @@ class CrawlEngine:
             )
         )
         jobs["metrics"] = lambda: st.write_snapshot("metrics", metrics, rnd)
+        # incremental bloom maintenance builds from the committed
+        # frontier snapshot — independent of the other commit writes, so
+        # it rides the concurrent pool instead of serializing one more
+        # Spark job after it (footer pruning makes the no-new-urls case
+        # nearly free)
+        jobs["bloom"] = lambda: bloom_ops.build_bloom(
+            new_from_snapshot.select("url"),
+            num_buckets=self.num_buckets,
+            m=self.bloom_bits,
+        )
         with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
             futs = {k: pool.submit(fn) for k, fn in jobs.items()}
             for f in futs.values():
                 f.result()
+        new_blooms = futs["bloom"].result()
         _phase("commit_pool")
 
         # driver-side stats from the tiny metrics snapshot (no Spark job)
@@ -563,14 +574,10 @@ class CrawlEngine:
         }
 
         # incremental bloom maintenance: OR in this round's new URLs
+        # (bitmaps were built inside the commit pool; the merge is a
+        # driver-side OR, no Spark job)
         if sums["new_urls"]:
-            self._or_blooms(
-                bloom_ops.build_bloom(
-                    new_from_snapshot.select("url"),
-                    num_buckets=self.num_buckets,
-                    m=self.bloom_bits,
-                )
-            )
+            self._or_blooms(new_blooms)
 
         for df in (sched, seen):
             df.unpersist()

@@ -66,6 +66,10 @@ def get_spark(
         # instead, which is faster here). Cluster deploys size executor
         # memory via spark-submit.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("ATRA_PARQUET_CODEC", "snappy"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

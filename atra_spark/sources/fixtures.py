@@ -83,6 +83,73 @@ def _lang_sentence(rng: random.Random, lang: str, n_words: int) -> str:
     return " ".join(words)
 
 
+def _office_page(
+    kind: str, s1: str, s2: str, targets: list[str]
+) -> tuple[bytes, str]:
+    """Build a real OOXML/ODF/PDF payload carrying two paragraphs and
+    ``targets`` as document links, plus the golden extracted text the
+    engine's extractor contract produces for it (paragraph boundaries
+    -> newlines; ODF anchor text participates in the paragraph text)."""
+    import io
+    import zipfile
+    import zlib as _z
+
+    if kind == "docx":
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("[Content_Types].xml", "<Types/>")
+            z.writestr(
+                "word/document.xml",
+                "<w:document><w:body>"
+                f"<w:p><w:r><w:t>{s1}</w:t></w:r></w:p>"
+                f"<w:p><w:r><w:t>{s2}</w:t></w:r></w:p>"
+                "</w:body></w:document>",
+            )
+            rels = "".join(
+                f'<Relationship Id="rId{i}" Target="{t}" TargetMode="External"/>'
+                for i, t in enumerate(targets)
+            )
+            z.writestr(
+                "word/_rels/document.xml.rels",
+                f"<Relationships>{rels}</Relationships>",
+            )
+        return buf.getvalue(), f"{s1}\n{s2}"
+    if kind == "odt":
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr(zipfile.ZipInfo("mimetype"), "application/vnd.oasis.opendocument.text")
+            link_paras = "".join(
+                f'<text:p><text:a xlink:href="{t}">ref</text:a></text:p>' for t in targets
+            )
+            z.writestr(
+                "content.xml",
+                "<office:document-content><office:body>"
+                f"<text:p>{s1}</text:p>{link_paras}<text:p>{s2}</text:p>"
+                "</office:body></office:document-content>",
+            )
+        golden = "\n".join([s1, *(["ref"] * len(targets)), s2])
+        return buf.getvalue(), golden
+    # pdf: one FlateDecode content stream + one /URI annotation per link
+    content = f"BT ({s1}) Tj ({s2}) Tj ET".encode("utf-8")
+    comp = _z.compress(content)
+    annots = b"".join(
+        b"<< /Type /Annot /Subtype /Link /A << /S /URI /URI ("
+        + t.encode("utf-8")
+        + b") >> >>\n"
+        for t in targets
+    )
+    payload = (
+        b"%PDF-1.4\n"
+        + annots
+        + b"<< /Filter /FlateDecode /Length "
+        + str(len(comp)).encode()
+        + b" >>\nstream\n"
+        + comp
+        + b"\nendstream\n%%EOF"
+    )
+    return payload, f"{s1} {s2}"
+
+
 def generate_fixtures(
     n_pages: int = 2000,
     n_hosts: int = 24,
@@ -90,10 +157,17 @@ def generate_fixtures(
     mega_share: float = 0.4,
     body_paragraphs: int = 1,
     links_range: tuple[int, int] = (5, 30),
+    office_share: float = 0.0,
 ) -> FixtureSet:
     """``body_paragraphs`` scales page size: 1 ≈ 1.5 KB html (fast unit
     tests); 8-12 ≈ 6-10 KB, approximating Common-Crawl text-heavy pages
-    so that extraction rather than orchestration dominates benchmarks."""
+    so that extraction rather than orchestration dominates benchmarks.
+
+    ``office_share`` > 0 swaps that fraction of (latin-script host)
+    pages for real OOXML/ODF/PDF payloads with constructed golden text
+    + links — end-to-end coverage of the non-HTML extractors through
+    the full crawl loop. Default 0.0 draws nothing from the rng, so the
+    benchmark corpus and every existing golden are bit-identical."""
     rng = random.Random(seed)
     hosts = [f"host{i:04d}.example" for i in range(n_hosts)]
     mega = "mega.example"
@@ -156,6 +230,31 @@ def generate_fixtures(
         n_h = len(host_pages[h])
         for j, url in enumerate(host_pages[h]):
             page_rng = random.Random(zlib.crc32(f"{seed}|{h}|{j}".encode()))
+            # office/PDF payload pages (opt-in; the draw is guarded so
+            # office_share=0.0 leaves the rng stream untouched)
+            if office_share and lang not in ("rus", "jpn") and page_rng.random() < office_share:
+                doc_kind = ("docx", "odt", "pdf")[page_rng.randrange(3)]
+                targets: list[str] = []
+                tseen: set[str] = set()
+                for _ in range(page_rng.randint(2, 5)):
+                    th = all_hosts[page_rng.randrange(len(all_hosts))]
+                    tp = host_pages[th]
+                    t = tp[page_rng.randrange(len(tp))] if tp else f"https://{th}/"
+                    cu = canonicalize(t)
+                    if cu and cu != url and cu not in tseen:
+                        tseen.add(cu)
+                        targets.append(cu)
+                s1 = _lang_sentence(page_rng, lang, 25)
+                s2 = _lang_sentence(page_rng, lang, 25)
+                payload, golden_text = _office_page(doc_kind, s1, s2, targets)
+                ts = EPOCH + timedelta(seconds=len(pages))
+                pages.append((url, ts, payload, golden_text, lang))
+                method = "pdf" if doc_kind == "pdf" else "office"
+                golden_links[url] = [
+                    (t, "onseed" if host_of(t) == h else "outgoing", method)
+                    for t in targets
+                ]
+                continue
             latin1 = page_rng.random() < 0.10 and lang not in ("rus", "jpn")
             meta_nofollow = page_rng.random() < 0.05
             use_base = page_rng.random() < 0.08

@@ -165,21 +165,34 @@ def crawl_only(cores: int, n_pages: int) -> None:
     spark.stop()
 
 
+def _load_probe() -> float:
+    """1-min loadavg right before a leg — the sandbox host carries
+    EXTERNAL tenant load (measured ±30% run-to-run swing); recording it
+    per rep makes the noise auditable instead of silent."""
+    return round(os.getloadavg()[0], 2)
+
+
 def scaling(n_pages: int) -> None:
     """Run the identical crawl at N and 4N cores (default 4 vs 16; see
     BENCH/BASELINE.md for why not 8 vs 32 on this box) in fresh
-    processes (fresh JVMs), best-of-ATRA_SCALING_REPEATS each, and
-    report scaling efficiency = (T_N / T_4N) / 4."""
+    processes (fresh JVMs).
+
+    Protocol: legs are INTERLEAVED (N, 4N, N, 4N, ...) for
+    ATRA_SCALING_REPEATS rounds so both core counts sample the same
+    external-load regime, with the pre-leg loadavg recorded per rep.
+    Reported: best-of-legs efficiency (each leg's fastest rep — the
+    unloaded-machine estimate) and the best same-round pair."""
     import subprocess
 
     repeats = int(os.environ.get("ATRA_SCALING_REPEATS", "2"))
-    results = {}
     core_pair = tuple(
         int(x) for x in os.environ.get("ATRA_SCALING_CORES", "4,16").split(",")
     )
-    for cores in core_pair:
-        best = None
-        for _ in range(repeats):
+    lo, hi = core_pair
+    reps: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(repeats):
+        for cores in core_pair:
+            load = _load_probe()
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--crawl-only", str(cores),
                  "--pages", str(n_pages)],
@@ -187,18 +200,25 @@ def scaling(n_pages: int) -> None:
             )
             line = out.stdout.strip().splitlines()[-1]
             r = json.loads(line)
-            print(line, file=sys.stderr)
-            if best is None or r["crawl_sec"] < best["crawl_sec"]:
-                best = r
-        results[cores] = best
-    lo, hi = core_pair
-    t_lo, t_hi = results[lo]["crawl_sec"], results[hi]["crawl_sec"]
+            r["loadavg_pre"] = load
+            print(json.dumps(r), file=sys.stderr)
+            reps[cores].append(r)
+    best = {c: min(rs, key=lambda r: r["crawl_sec"]) for c, rs in reps.items()}
+    t_lo, t_hi = best[lo]["crawl_sec"], best[hi]["crawl_sec"]
     eff = round((t_lo / t_hi) / (hi / lo), 3)
+    pair_effs = [
+        round((a["crawl_sec"] / b["crawl_sec"]) / (hi / lo), 3)
+        for a, b in zip(reps[lo], reps[hi])
+    ]
     print(json.dumps({
         f"t{lo}_sec": t_lo, f"t{hi}_sec": t_hi,
-        f"urls_per_sec_{lo}": results[lo]["urls_per_sec"],
-        f"urls_per_sec_{hi}": results[hi]["urls_per_sec"],
-        "scaling_efficiency": eff, "pages": n_pages, "cores": list(core_pair)}))
+        f"urls_per_sec_{lo}": best[lo]["urls_per_sec"],
+        f"urls_per_sec_{hi}": best[hi]["urls_per_sec"],
+        "scaling_efficiency": eff,
+        "pair_efficiencies": pair_effs,
+        "loadavg": {str(c): [r["loadavg_pre"] for r in rs] for c, rs in reps.items()},
+        "raw_sec": {str(c): [r["crawl_sec"] for r in rs] for c, rs in reps.items()},
+        "pages": n_pages, "cores": list(core_pair)}))
 
 
 def main() -> None:

@@ -110,6 +110,64 @@ class TestParity:
         assert order.filter(F.col("url").contains("blocked.example")).count() == 0
 
 
+class TestOfficeCorpus:
+    """Full crawl parity over a corpus where ~15% of latin-script pages
+    are real OOXML/ODF/PDF payloads: the non-HTML extractors must feed
+    link discovery, depth arithmetic, and text/lang goldens through the
+    whole round loop, not just unit tests."""
+
+    @pytest.fixture(scope="class")
+    def office_run(self, spark, tmp_path_factory):
+        from atra_spark.sources.fixtures import generate_fixtures, write_fixtures
+
+        fx = generate_fixtures(n_pages=200, n_hosts=6, office_share=0.15)
+        paths = write_fixtures(fx, str(tmp_path_factory.mktemp("fx_office")))
+        robots = {h: (t, s) for h, t, s, _ in fx.robots}
+        oracle = crawl_oracle(
+            fx.golden_links, {p[0] for p in fx.pages}, robots, fx.seeds, fx.config
+        )
+        store = CheckpointStore(str(tmp_path_factory.mktemp("store_office")), num_buckets=8)
+        eng = CrawlEngine(
+            spark, store, fx.config, paths["pages"], paths["robots"], num_buckets=8
+        )
+        eng.run(seeds=fx.seeds)
+        return fx, store, oracle
+
+    def test_corpus_contains_office_pages(self, office_run):
+        fx, _, _ = office_run
+        magics = {bytes(p[2])[:2] for p in fx.pages}
+        assert b"PK" in magics and b"%P" in magics
+
+    def test_seen_set_parity(self, spark, office_run):
+        fx, store, oracle = office_run
+        seen = {r["url"]: r["kind"] for r in store.read_snapshot(spark, "seen").collect()}
+        assert seen == {u: k for u, (k, _, _) in oracle.seen.items()}
+
+    def test_ordering_parity(self, spark, office_run):
+        _, store, oracle = office_run
+        order = sorted(
+            (r["round"], r["host"], r["admission_index"], r["url"])
+            for r in store.read_union(spark, "order").collect()
+        )
+        assert order == sorted(oracle.order)
+
+    def test_office_text_and_lang_goldens(self, spark, office_run):
+        fx, store, _ = office_run
+        golden_t = {p[0]: p[3] for p in fx.pages}
+        golden_l = {p[0]: p[4] for p in fx.pages}
+        rows = (
+            store.read_union(spark, "results")
+            .filter(F.col("status") == 200)
+            .filter(F.col("format").isin("OOXML", "ODF", "PDF"))
+            .collect()
+        )
+        assert rows, "no office pages were fetched"
+        for r in rows:
+            assert r["text"] == golden_t[r["url"]], f"text mismatch {r['url']}"
+            assert r["lang"] == golden_l[r["url"]]
+            assert r["encoding"] == "binary"
+
+
 class TestSubdomainDepth:
     """Depth advance compares FULL hostnames (atra_uri.rs compare_hosts),
     not the registrable-domain politeness key: hopping blog.x.example ->

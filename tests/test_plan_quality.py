@@ -73,7 +73,7 @@ class TestAdmissionPlan:
 
 
 class TestCandidateAggPlan:
-    def test_two_phase_salted_agg(self, spark):
+    def test_default_single_exchange_with_mapside_combine(self, spark):
         from atra_spark.operators.seen import aggregate_candidates
 
         df = spark.createDataFrame(
@@ -81,8 +81,21 @@ class TestCandidateAggPlan:
             "url string, host string, depth_on_website long, distance_to_seed long, total_distance_to_seed long",
         )
         plan = _plan(aggregate_candidates(df), "simple")
-        # two aggregation levels (salted partial + final), each with its
-        # own partial/final pair
+        # algebraic min: partial HashAggregate (map-side hot-key
+        # combine) + final — exactly ONE exchange, no salt layer
+        assert plan.count("HashAggregate") == 2
+        assert plan.count("Exchange") == 1
+
+    def test_salted_two_phase_available(self, spark):
+        from atra_spark.operators.seen import aggregate_candidates
+
+        df = spark.createDataFrame(
+            [("https://h/x", "h", 1, 1, 1)],
+            "url string, host string, depth_on_website long, distance_to_seed long, total_distance_to_seed long",
+        )
+        plan = _plan(aggregate_candidates(df, num_salts=8), "simple")
+        # explicit salt layer (for holistic aggs): two aggregation
+        # levels, each with its own partial/final pair
         assert plan.count("HashAggregate") >= 4
 
 

@@ -89,6 +89,43 @@ class TestMinHash:
         assert a == b
 
 
+class TestConnectedComponents:
+    def _cc(self, spark, edges, max_iters=25):
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        rows = dedup.connected_components(pairs, max_iters=max_iters).collect()
+        return {r["doc_id"]: r["cluster_id"] for r in rows}
+
+    def test_chain_needs_propagation(self, spark):
+        # 0-1-2-3-4 chain: label 0 must travel 4 hops
+        got = self._cc(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0}
+
+    def test_two_components_and_star(self, spark):
+        got = self._cc(spark, [(10, 11), (11, 12), (20, 21), (22, 21), (23, 21)])
+        assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+    def test_matches_pure_python_on_lsh_pairs(self, spark, docs_df):
+        pairs_df = dedup.minhash_lsh_candidates(docs_df)
+        edges = [(r["doc_a"], r["doc_b"]) for r in pairs_df.collect()]
+        got = self._cc(spark, edges)
+        # pure-python union-find oracle
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {n: find(n) for n in parent}
+        assert got == want
+
+
 class TestSimHash:
     def test_matches_pure_python(self, spark, docs_df):
         """JVM simhash == the pure-Python definition: 60-bit md5-prefix

@@ -174,3 +174,99 @@ class TestBudget:
         b = Budget(kind=SINGLE_PAGE)
         assert not b.is_in_budget(Depth(1, 0, 0))
         assert not b.is_in_budget(Depth(0, 1, 0))
+
+
+class TestFastPathEquivalence:
+    """The regex fast path in canonicalize admits only inputs the full
+    WHATWG parser maps to themselves — pinned here by running BOTH
+    paths over adversarial and randomized URLs."""
+
+    def _slow(self, monkeypatch):
+        from atra_spark import urlkit
+
+        monkeypatch.setattr(urlkit, "_fast_canonical", lambda u: None)
+        return urlkit.canonicalize
+
+    CASES = [
+        "https://host0001.example/p3.html",
+        "http://a.com",
+        "http://a.com/",
+        "http://a.com?x=1",
+        "http://a.com/p?",
+        "http://a.com/p?a=1&b=2",
+        "http://a.com/a/b/c.html",
+        "http://a.com/a//b",
+        "http://a.com/a/./b",
+        "http://a.com/a/../b",
+        "http://a.com/..",
+        "http://a.com/.",
+        "HTTP://A.com/p",
+        "http://a.com:80/p",
+        "http://a.com:8080/p",
+        "http://user:pw@a.com/p",
+        "http://a.com/p q",
+        "http://a.com/p%20q",
+        "http://a.com/p#frag",
+        "http://a.com./p",
+        "http://a.com/p'q",
+        "http://a.com/p?x='y'",
+        "http://a.com/p?x=a/..",
+        "http://xn--nxasmq6b.example/p",
+        "http://a_b.com/p",
+        "http://a.com/~u/p.html",
+        "http://a.com/p\\q",
+        "ftp://a.com/p",
+        "http:///p",
+    ]
+
+    def test_explicit_corpus(self, monkeypatch):
+        from atra_spark.urlkit import canonicalize
+
+        # fast-path results captured BEFORE the fast path is disabled
+        got = {u: canonicalize(u) for u in self.CASES}
+        slow = self._slow(monkeypatch)
+        for u in self.CASES:
+            assert got[u] == slow(u), u
+
+    def test_fast_path_actually_triggers(self):
+        from atra_spark.urlkit import _fast_canonical
+
+        assert _fast_canonical("https://host0001.example/p3.html") is not None
+        assert _fast_canonical("http://a.com/p?a=1&b=2") is not None
+        assert _fast_canonical("http://a.com/a/../b") is None  # dot segment
+        assert _fast_canonical("http://a.com/p%20q") is None  # pct triplet
+
+    def test_relative_resolution(self, monkeypatch):
+        from atra_spark.urlkit import canonicalize
+
+        bases = [
+            "https://host0001.example/dir/page.html",
+            "http://a.com:8080/dir/",
+            "http://user@a.com/x",
+            "https://b.example",
+        ]
+        refs = ["/p3.html", "/a/b?x=1", "/", "//other.com/p", "p3.html",
+                "../up.html", "?q=2", "/p%20q", "/p#f"]
+        got = {(b, r): canonicalize(r, base=b) for b in bases for r in refs}
+        slow = self._slow(monkeypatch)
+        for b in bases:
+            for r in refs:
+                assert got[(b, r)] == slow(r, base=b), (b, r)
+
+    def test_randomized(self, monkeypatch):
+        import random
+
+        from atra_spark.urlkit import canonicalize
+
+        rng = random.Random(7)
+        alphabet = "abcZ09._-~%20/?&='\\:@#! "
+        urls = []
+        for _ in range(3000):
+            scheme = rng.choice(["http", "https", "HTTP"])
+            host = rng.choice(["a.com", "A.com", "a.com.", "a-b.c09.example", "a..b"])
+            tail = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 18)))
+            urls.append(f"{scheme}://{host}/{tail}")
+        got = {u: canonicalize(u) for u in urls}
+        slow = self._slow(monkeypatch)
+        for u in urls:
+            assert got[u] == slow(u), u
