@@ -159,13 +159,20 @@ def prune_new_candidates(
     tagged = bloom_maybe_contains(
         spark, candidates, blooms, key=key, num_buckets=num_buckets
     )
-    # ONE anti-join, no union split: the join key is NULLed for
-    # definitely-new rows, and a NULL key never matches in an equality
-    # anti-join, so bloom misses pass straight through while maybe-seen
-    # rows are confirmed against the bucketed seen table. (The previous
-    # two-branch union recomputed the whole candidate subtree — explode,
-    # salted agg, probe — once per branch.)
-    probe_key = F.when(F.col("maybe_seen"), F.col(key))
+    # ONE anti-join, no union split: definitely-new rows get a probe
+    # key that can never match a seen URL, so bloom misses pass
+    # straight through while maybe-seen rows are confirmed against the
+    # bucketed seen table. (The previous two-branch union recomputed
+    # the whole candidate subtree — explode, agg, probe — once per
+    # branch.) The non-match key is "\x00new\x00" + url — UNIQUE per
+    # row, not NULL: null join keys all hash to one shuffle partition,
+    # which at crawl scale funnels every genuinely-new URL of the round
+    # (the overwhelming majority) onto a single reducer; per-row fake
+    # keys keep the anti-join shuffle uniform. Seen URLs are canonical
+    # http(s) strings, so a \x00 prefix cannot collide.
+    probe_key = F.when(F.col("maybe_seen"), F.col(key)).otherwise(
+        F.concat(F.lit("\x00new\x00"), F.col(key))
+    )
     return (
         tagged.withColumn("_probe_key", probe_key)
         .join(
