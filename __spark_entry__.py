@@ -769,6 +769,88 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("vec_id"), rounded.alias("cosine"))
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via IVF: centroids = vectors 1..8 of the table
+    (deterministic, so the oracle recomputes the identical cells in
+    SQL), probe the 2 best cells for the query (vec 0), exact re-rank.
+    The second ANN family next to the LSH path."""
+    from atra_spark.functions.similarity import ivf_topk
+
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cents = emb.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") != 0), [float(x) for x in q], cents,
+        k=10, n_probe=2,
+    )
+    rounded = F.floor(F.col("cosine") * 10000 + 0.5 + 1e-6).cast("double") / 10000
+    return out.select(F.col("id").alias("vec_id"), rounded.alias("cosine"))
+
+
+def sql_embedding_ivf_topk(dialect: str) -> str:
+    """Oracle: the IVF assignment (s = dot/|c|, max-s-then-min-cid tie
+    rule), the 2-probe query cell set, and the exact re-rank — all in
+    portable SQL over the same table."""
+    if dialect == "spark":
+        expl = """
+comps AS (
+  SELECT vec_id, posexplode(embedding) AS (pos, v) FROM embeddings
+)"""
+    else:
+        expl = """
+comps AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)"""
+    return f"""
+WITH {expl.strip()},
+cents AS (
+  SELECT vec_id AS cid, pos, CAST(v AS DOUBLE) AS v FROM comps
+  WHERE vec_id BETWEEN 1 AND 8
+),
+cnorm AS (SELECT cid, sqrt(sum(v * v)) AS n FROM cents GROUP BY cid),
+scored AS (
+  SELECT c.vec_id, ct.cid, sum(CAST(c.v AS DOUBLE) * ct.v) / cn.n AS s
+  FROM comps c JOIN cents ct ON c.pos = ct.pos JOIN cnorm cn ON cn.cid = ct.cid
+  GROUP BY c.vec_id, ct.cid, cn.n
+),
+best AS (SELECT vec_id, max(s) AS ms FROM scored GROUP BY vec_id),
+cells AS (
+  SELECT s.vec_id, min(s.cid) AS cell
+  FROM scored s JOIN best b ON s.vec_id = b.vec_id AND s.s = b.ms
+  GROUP BY s.vec_id
+),
+qcells AS (
+  SELECT cell FROM (
+    SELECT cid AS cell, s FROM scored WHERE vec_id = 0
+    ORDER BY s DESC, cid LIMIT 2
+  ) t
+),
+cands AS (
+  SELECT vec_id FROM cells
+  WHERE vec_id <> 0 AND cell IN (SELECT cell FROM qcells)
+),
+q AS (SELECT pos, v FROM comps WHERE vec_id = 0),
+dots AS (
+  SELECT c.vec_id,
+         sum(CAST(c.v AS DOUBLE) * q.v) AS dot,
+         sum(CAST(c.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS nc
+  FROM comps c JOIN q ON c.pos = q.pos
+  WHERE c.vec_id IN (SELECT vec_id FROM cands)
+  GROUP BY c.vec_id
+),
+qn AS (SELECT sum(v * v) AS nq FROM q)
+SELECT vec_id, {_rnd('dot / sqrt(nc * (SELECT nq FROM qn))', 4)} AS cosine
+FROM dots
+ORDER BY dot / sqrt(nc * (SELECT nq FROM qn)) DESC, vec_id
+LIMIT 10
+"""
+
+
 def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash document fingerprints (60-bit md5
     gram hash, min per 64-bucket). Oracle: sql_rolling_fp."""
@@ -1081,6 +1163,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_df": q_minhash_lsh_df,
     "dedup_clusters": q_dedup_clusters,
     "embedding_lsh_topk": q_embedding_lsh_topk,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
     "rolling_fingerprints": q_rolling_fingerprints,
     "media_features": q_media_features,
     "sitemap_candidates": q_sitemap_candidates,
@@ -1101,6 +1184,7 @@ def _custom_oracles() -> dict[str, str]:
         "minhash_lsh_df": sql_minhash_band_pairs("duckdb"),
         "dedup_clusters": sql_dedup_clusters("duckdb"),
         "embedding_lsh_topk": sql_embedding_lsh_topk("duckdb"),
+        "embedding_ivf_topk": sql_embedding_ivf_topk("duckdb"),
         "rolling_fingerprints": sql_rolling_fp("duckdb"),
         "media_features": sql_media_features("duckdb"),
         "sitemap_candidates": sql_sitemap_candidates("duckdb"),

@@ -75,6 +75,75 @@ def add_lsh_bucket(
     return df.withColumn("lsh_bucket", bucket.cast("int"))
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+) -> DataFrame:
+    """IVF cell assignment: each vector joins the (tiny, broadcast)
+    centroid table, scores s = dot(v, c)/|c| (the |v| factor is
+    constant per vector, so the argmax is the cosine argmax), and takes
+    the best cell with a first-max tie rule (max score, then min cid) —
+    expressed as plain aggregations so a SQL oracle replicates it
+    bit-for-bit. Returns ``df`` plus an int ``cell`` column.
+
+    Scale shape: the scored relation carries only (id, cid, s) — N×K
+    narrow rows — and the winning cell joins back to the full rows on
+    the id key, so embeddings are never duplicated K ways."""
+    scored = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centroids.select(cid_col, cvec_col)))
+        .select(
+            F.col(id_col),
+            F.col(cid_col),
+            (_dot(F.col(vec_col), F.col(cvec_col)) / _norm(F.col(cvec_col))).alias("s"),
+        )
+    )
+    best = scored.groupBy(id_col).agg(F.max("s").alias("_ms"))
+    cells = (
+        scored.join(best, on=id_col)
+        .filter(F.col("s") == F.col("_ms"))
+        .groupBy(id_col)
+        .agg(F.min(cid_col).alias("cell"))
+    )
+    return df.join(cells, on=id_col)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+) -> DataFrame:
+    """IVF approximate top-k: score the query against the centroid
+    table, probe the ``n_probe`` best cells, exact-rank only their
+    members. The second ANN family next to ``lsh_bucketed_topk`` — at
+    scale the cell is the partition key and a query touches n_probe
+    partitions instead of the corpus. No driver-side collection: the
+    probe set stays a (broadcast) DataFrame semi-join."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qcells = (
+        centroids.select(
+            F.col(cid_col).alias("cell"),
+            (_dot(q, F.col(cvec_col)) / _norm(F.col(cvec_col))).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), F.col("cell"))
+        .limit(n_probe)
+        .select("cell")
+    )
+    assigned = ivf_assign(df, centroids, vec_col, id_col, cid_col, cvec_col)
+    cands = assigned.join(F.broadcast(qcells), on="cell", how="left_semi")
+    return cosine_topk(cands, query, k, vec_col, id_col)
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query: list[float],

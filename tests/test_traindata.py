@@ -351,6 +351,49 @@ class TestSimilarity:
         b = sorted(map(tuple, similarity.add_lsh_bucket(vecs_df, 16).select("vec_id", "lsh_bucket").collect()))
         assert a == b
 
+    def _centroids(self, vecs_df):
+        return vecs_df.filter(F.col("vec_id").between(1, 6)).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+
+    def test_ivf_assign_matches_numpy(self, spark, vecs_df):
+        rows = self.rows
+        cents = {i: np.array(v, dtype=np.float32).astype(float) for i, v in rows if 1 <= i <= 6}
+        got = {
+            r["vec_id"]: r["cell"]
+            for r in similarity.ivf_assign(vecs_df, self._centroids(vecs_df)).collect()
+        }
+        for i, v in rows:
+            v32 = np.array(v, dtype=np.float32).astype(float)
+            scores = {c: float(v32 @ cv / np.linalg.norm(cv)) for c, cv in cents.items()}
+            best = max(scores.values())
+            want = min(c for c, s in scores.items() if s == best)
+            assert got[i] == want, i
+
+    def test_ivf_topk_contains_query_vector(self, spark, vecs_df):
+        rows = self.rows
+        q = rows[9][1]
+        approx = [
+            r["id"]
+            for r in similarity.ivf_topk(
+                vecs_df, q, self._centroids(vecs_df), k=3, n_probe=2
+            ).collect()
+        ]
+        # vec 9 itself (cosine 1.0) lives in the query's own best cell
+        assert 9 in approx
+
+    def test_ivf_candidates_are_probed_cells_only(self, spark, vecs_df):
+        cents = self._centroids(vecs_df)
+        q = self.rows[9][1]
+        assigned = {
+            r["vec_id"]: r["cell"] for r in similarity.ivf_assign(vecs_df, cents).collect()
+        }
+        got = [
+            r["id"] for r in similarity.ivf_topk(vecs_df, q, cents, k=50, n_probe=1).collect()
+        ]
+        cells_hit = {assigned[i] for i in got}
+        assert len(cells_hit) == 1  # n_probe=1 -> exactly one cell searched
+
 
 class TestTextStats:
     def test_quality_metrics(self, spark, docs_df):
