@@ -851,6 +851,72 @@ LIMIT 10
 """
 
 
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-line fraction,
+    dup-line char fraction, top-bigram share) — training-data filters.
+    Oracle: sql_repetition_metrics."""
+    from atra_spark.functions.textstats import repetition_metrics
+
+    _register(spark, sf_dir)
+    return repetition_metrics(spark.table("documents")).orderBy("doc_id")
+
+
+def sql_repetition_metrics(dialect: str) -> str:
+    if dialect == "spark":
+        lines_src = (
+            "SELECT doc_id, explode(split(text, '\\n')) AS line FROM documents"
+        )
+        toks_src = """
+  SELECT doc_id, pos, tok FROM (
+    SELECT doc_id, posexplode(split(trim(lower(text)), '\\\\s+')) AS (pos, tok)
+    FROM documents
+  ) WHERE tok <> ''"""
+    else:
+        lines_src = (
+            "SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents"
+        )
+        toks_src = """
+  SELECT doc_id, pos, tok FROM (
+    SELECT doc_id, CAST(generate_subscripts(l, 1) AS INT) AS pos, unnest(l) AS tok
+    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+          FROM documents)
+  ) WHERE tok <> ''"""
+    return f"""
+WITH lines AS (
+  SELECT doc_id, line FROM ({lines_src}) t WHERE trim(line) <> ''
+),
+per_line AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line),
+line_stats AS (
+  SELECT doc_id,
+         1.0 - count(*) * 1.0 / sum(c) AS dlf,
+         sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) * 1.0
+           / sum(c * length(line)) AS dlcf
+  FROM per_line GROUP BY doc_id
+),
+toks AS ({toks_src}
+),
+bigs AS (
+  SELECT doc_id, big FROM (
+    SELECT doc_id,
+           tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS big
+    FROM toks
+  ) t WHERE big IS NOT NULL
+),
+bi_counts AS (SELECT doc_id, big, count(*) AS c FROM bigs GROUP BY doc_id, big),
+bi_stats AS (
+  SELECT doc_id, max(c) * 1.0 / sum(c) AS tbf FROM bi_counts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       {_rnd('coalesce(ls.dlf, 0.0)', 4)} AS dup_line_frac,
+       {_rnd('coalesce(ls.dlcf, 0.0)', 4)} AS dup_line_char_frac,
+       {_rnd('coalesce(bs.tbf, 0.0)', 4)} AS top_bigram_frac
+FROM documents d
+LEFT JOIN line_stats ls ON ls.doc_id = d.doc_id
+LEFT JOIN bi_stats bs ON bs.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash document fingerprints (60-bit md5
     gram hash, min per 64-bucket). Oracle: sql_rolling_fp."""
@@ -1165,6 +1231,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "rolling_fingerprints": q_rolling_fingerprints,
+    "repetition_metrics": q_repetition_metrics,
     "media_features": q_media_features,
     "sitemap_candidates": q_sitemap_candidates,
     "tfidf_topk": q_tfidf_topk,
@@ -1186,6 +1253,7 @@ def _custom_oracles() -> dict[str, str]:
         "embedding_lsh_topk": sql_embedding_lsh_topk("duckdb"),
         "embedding_ivf_topk": sql_embedding_ivf_topk("duckdb"),
         "rolling_fingerprints": sql_rolling_fp("duckdb"),
+        "repetition_metrics": sql_repetition_metrics("duckdb"),
         "media_features": sql_media_features("duckdb"),
         "sitemap_candidates": sql_sitemap_candidates("duckdb"),
         "tfidf_topk": sql_tfidf_topk("duckdb"),

@@ -43,6 +43,67 @@ def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, appendix A —
+    the classic web-corpus quality filters): fraction of duplicate
+    lines, fraction of characters inside duplicate lines, and the
+    share of the most frequent word bigram. Pure column math — one
+    explode + aggregate per signal family, no Python; every expression
+    has an exact SQL twin for the DuckDB oracle.
+
+    Output: (doc_id, dup_line_frac, dup_line_char_frac,
+    top_bigram_frac), HALF_UP-rounded to 4dp like every fractional
+    driver query."""
+    rnd = lambda c: F.floor(c * 10000 + 0.5 + 1e-6).cast("double") / 10000
+    ids = df.select(F.col(id_col).alias("doc_id"))
+
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).filter(F.trim(F.col("line")) != "")
+    per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+    line_stats = per_line.groupBy("doc_id").agg(
+        (1.0 - F.count("*") / F.sum("c")).alias("dup_line_frac"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("line")).otherwise(0))
+            / F.sum(F.col("c") * F.length("line"))
+        ).alias("dup_line_char_frac"),
+    )
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    bigs_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigs = df.select(F.col(id_col).alias("doc_id"), F.explode(bigs_arr).alias("big"))
+    bi_counts = bigs.groupBy("doc_id", "big").agg(F.count("*").alias("c"))
+    bi_stats = bi_counts.groupBy("doc_id").agg(
+        (F.max("c") / F.sum("c")).alias("top_bigram_frac")
+    )
+
+    return (
+        ids.join(line_stats, on="doc_id", how="left")
+        .join(bi_stats, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            rnd(F.coalesce(F.col("dup_line_frac"), F.lit(0.0))).alias("dup_line_frac"),
+            rnd(F.coalesce(F.col("dup_line_char_frac"), F.lit(0.0))).alias(
+                "dup_line_char_frac"
+            ),
+            rnd(F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
 def doc_fingerprint_col(text: F.Column) -> F.Column:
     """md5 over whitespace-normalized lowercased text."""
     return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))

@@ -436,6 +436,45 @@ class TestTextStats:
         assert overlap01 > 0.8 and overlap02 < 0.2
 
 
+class TestRepetitionMetrics:
+    def test_constructed_docs(self, spark):
+        docs = [
+            # 4 lines, 'dup dup' twice -> dup_line_frac = (4-3)/4
+            (0, "aaaa bbbb\ndup dup\ndup dup\ncccc dddd eeee"),
+            (1, "all unique lines\nhere for sure"),
+            (2, "x y " * 10),        # 'x y'/'y x' dominate bigrams
+            (3, ""),                 # empty -> all zeros
+            (4, "one"),              # no bigram possible
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        from atra_spark.functions.textstats import repetition_metrics
+
+        got = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+        assert got[0]["dup_line_frac"] == 0.25
+        # chars: 'aaaa bbbb'=9, 'dup dup'=7 x2, 'cccc dddd eeee'=14
+        # -> dup chars 14 over total 37
+        assert got[0]["dup_line_char_frac"] == round(14 / 37, 4)
+        assert got[1]["dup_line_frac"] == 0.0
+        # doc 2: tokens = [x y]*10 -> 19 bigrams, 'x y' x10 -> 10/19
+        assert got[2]["top_bigram_frac"] == round(10 / 19, 4)
+        assert got[3]["dup_line_frac"] == 0.0 and got[3]["top_bigram_frac"] == 0.0
+        assert got[4]["top_bigram_frac"] == 0.0
+
+    def test_matches_sql_twin_on_spark(self, spark):
+        """The spark-dialect SQL twin and the DataFrame implementation
+        agree — the same check the driver runs cross-engine."""
+        import __spark_entry__ as e
+        from atra_spark.functions.textstats import repetition_metrics
+
+        docs = [(i, f"line {i % 3}\nline {i % 3}\nuniq {i}") for i in range(40)]
+        spark.createDataFrame(docs, "doc_id long, text string").createOrReplaceTempView(
+            "documents"
+        )
+        a = sorted(map(tuple, repetition_metrics(spark.table("documents")).collect()))
+        b = sorted(map(tuple, spark.sql(e.sql_repetition_metrics("spark")).collect()))
+        assert a == b
+
+
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):
         media = multimodal.synth_media(spark, n=32)
