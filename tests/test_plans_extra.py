@@ -313,3 +313,86 @@ class TestStreamingIngest:
         # exactly-once: draining again with the same checkpoint adds nothing
         run_ingest(spark, str(landing), out, ckpt, available_now=True)
         assert spark.read.parquet(out).count() == 50
+
+
+class TestStreamingPoliteness:
+    """applyInPandasWithState per-host crawl-delay throttle: state must
+    persist ACROSS micro-batches (maxFilesPerTrigger=1 forces one batch
+    per landing file)."""
+
+    def _run(self, spark, tmp_path, waves, delay_ms):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from atra_spark.streaming.politeness import throttle_hosts
+
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        for i, wave in enumerate(waves):
+            tbl = pa.table(
+                {
+                    "url": [w[0] for w in wave],
+                    "host": [w[1] for w in wave],
+                    "warc_ts": pa.array([w[2] for w in wave], pa.timestamp("us", "UTC")),
+                }
+            )
+            pq.write_table(tbl, str(landing / f"wave{i}.parquet"))
+        schema = "url string, host string, warc_ts timestamp"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(landing))
+        )
+        out = str(tmp_path / "out")
+        q = (
+            throttle_hosts(stream, crawl_delay_ms=delay_ms)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["url"]: r["admitted"] for r in spark.read.parquet(out).collect()}
+
+    def test_delay_enforced_within_and_across_batches(self, spark, tmp_path):
+        from datetime import datetime, timezone
+
+        t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+        def ts(ms):
+            return datetime.fromtimestamp(t0.timestamp() + ms / 1000, tz=timezone.utc)
+
+        # wave 0: h1 at 0ms (admit), 500ms (reject: < 1000ms), 1200ms (admit)
+        # wave 1 (NEXT micro-batch): h1 at 1900ms must be rejected —
+        # only state carried from wave 0 (last admit at 1200) can know that;
+        # 2300ms admits. h2 is independent state.
+        waves = [
+            [
+                ("u0", "h1", ts(0)),
+                ("u1", "h1", ts(500)),
+                ("u2", "h1", ts(1200)),
+                ("v0", "h2", ts(100)),
+            ],
+            [
+                ("u3", "h1", ts(1900)),
+                ("u4", "h1", ts(2300)),
+                ("v1", "h2", ts(800)),
+                ("v2", "h2", ts(1150)),
+            ],
+        ]
+        got = self._run(spark, tmp_path, waves, delay_ms=1000)
+        assert got == {
+            "u0": True, "u1": False, "u2": True,
+            "u3": False, "u4": True,
+            "v0": True, "v1": False, "v2": True,
+        }
+
+    def test_rejected_rows_are_emitted_not_dropped(self, spark, tmp_path):
+        from datetime import datetime, timezone
+
+        t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        waves = [[("a", "h", t0), ("b", "h", t0)]]
+        got = self._run(spark, tmp_path, waves, delay_ms=60000)
+        assert len(got) == 2 and sum(got.values()) == 1
