@@ -36,8 +36,11 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "minhash_band_pairs",
     "embedding_cosine_topk",
+    "embedding_ivf_topk",
     "simhash",
     "token_count",
+    "repetition_metrics",
+    "dedup_clusters",
 ]
 
 
