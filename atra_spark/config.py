@@ -53,6 +53,17 @@ class CrawlConfig:
     # recrawl (recrawl_management): None disables
     recrawl_interval_s: int | None = None
 
+    # seen-index maintenance: merge each bucket's URL delta chain into
+    # one file every k rounds (RocksDB compaction analog; 0 = never).
+    # Between compactions the chain grows by one small file per round.
+    seen_compact_every: int = 8
+
+    # fetch-join strategy: broadcast the admitted URL list into the
+    # pages scan while the frontier poll is at most this many URLs
+    # (payloads never shuffle); above it fall back to a shuffled hash
+    # join — at 10^8-URL rounds the broadcast itself is multi-GB.
+    broadcast_fetch_max_urls: int = 10_000_000
+
     def budget_for(self, host: str) -> Budget:
         return self.per_host_budget.get(host, self.default_budget)
 

@@ -16,9 +16,17 @@ rebuild makes it explicit and *partitioned*:
   bloom rejects are **definitely new** and skip the anti-join shuffle
   entirely; only "maybe seen" rows join
 
-At 10^10 URLs with 1% fp and e.g. B=4096 buckets this is ~1.5 GB of
-bitmaps total, ~350 KB per bucket — broadcastable. The same bitmaps
-double as the Iceberg parquet bloom columns in production.
+Sizing honesty: an optimal bloom at 1% fp costs m = -n*ln(0.01)/ln(2)^2
+~= 9.6 bits per key. At 10^10 URLs that is ~12 GB of bitmaps TOTAL
+(~3 MB per bucket at B=4096) — NOT broadcastable as a whole, which is
+why the crawl engine does not use this module's broadcast probe: it
+uses the persistent bucket-partitioned ``SeenIndex``
+(operators/seen_index.py), which routes each bucket's bitmap only to
+that bucket's partitions and shares this module's bit geometry. The
+functions here remain the right tool when the filter is genuinely
+small (per-job dedup of a bounded set, <~10^8 keys -> <~120 MB), and
+the same bitmaps double as Iceberg parquet bloom columns in
+production.
 """
 
 from __future__ import annotations

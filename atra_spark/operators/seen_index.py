@@ -1,0 +1,388 @@
+"""Persistent per-bucket seen-set membership index (bloom + URL deltas).
+
+The reference answers "have I seen this URL?" with RocksDB point
+lookups: an in-block bloom check first, then the exact key lookup
+(``key_may_exist_cf``, atra/src/recrawl_management/mod.rs:62; exact
+get in link_state/db.rs). This module is that storage engine mapped
+onto Spark's execution model:
+
+- the URL universe is split into ``num_buckets`` buckets by
+  ``pmod(xxhash64(url), B)`` (same JVM hash the probe uses, so build
+  and probe agree bit-for-bit);
+- each bucket owns an immutable bloom bitmap file (rewritten only in
+  rounds that add URLs to that bucket) and a chain of per-round URL
+  delta parquet files (RocksDB memtable-flush/SST economics: appends
+  only, periodic compaction, never a full-index rewrite);
+- membership probing repartitions the candidate set by bucket and runs
+  ``mapInPandas``: each task loads ONLY its buckets' bitmaps (and,
+  only for rows the bloom cannot reject, that bucket's exact URL set)
+  from shared storage, with a per-worker LRU cache across tasks.
+
+Nothing is broadcast and the driver never holds a bitmap: executor
+residency is bounded by (buckets per task) x bitmap size + the LRU
+cap, not by the whole index. Sizing at 10^10 URLs / 1% fp: the
+optimal bloom needs m = -n*ln(0.01)/ln(2)^2 ~= 9.6 bits per URL ->
+~12 GB of bitmaps TOTAL (not the ~1.5 GB an earlier docstring
+claimed); with B = 4096 buckets that is ~3 MB per bucket — one small
+object-store read per task, never a 12 GB broadcast. Exact-confirm
+URL deltas are ~2.4M URLs/bucket (~40 MB zstd parquet), read only by
+tasks whose batch has bloom hits and cached across rounds by delta
+chain (the chain grows by one small file per round, so a warm worker
+reads only the newest delta).
+
+The index is a rebuildable cache over the committed ``seen`` table:
+the manifest is committed by the driver only after the round's store
+commits succeed, and resume-from-checkpoint rebuilds the index from
+the seen snapshot when the manifest round disagrees (same recovery
+contract the round-1/2 driver-resident blooms had).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from collections import OrderedDict
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .bloom import _K_HASHES, _positions  # shared geometry: build == probe
+
+_BUCKET_COL = "_si_bucket"
+_H64_COL = "_si_h64"
+
+# ---------------------------------------------------------------------------
+# per-worker caches (live in the reused Python worker processes; an
+# executor only ever caches the buckets it actually probed)
+# ---------------------------------------------------------------------------
+_BLOOM_CACHE: OrderedDict[str, np.ndarray] = OrderedDict()
+_URLSET_CACHE: OrderedDict[tuple, tuple[tuple, set]] = OrderedDict()
+_BLOOM_CACHE_CAP = int(os.environ.get("ATRA_SEEN_BLOOM_CACHE", "256"))
+_URLSET_CACHE_CAP = int(os.environ.get("ATRA_SEEN_URLSET_CACHE", "64"))
+
+
+def _cache_put(cache: OrderedDict, cap: int, key, value) -> None:
+    cache[key] = value
+    cache.move_to_end(key)
+    while len(cache) > cap:
+        cache.popitem(last=False)
+
+
+def _load_bloom(path: str) -> np.ndarray:
+    bits = _BLOOM_CACHE.get(path)
+    if bits is None:
+        with open(path, "rb") as f:
+            bits = np.frombuffer(f.read(), dtype=np.uint8)
+        _cache_put(_BLOOM_CACHE, _BLOOM_CACHE_CAP, path, bits)
+    else:
+        _BLOOM_CACHE.move_to_end(path)
+    return bits
+
+
+def _load_urlset(bucket_dir: str, deltas: tuple[str, ...]) -> set:
+    """Exact URL set for one bucket = union of its delta parquets.
+    Cached per worker keyed by bucket dir; when the cached delta chain
+    is a PREFIX of the requested one only the new tail files are read
+    (the per-round warm path reads exactly one small file)."""
+    import pyarrow.parquet as pq
+
+    cached = _URLSET_CACHE.get(bucket_dir)
+    urls: set
+    start = 0
+    if cached is not None:
+        old_chain, urls = cached
+        if old_chain == deltas[: len(old_chain)]:
+            start = len(old_chain)
+        else:  # compaction replaced the chain -> rebuild from scratch
+            urls, start = set(), 0
+    else:
+        urls = set()
+    if start < len(deltas):
+        urls = set(urls)  # copy-on-extend so cached readers stay valid
+        for name in deltas[start:]:
+            t = pq.read_table(os.path.join(bucket_dir, name), columns=["url"])
+            urls.update(t.column("url").to_pylist())
+        _cache_put(_URLSET_CACHE, _URLSET_CACHE_CAP, bucket_dir, (tuple(deltas), urls))
+    else:
+        _URLSET_CACHE.move_to_end(bucket_dir)
+    return urls
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+class SeenIndex:
+    """Bucketed membership index under ``root`` (one dir per bucket).
+
+    Lifecycle per round: ``add_urls`` (distributed Spark job; executors
+    write bloom + delta files for their buckets) -> the engine commits
+    the round's store tables -> ``commit`` (driver writes the tiny
+    manifest atomically). ``prune_new`` serves probes from the last
+    committed manifest only, so a crashed round can never drop a
+    candidate that was indexed but not committed.
+    """
+
+    def __init__(self, root: str, num_buckets: int = 32, bloom_bits: int = 1 << 20) -> None:
+        self.root = root
+        self.num_buckets = num_buckets
+        self.bloom_bits = bloom_bits
+        os.makedirs(root, exist_ok=True)
+        self._manifest = self._load_manifest()
+        if self._manifest and self._manifest["bloom_bits"] != bloom_bits:
+            raise ValueError(
+                f"seen-index bloom geometry mismatch: manifest m="
+                f"{self._manifest['bloom_bits']} vs requested {bloom_bits} "
+                "(bitmaps of different m are position-incompatible)"
+            )
+        self._pending: dict[str, dict] | None = None
+        self._pending_round: int | None = None
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def _load_manifest(self) -> dict | None:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    @property
+    def committed_round(self) -> int | None:
+        return self._manifest["round"] if self._manifest else None
+
+    def reset(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)
+        os.makedirs(self.root, exist_ok=True)
+        self._manifest = None
+        self._pending = None
+        self._pending_round = None
+
+    # -- build / maintain --------------------------------------------------
+    def add_urls(self, df: DataFrame, round_no: int) -> int:
+        """Index one round's NEW urls (column ``url``). Distributed:
+        one task per touched bucket reads that bucket's current bitmap,
+        ORs in the new URLs' bits, writes an immutable ``bloom_r{N}``
+        bitmap + a ``urls_r{N}.parquet`` delta, and returns one tiny
+        summary row. Buckets with no new URLs are untouched (their
+        files are not rewritten). Returns the number of URLs staged."""
+        m = self.bloom_bits
+        root = self.root
+        buckets_meta = (self._manifest or {}).get("buckets", {})
+        cur_blooms = {int(b): v["bloom"] for b, v in buckets_meta.items()}
+
+        hashed = df.select(
+            F.col("url"),
+            F.xxhash64("url").alias(_H64_COL),
+            F.pmod(F.xxhash64("url"), F.lit(self.num_buckets)).cast("int").alias(_BUCKET_COL),
+        )
+
+        out_schema = StructType(
+            [
+                StructField("bucket", IntegerType()),
+                StructField("n", LongType()),
+                StructField("bloom_file", StringType()),
+                StructField("delta_file", StringType()),
+            ]
+        )
+
+        def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            b = int(pdf[_BUCKET_COL].iloc[0])
+            bdir = os.path.join(root, f"bucket={b:05d}")
+            os.makedirs(bdir, exist_ok=True)
+            prev = cur_blooms.get(b)
+            if prev is not None:
+                with open(os.path.join(bdir, prev), "rb") as f:
+                    bits = np.frombuffer(f.read(), dtype=np.uint8).copy()
+            else:
+                bits = np.zeros(m // 8, dtype=np.uint8)
+            h = pdf[_H64_COL].to_numpy()
+            for pos in _positions(h, m):
+                np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+            bloom_name = f"bloom_r{round_no:05d}.bin"
+            _atomic_write(os.path.join(bdir, bloom_name), bits.tobytes())
+            delta_name = f"urls_r{round_no:05d}.parquet"
+            tmp = os.path.join(bdir, f"{delta_name}.tmp.{uuid.uuid4().hex}")
+            pq.write_table(
+                pa.table({"url": pa.array(pdf["url"], type=pa.string())}), tmp,
+                compression="zstd",
+            )
+            os.replace(tmp, os.path.join(bdir, delta_name))
+            return pd.DataFrame(
+                {"bucket": [b], "n": [len(pdf)],
+                 "bloom_file": [bloom_name], "delta_file": [delta_name]}
+            )
+
+        rows = hashed.groupBy(_BUCKET_COL).applyInPandas(_build, out_schema).collect()
+        pending = {b: dict(v) for b, v in buckets_meta.items()}
+        n_total = 0
+        for r in rows:
+            b = str(r["bucket"])
+            ent = pending.get(b, {"bloom": None, "deltas": []})
+            ent["bloom"] = r["bloom_file"]
+            ent["deltas"] = list(ent.get("deltas", [])) + [r["delta_file"]]
+            pending[b] = ent
+            n_total += r["n"]
+        self._pending = pending
+        self._pending_round = round_no
+        return n_total
+
+    def commit(self) -> None:
+        """Atomically publish the staged round (driver-side, tiny JSON).
+        Call AFTER the round's store tables committed."""
+        if self._pending is None:
+            return
+        manifest = {
+            "round": self._pending_round,
+            "bloom_bits": self.bloom_bits,
+            "num_buckets": self.num_buckets,
+            "buckets": self._pending,
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path())
+        self._manifest = manifest
+        self._pending = None
+        self._pending_round = None
+
+    def rebuild(self, seen_urls: DataFrame, round_no: int) -> None:
+        """Recovery: drop and re-index from the committed seen table
+        (resume rebuilds the cache exactly like the round-2 engine
+        rebuilt its driver blooms)."""
+        self.reset()
+        self.add_urls(seen_urls, round_no)
+        self.commit()
+
+    def compact(self, spark_unused=None, keep_blooms: int = 2) -> None:
+        """Merge each bucket's delta chain into one file and GC stale
+        bloom bitmaps (driver-side file ops per bucket; at cluster
+        scale this becomes a per-bucket executor task, same as
+        ``add_urls``). Probe caches key on the chain, so a compacted
+        chain simply misses once and reloads one file."""
+        if not self._manifest:
+            return
+        import pyarrow.parquet as pq
+
+        rnd = self._manifest["round"]
+        for b, ent in self._manifest["buckets"].items():
+            bdir = os.path.join(self.root, f"bucket={int(b):05d}")
+            deltas = ent.get("deltas", [])
+            if len(deltas) > 1:
+                base_name = f"urls_base_r{rnd:05d}.parquet"
+                tables = [
+                    pq.read_table(os.path.join(bdir, d), columns=["url"]) for d in deltas
+                ]
+                import pyarrow as pa
+
+                tmp = os.path.join(bdir, f"{base_name}.tmp.{uuid.uuid4().hex}")
+                pq.write_table(pa.concat_tables(tables), tmp, compression="zstd")
+                os.replace(tmp, os.path.join(bdir, base_name))
+                for d in deltas:
+                    if d != base_name:
+                        try:
+                            os.remove(os.path.join(bdir, d))
+                        except FileNotFoundError:
+                            pass
+                ent["deltas"] = [base_name]
+            # GC superseded bloom bitmaps (keep the newest few)
+            blooms = sorted(
+                f for f in os.listdir(bdir) if f.startswith("bloom_r") and f.endswith(".bin")
+            )
+            for f_old in blooms[:-keep_blooms]:
+                if f_old != ent["bloom"]:
+                    try:
+                        os.remove(os.path.join(bdir, f_old))
+                    except FileNotFoundError:
+                        pass
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(self._manifest, f)
+        os.replace(tmp, self._manifest_path())
+
+    # -- probe ---------------------------------------------------------------
+    def prune_new(self, candidates: DataFrame, key: str = "url") -> DataFrame:
+        """candidates minus the indexed seen set — the engine's core
+        anti-join, without ever shuffling the seen table.
+
+        Plan shape: repartition the (narrow) candidate relation by
+        url-hash bucket, then one ``mapInPandas`` pass where each task
+        bloom-probes against only ITS buckets' bitmaps; rows the bloom
+        rejects are definitely new (bloom guarantee), rows it cannot
+        reject are confirmed exactly against that bucket's URL delta
+        chain. No broadcast, no driver residency, no seen-side shuffle:
+        per round the seen set costs one bitmap read per task plus
+        (only on bloom hits) the bucket's URL set, LRU-cached across
+        rounds per worker.
+        """
+        manifest = self._manifest
+        buckets_meta = {
+            int(b): (v["bloom"], tuple(v.get("deltas", [])))
+            for b, v in ((manifest or {}).get("buckets", {})).items()
+        }
+        root = self.root
+        out_schema = candidates.schema
+        out_cols = candidates.columns
+
+        tagged = candidates.select(
+            "*",
+            F.xxhash64(F.col(key)).alias(_H64_COL),
+            F.pmod(F.xxhash64(F.col(key)), F.lit(self.num_buckets)).cast("int").alias(_BUCKET_COL),
+        ).repartition(self.num_buckets, F.col(_BUCKET_COL))
+
+        def _probe(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                keep = np.zeros(len(pdf), dtype=bool)
+                b_arr = pdf[_BUCKET_COL].to_numpy()
+                h_arr = pdf[_H64_COL].to_numpy()
+                for b in np.unique(b_arr):
+                    sel = b_arr == b
+                    meta = buckets_meta.get(int(b))
+                    if meta is None:  # bucket never indexed -> all new
+                        keep[sel] = True
+                        continue
+                    bloom_name, deltas = meta
+                    bdir = os.path.join(root, f"bucket={int(b):05d}")
+                    bits = _load_bloom(os.path.join(bdir, bloom_name))
+                    m = len(bits) * 8
+                    h = h_arr[sel]
+                    maybe = np.ones(h.shape, dtype=bool)
+                    for pos in _positions(h, m):
+                        maybe &= (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+                    k = ~maybe  # bloom miss -> definitely new
+                    if maybe.any() and deltas:
+                        urls = _load_urlset(bdir, deltas)
+                        vals = pdf[key].to_numpy()[sel]
+                        exact_new = np.fromiter(
+                            (u not in urls for u in vals), dtype=bool, count=len(vals)
+                        )
+                        k |= maybe & exact_new  # fp rescue: not actually seen
+                    elif maybe.any():
+                        k |= maybe  # bloom says maybe but no exact data -> new
+                    keep[sel] = k
+                if keep.any():
+                    yield pdf.loc[keep, out_cols]
+
+        return tagged.mapInPandas(_probe, out_schema)

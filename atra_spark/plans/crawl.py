@@ -6,11 +6,15 @@ lifecycle equivalent").
 
 Scale posture per round (10^10-frontier discipline, SURVEY.md §7):
 - nothing is ever collected to the driver except per-round counters
-  and per-bucket bloom bitmaps
+  and tiny per-bucket index summaries (a few file names per bucket)
 - frontier/seen stay host-hash bucketed across rounds (store writes
   repartition by ``pmod(xxhash64(host), P)``)
-- the seen-set anti-join is bloom-pre-pruned; bitmaps are maintained
-  incrementally (OR of each round's new URLs — no rebuild scans)
+- seen-set membership is served by the persistent bucket-partitioned
+  SeenIndex (operators/seen_index.py): bloom probe + exact confirm
+  routed per url-hash bucket; the seen table itself never shuffles
+  and no bitmap is ever broadcast or driver-resident
+- the index is maintained incrementally (each round appends one delta
+  per touched bucket; compaction every k rounds — no rebuild scans)
 - candidate aggregation is salted two-phase (hot hosts / hot URLs)
 - admission is a JVM window function; the applyInPandas scheduler is
   the stateful variant (equivalence pytest-verified)
@@ -18,10 +22,10 @@ Scale posture per round (10^10-frontier discipline, SURVEY.md §7):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
-import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,7 +40,7 @@ from ..schemas import (
     KIND_PROCESSED_AND_STORED,
 )
 from ..sources.store import CheckpointStore
-from ..operators import bloom as bloom_ops
+from ..operators.seen_index import SeenIndex
 from ..operators.frontier import (
     filter_age,
     filter_blacklist,
@@ -87,10 +91,17 @@ class CrawlEngine:
         self.store = store
         self.config = config
         self.num_buckets = num_buckets
-        # fixed bloom geometry for the crawl lifetime (bits per bucket);
-        # at 10^10 URLs size this to ~12 bits/URL/bucket — the bitmaps
-        # stay broadcastable because they are per host-hash bucket
+        # fixed bloom geometry for the crawl lifetime (bits per bucket
+        # bitmap); at 10^10 URLs size to ~9.6 bits/URL -> ~12 GB of
+        # bitmaps TOTAL, which is why nothing is broadcast: the
+        # SeenIndex stores one bitmap per url-hash bucket and the probe
+        # routes each bucket's bitmap only to that bucket's partitions
         self.bloom_bits = bloom_bits
+        self.seen_index = SeenIndex(
+            os.path.join(store.root, "seen_index"),
+            num_buckets=num_buckets,
+            bloom_bits=bloom_bits,
+        )
         all_pages = spark.read.parquet(pages_path)
         # real response metadata passes through when the input carries
         # it (result.rs:32-90); content_type feeds format sniffing
@@ -104,7 +115,6 @@ class CrawlEngine:
             self.robots_parsed.count()  # materialize once (robots LRU analog)
         else:
             self.robots_parsed = None
-        self._blooms: dict[int, bytes] = {}
 
     # ------------------------------------------------------------------
     def seed(self, seeds: list[str]) -> None:
@@ -149,30 +159,9 @@ class CrawlEngine:
         self.store.write_snapshot("frontier", frontier, 0, bucket_by="host")
         self.store.write_snapshot("seen", seen, 0, bucket_by="host")
         self.store.write_snapshot("edges", edges, 0)
-        self._blooms = bloom_ops.build_bloom(
-            seen.select("url"), num_buckets=self.num_buckets, m=self.bloom_bits
-        )
-
-    # ------------------------------------------------------------------
-    def _or_blooms(self, extra: dict[int, bytes]) -> None:
-        """OR per-round bitmaps into the maintained filters. All blooms
-        in this engine are built with the same fixed ``self.bloom_bits``
-        geometry — mixing sizes would corrupt hash positions and create
-        false negatives (an anti-join correctness bug, not just extra
-        fp), so mismatches are a hard error."""
-        for b, blob in extra.items():
-            cur = self._blooms.get(b)
-            if cur is None:
-                self._blooms[b] = blob
-                continue
-            if len(cur) != len(blob):
-                raise ValueError(
-                    f"bloom bitmap size mismatch for bucket {b}: "
-                    f"{len(cur)} vs {len(blob)} bytes"
-                )
-            self._blooms[b] = (
-                np.frombuffer(cur, dtype=np.uint8) | np.frombuffer(blob, dtype=np.uint8)
-            ).tobytes()
+        self.seen_index.reset()
+        self.seen_index.add_urls(seen.select("url"), 0)
+        self.seen_index.commit()
 
     # ------------------------------------------------------------------
     def run_round(self, rnd: int) -> RoundStats:
@@ -249,10 +238,14 @@ class CrawlEngine:
 
         # ---- simulated fetch: broadcast the admitted URL list into the
         # pages scan (payloads never shuffle; misses = fetch-error analog
-        # -> InternalError, crawler.rs:608-622) ----
-        hit_pages = self.pages.join(
-            F.broadcast(admitted.select("url")), on="url", how="inner"
-        )
+        # -> InternalError, crawler.rs:608-622). Above the configured
+        # threshold the broadcast itself would be multi-GB, so fall back
+        # to a shuffled join — n_polled (an upper bound on admissions)
+        # comes free from the frontier parquet footers ----
+        adm_urls = admitted.select("url")
+        if n_polled <= cfg.broadcast_fetch_max_urls:
+            adm_urls = F.broadcast(adm_urls)
+        hit_pages = self.pages.join(adm_urls, on="url", how="inner")
 
         # ---- extraction (decode -> text -> links -> lang), map-side ----
         respect_nofollow = cfg.respect_nofollow
@@ -400,10 +393,12 @@ class CrawlEngine:
         # salted two-phase dedup to unique candidates w/ lowest depth
         candidates = aggregate_candidates(expanded)
 
-        # ---- bloom-pruned anti-join vs seen (the core operator) ----
-        new_urls = bloom_ops.prune_new_candidates(
-            spark, candidates, seen, self._blooms, num_buckets=self.num_buckets
-        )
+        # ---- seen-set membership (the core operator): bucket-routed
+        # bloom probe + exact confirm against the persistent SeenIndex.
+        # The seen TABLE is not shuffled at all here — each task reads
+        # only its bucket's bitmap (and, on bloom hits, that bucket's
+        # URL delta chain) from the store ----
+        new_urls = self.seen_index.prune_new(candidates)
 
         # ---- state transitions for this round (batch MERGE): one
         # branch over the committed results (fetched -> Processed,
@@ -546,21 +541,21 @@ class CrawlEngine:
             )
         )
         jobs["metrics"] = lambda: st.write_snapshot("metrics", metrics, rnd)
-        # incremental bloom maintenance builds from the committed
-        # frontier snapshot — independent of the other commit writes, so
-        # it rides the concurrent pool instead of serializing one more
-        # Spark job after it (footer pruning makes the no-new-urls case
-        # nearly free)
-        jobs["bloom"] = lambda: bloom_ops.build_bloom(
-            new_from_snapshot.select("url"),
-            num_buckets=self.num_buckets,
-            m=self.bloom_bits,
+        # incremental seen-index maintenance indexes this round's new
+        # URLs from the committed frontier snapshot — independent of
+        # the other commit writes, so it rides the concurrent pool
+        # (footer pruning makes the no-new-urls case nearly free). The
+        # index manifest is only published AFTER the pool succeeds.
+        jobs["seen_index"] = lambda: self.seen_index.add_urls(
+            new_from_snapshot.select("url"), rnd + 1
         )
         with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
             futs = {k: pool.submit(fn) for k, fn in jobs.items()}
             for f in futs.values():
                 f.result()
-        new_blooms = futs["bloom"].result()
+        self.seen_index.commit()
+        if self.config.seen_compact_every and (rnd + 1) % self.config.seen_compact_every == 0:
+            self.seen_index.compact()
         _phase("commit_pool")
 
         # driver-side stats from the tiny metrics snapshot (no Spark job)
@@ -572,12 +567,6 @@ class CrawlEngine:
                 "links_extracted", "new_urls",
             )
         }
-
-        # incremental bloom maintenance: OR in this round's new URLs
-        # (bitmaps were built inside the commit pool; the merge is a
-        # driver-side OR, no Spark job)
-        if sums["new_urls"]:
-            self._or_blooms(new_blooms)
 
         for df in (sched, seen):
             df.unpersist()
@@ -604,12 +593,14 @@ class CrawlEngine:
             start = 0
         else:  # resume from checkpoint (RECOVER analog, app/atra.rs:179-199)
             start = self.store.latest_round("frontier") or 0
-            if not self._blooms:
+            if self.seen_index.committed_round != start:
+                # index out of date (crash between store commit and
+                # index publish, or a fresh engine over an old store):
+                # rebuild the membership cache from the committed seen
+                # table, exactly like the round-2 bloom rebuild
                 seen = self.store.read_snapshot(self.spark, "seen")
                 if seen is not None:
-                    self._blooms = bloom_ops.build_bloom(
-                        seen.select("url"), num_buckets=self.num_buckets, m=self.bloom_bits
-                    )
+                    self.seen_index.rebuild(seen.select("url"), start)
         report = CrawlReport()
         limit = max_rounds if max_rounds is not None else self.config.max_rounds
         refilled = False

@@ -249,24 +249,44 @@ def _main_bench() -> None:
     spark = get_spark("atra-bench", cores=cpus, shuffle_partitions=cpus)
     qs = entry_mod.queries()
 
+    # NOISE PROTOCOL: the sandbox host carries external tenant load with
+    # a measured ±30% run-to-run swing, so every headline metric is
+    # best-of-N with INTERLEAVED repetition inside this single
+    # invocation (pass 1 of all queries, then pass 2, then pass 3 — so
+    # each metric's reps sample different load regimes) and the pre-rep
+    # 1-min loadavg is recorded per pass for auditability.
+    query_reps = int(os.environ.get("ATRA_BENCH_QUERY_REPS", "3"))
+    loadavg_log: dict[str, list[float]] = {"query_pass": [], "crawl_bench": [],
+                                           "steady_state_round": []}
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+    for _rep in range(query_reps):
+        loadavg_log["query_pass"].append(_load_probe())
+        for name in HEADLINE:
+            t0 = time.monotonic()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            sec = round(time.monotonic() - t0, 3)
+            timings[name] = min(timings.get(name, sec), sec)
 
-    crawl_sec, fetched = crawl_bench(spark, n_pages, cpus)
+    # full multi-round crawl: best-of-2 (it is the longest leg)
+    crawl_secs, fetched = [], 0
+    for _rep in range(int(os.environ.get("ATRA_BENCH_CRAWL_REPS", "2"))):
+        loadavg_log["crawl_bench"].append(_load_probe())
+        sec, fetched = crawl_bench(spark, n_pages, cpus)
+        crawl_secs.append(sec)
+    crawl_sec = min(crawl_secs)
     timings["crawl_bench"] = round(crawl_sec, 3)
     urls_per_sec = round(fetched / crawl_sec, 1) if crawl_sec > 0 else 0.0
 
     # steady-state round throughput (the north-rule metric: per-round
-    # work dominating orchestration, the shape of a 10^10 frontier)
-    # best-of-2, matching the BENCH/BASELINE.md protocol (the shared
-    # sandbox has ±20-30% external-load variance run to run)
-    mega_sec, mega_fetched = mega_round_bench(spark, n_pages)
-    mega_sec2, _ = mega_round_bench(spark, n_pages)
-    mega_sec = min(mega_sec, mega_sec2)
+    # work dominating orchestration, the shape of a 10^10 frontier):
+    # best-of-3
+    mega_secs, mega_fetched = [], 0
+    for _rep in range(int(os.environ.get("ATRA_BENCH_STEADY_REPS", "3"))):
+        loadavg_log["steady_state_round"].append(_load_probe())
+        sec, mega_fetched = mega_round_bench(spark, n_pages)
+        mega_secs.append(sec)
+    mega_sec = min(mega_secs)
     timings["steady_state_round"] = round(mega_sec, 3)
     steady_urls_per_sec = round(mega_fetched / mega_sec, 1) if mega_sec > 0 else 0.0
 
@@ -289,6 +309,17 @@ def _main_bench() -> None:
                 "crawl_pages_fetched": fetched,
                 "crawl_corpus_pages": n_pages,
                 "cpus": cpus,
+                "protocol": {
+                    "query_reps": query_reps,
+                    "crawl_reps": len(crawl_secs),
+                    "steady_reps": len(mega_secs),
+                    "aggregation": "best-of-N, interleaved passes",
+                },
+                "raw_sec": {
+                    "crawl_bench": [round(s, 3) for s in crawl_secs],
+                    "steady_state_round": [round(s, 3) for s in mega_secs],
+                },
+                "loadavg_pre": loadavg_log,
             }
         )
     )

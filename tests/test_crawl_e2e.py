@@ -416,11 +416,7 @@ class TestRecrawl:
         store.write_snapshot("frontier", frontier, 0, bucket_by="host")
         store.write_snapshot("seen", seen, 0, bucket_by="host")
         store.write_snapshot("host_state", host_state, 0, bucket_by="host")
-        import atra_spark.operators.bloom as bloom_ops
-
-        eng._blooms = bloom_ops.build_bloom(
-            seen.select("url"), num_buckets=4, m=eng.bloom_bits
-        )
+        eng.seen_index.rebuild(seen.select("url"), 0)
         stats = eng.run_round(0)
         assert stats.admitted == 0 and stats.fetched_ok == 0
         nxt = store.read_snapshot(spark, "frontier").collect()
