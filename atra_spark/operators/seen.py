@@ -71,6 +71,79 @@ def merge_seen(seen: DataFrame, updates: DataFrame) -> DataFrame:
     )
 
 
+def compose_seen(base: DataFrame | None, deltas: list[tuple[int, DataFrame]]) -> DataFrame:
+    """Merge-on-read composition of a seen BASE snapshot plus per-round
+    update DELTAS — the window-function equivalent of folding
+    ``merge_seen`` over the deltas in round order (Iceberg v2
+    merge-on-read economics: each round commits only its updates; the
+    full fold happens lazily at read time and is burned into a new
+    base by periodic compaction).
+
+    Equivalence to the iterated fold (pinned by
+    tests/test_store.py::TestSeenDeltas::test_compose_equals_iterated_merge):
+    - field values come from the LAST row whose kind is set
+      (!= Unset-254); if no row is set, from the first row (Unset
+      operands never overwrite, raw.rs:259-306)
+    - ``last_significant_kind``: the folded kind immediately before the
+      last set row — i.e. the kind of the previous set row, else the
+      first row's kind — copied unconditionally on overwrite
+      (raw.rs fold_merge_linkstate:285-302); a row that was never
+      overwritten keeps its own stored lsk
+    - ``is_seed`` is sticky-true across all operands
+
+    ONE shuffle (the url window); per-round write cost is the delta
+    only, never |seen| — the round-2 full-snapshot rewrite is gone.
+    """
+    from pyspark.sql import Window
+
+    parts = []
+    if base is not None:
+        parts.append(base.withColumn("_r", F.lit(-1).cast("long")))
+    for rnd, df in sorted(deltas, key=lambda t: t[0]):
+        parts.append(df.withColumn("_r", F.lit(rnd).cast("long")))
+    if not parts:
+        raise ValueError("compose_seen needs a base or at least one delta")
+    allrows = parts[0]
+    for p in parts[1:]:
+        allrows = allrows.unionByName(p)
+    if len(parts) == 1:
+        return allrows.drop("_r")
+
+    is_set = F.col("kind") != F.lit(KIND_UNSET)
+    w_full = Window.partitionBy("url")
+    w_ord = Window.partitionBy("url").orderBy("_r")
+    w_before = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+
+    tagged = allrows.select(
+        "*",
+        F.last(F.when(is_set, F.col("kind")), ignorenulls=True)
+        .over(w_before)
+        .alias("_prev_set_kind"),
+        F.first("kind").over(w_ord).alias("_first_kind"),
+        F.row_number().over(w_ord).alias("_rn"),
+        F.max(F.when(is_set, F.col("_r"))).over(w_full).alias("_last_set_r"),
+        F.max(F.when(F.col("is_seed"), 1).otherwise(0)).over(w_full).alias("_any_seed"),
+    )
+    # target row T = last set row, else the first row
+    target = tagged.filter(
+        F.when(F.col("_last_set_r").isNotNull(), F.col("_r") == F.col("_last_set_r"))
+        .otherwise(F.col("_rn") == 1)
+    )
+    lsk = F.when(F.col("_rn") == 1, F.col("last_significant_kind")).otherwise(
+        F.coalesce(F.col("_prev_set_kind"), F.col("_first_kind"))
+    )
+    return target.select(
+        "url",
+        "host",
+        F.col("kind").cast("int").alias("kind"),
+        lsk.cast("int").alias("last_significant_kind"),
+        "recrawl",
+        (F.col("_any_seed") == 1).alias("is_seed"),
+        "ts",
+        *[F.col(c).cast("long").alias(c) for c in DEPTH_COLS],
+    )
+
+
 def aggregate_candidates(
     exploded_links: DataFrame, num_salts: int = 0, salt_threshold: int = 0
 ) -> DataFrame:

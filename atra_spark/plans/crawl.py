@@ -51,7 +51,7 @@ from ..operators.frontier import (
     parse_robots,
 )
 from ..operators.politeness import admit_window, schedule_hosts
-from ..operators.seen import aggregate_candidates, merge_seen
+from ..operators.seen import aggregate_candidates
 
 
 @dataclass
@@ -456,13 +456,16 @@ class CrawlEngine:
             F.current_timestamp().alias("ts"),
             *DEPTH_COLS,
         )
+        # merge-on-read: commit ONLY this round's updates as a seen
+        # delta (O(|updates|) write, never a full seen rewrite); reads
+        # compose the chain via compose_seen and compaction below burns
+        # it into a new base every k rounds
         updates = fetch_updates.unionByName(new_seen)
-        seen_next = merge_seen(seen, updates)
 
         from concurrent.futures import ThreadPoolExecutor
 
         jobs = {
-            "seen": lambda: st.write_snapshot("seen", seen_next, rnd + 1, bucket_by="host"),
+            "seen": lambda: st.write_delta("seen", updates, rnd + 1, bucket_by="host"),
         }
         # host_state (recrawl_management/mod.rs:27-70) is ALWAYS
         # maintained — the recrawl-cooldown admission predicate consults
@@ -556,6 +559,7 @@ class CrawlEngine:
         self.seen_index.commit()
         if self.config.seen_compact_every and (rnd + 1) % self.config.seen_compact_every == 0:
             self.seen_index.compact()
+            st.compact_table(spark, "seen", bucket_by="host")
         _phase("commit_pool")
 
         # driver-side stats from the tiny metrics snapshot (no Spark job)

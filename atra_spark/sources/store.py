@@ -14,6 +14,16 @@ Local stand-in for the Iceberg tables the production deployment uses
   co-partitioned so the per-round anti-join and groupBy(host) reuse
   the layout instead of reshuffling.
 
+Merge-on-read deltas (Iceberg v2 semantics): ``write_delta`` commits
+only one round's updates; ``read_snapshot`` lazily composes the
+latest base snapshot with the delta chain through a per-table
+combiner (the ``seen`` table's combiner is ``compose_seen``, the
+window-function fold of the RocksDB merge operator). Compaction
+(``compact_table``) burns the fold into a new base so the chain never
+grows unboundedly. Per-round write cost is therefore proportional to
+the round's updates, not |table| — the RocksDB blind-merge economics
+of link_state/state/raw.rs:249-351 on snapshot storage.
+
 In production every ``write_snapshot`` becomes ``MERGE INTO``/append
 on an Iceberg table with
 ``write.parquet.bloom-filter-enabled.column.url=true``.
@@ -35,6 +45,13 @@ class CheckpointStore:
         self.root = root
         self.num_buckets = num_buckets
         os.makedirs(root, exist_ok=True)
+        # merge-on-read combiners: table -> fn(base_df|None, [(round, df)]) -> df
+        from ..operators.seen import compose_seen
+
+        self._combiners = {"seen": compose_seen}
+
+    def register_combiner(self, table: str, fn) -> None:
+        self._combiners[table] = fn
 
     # -- manifest ----------------------------------------------------------
     def _manifest_path(self, table: str) -> str:
@@ -80,6 +97,46 @@ class CheckpointStore:
         self._commit_manifest(table, manifest)
         return path
 
+    def write_delta(
+        self,
+        table: str,
+        df: DataFrame,
+        round_no: int,
+        bucket_by: str | None = None,
+        meta: dict | None = None,
+    ) -> str:
+        """Commit one round's UPDATES only (merge-on-read delta). Reads
+        compose base + delta chain through the table's combiner; cost
+        of this write is O(|updates|), never O(|table|)."""
+        path = os.path.join(self.root, table, f"d{round_no:05d}")
+        if bucket_by is not None:
+            df = df.repartition(
+                self.num_buckets, F.pmod(F.xxhash64(F.col(bucket_by)), F.lit(self.num_buckets))
+            )
+        df.write.mode("overwrite").parquet(path)
+        manifest = self._load_manifest(table)
+        manifest["snapshots"] = [s for s in manifest["snapshots"] if s["round"] != round_no]
+        manifest["snapshots"].append(
+            {"round": round_no, "path": path, "bucket_by": bucket_by,
+             "meta": meta or {}, "kind": "delta"}
+        )
+        manifest["snapshots"].sort(key=lambda s: s["round"])
+        self._commit_manifest(table, manifest)
+        return path
+
+    def compact_table(
+        self, spark: SparkSession, table: str, bucket_by: str | None = None
+    ) -> str | None:
+        """Burn the composed view into a new base snapshot at the
+        latest round (Iceberg rewrite-data-files maintenance). Later
+        reads see a pure base; older rounds stay time-travelable."""
+        snaps = self._load_manifest(table)["snapshots"]
+        if not snaps or not any(s.get("kind") == "delta" for s in snaps):
+            return None
+        latest = snaps[-1]["round"]
+        merged = self.read_snapshot(spark, table, latest)
+        return self.write_snapshot(table, merged, latest, bucket_by=bucket_by)
+
     # -- read --------------------------------------------------------------
     def latest_round(self, table: str) -> int | None:
         snaps = self._load_manifest(table)["snapshots"]
@@ -88,17 +145,36 @@ class CheckpointStore:
     def read_snapshot(
         self, spark: SparkSession, table: str, round_no: int | None = None
     ) -> DataFrame | None:
+        """Read the table state as of ``round_no`` (default: latest).
+
+        Base-only tables return the snapshot directly. Tables with
+        merge-on-read deltas compose (latest base <= round) + (delta
+        chain up to round) through the table's registered combiner —
+        time travel works the same either way."""
         snaps = self._load_manifest(table)["snapshots"]
         if not snaps:
             return None
         if round_no is None:
-            snap = snaps[-1]
-        else:
-            matching = [s for s in snaps if s["round"] == round_no]
-            if not matching:
-                return None
-            snap = matching[0]
-        return spark.read.parquet(snap["path"])
+            round_no = snaps[-1]["round"]
+        elif not any(s["round"] == round_no for s in snaps):
+            return None
+        in_range = [s for s in snaps if s["round"] <= round_no]
+        bases = [s for s in in_range if s.get("kind") != "delta"]
+        base = bases[-1] if bases else None
+        base_round = base["round"] if base else -(1 << 62)
+        deltas = [
+            s for s in in_range if s.get("kind") == "delta" and s["round"] > base_round
+        ]
+        if not deltas:
+            return spark.read.parquet(base["path"]) if base else None
+        combiner = self._combiners.get(table)
+        if combiner is None:
+            raise ValueError(
+                f"table {table!r} has merge-on-read deltas but no registered combiner"
+            )
+        base_df = spark.read.parquet(base["path"]) if base else None
+        delta_dfs = [(s["round"], spark.read.parquet(s["path"])) for s in deltas]
+        return combiner(base_df, delta_dfs)
 
     def read_union(self, spark: SparkSession, table: str) -> DataFrame | None:
         """Union of all snapshots (append-log tables: results, edges,

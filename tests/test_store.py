@@ -97,3 +97,93 @@ class TestViewDump:
         assert len(lines) == 3 and json.loads(lines[0])["url"].startswith("https://")
         n2 = dump_table(spark, filled, "results", str(tmp_path / "r.csv"), "csv", round_no=1)
         assert n2 == 2
+
+
+class TestSeenDeltas:
+    """Merge-on-read seen maintenance (VERDICT r2 'What's wrong' #2):
+    per-round commits are deltas, reads compose via compose_seen, and
+    the composition must equal folding merge_seen round by round."""
+
+    SCHEMA = (
+        "url string, host string, kind int, last_significant_kind int, "
+        "recrawl boolean, is_seed boolean, ts timestamp, depth_on_website long, "
+        "distance_to_seed long, total_distance_to_seed long"
+    )
+
+    def _rows(self, spec, ts0):
+        """spec: list of (url, kind, lsk, is_seed)."""
+        from datetime import timedelta
+
+        return [
+            (u, f"h{abs(hash(u)) % 3}.example", k, lsk, False, seed,
+             ts0 + timedelta(seconds=i), i % 3, i % 2, i)
+            for i, (u, k, lsk, seed) in enumerate(spec)
+        ]
+
+    def test_compose_equals_iterated_merge(self, spark):
+        """Randomized sequences incl. Unset(254) operands and repeated
+        urls: compose_seen(base, deltas) == merge_seen folded."""
+        import random
+        from datetime import datetime, timezone
+
+        from atra_spark.operators.seen import compose_seen, merge_seen
+
+        rng = random.Random(42)
+        ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+        urls = [f"https://u{i}.example/" for i in range(12)]
+        base_spec = [(u, rng.choice([0, 3, 8]), 254, rng.random() < 0.3) for u in urls[:8]]
+        base = spark.createDataFrame(self._rows(base_spec, ts0), self.SCHEMA)
+        deltas = []
+        for rnd in range(1, 4):
+            picked = rng.sample(urls, rng.randint(2, 6))
+            spec = [
+                (u, rng.choice([0, 3, 8, 254]), 254, rng.random() < 0.2) for u in picked
+            ]
+            deltas.append((rnd, spark.createDataFrame(self._rows(spec, ts0), self.SCHEMA)))
+
+        folded = base
+        for _, d in deltas:
+            folded = merge_seen(folded, d)
+        composed = compose_seen(base, deltas)
+
+        key = lambda r: r["url"]
+        f_rows = sorted(folded.collect(), key=key)
+        c_rows = sorted(composed.collect(), key=key)
+        assert [tuple(r) for r in f_rows] == [tuple(r) for r in c_rows]
+
+    def test_store_delta_roundtrip_and_compaction(self, spark, tmp_path):
+        from datetime import datetime, timezone
+
+        from atra_spark.sources.store import CheckpointStore
+
+        ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+        store = CheckpointStore(str(tmp_path / "st"), num_buckets=4)
+        base = spark.createDataFrame(
+            self._rows([("https://a/", 0, 254, True), ("https://b/", 0, 254, False)], ts0),
+            self.SCHEMA,
+        )
+        store.write_snapshot("seen", base, 0, bucket_by="host")
+        upd = spark.createDataFrame(
+            self._rows([("https://a/", 3, 254, False), ("https://c/", 0, 254, False)], ts0),
+            self.SCHEMA,
+        )
+        store.write_delta("seen", upd, 1, bucket_by="host")
+        got = {r["url"]: (r["kind"], r["last_significant_kind"], r["is_seed"])
+               for r in store.read_snapshot(spark, "seen").collect()}
+        assert got["https://a/"] == (3, 0, True)  # updated; lsk=prev kind; seed sticky
+        assert got["https://b/"] == (0, 254, False)
+        assert got["https://c/"] == (0, 254, False)  # new url keeps own lsk
+        # time travel to round 0 = base only
+        got0 = {r["url"] for r in store.read_snapshot(spark, "seen", 0).collect()}
+        assert got0 == {"https://a/", "https://b/"}
+        # delta files contain ONLY the round's updates (O(updates) writes)
+        import pyarrow.dataset as pads
+
+        assert pads.dataset(str(tmp_path / "st/seen/d00001"), format="parquet").count_rows() == 2
+        # compaction burns the fold into a base; answers unchanged
+        store.compact_table(spark, "seen", bucket_by="host")
+        snaps = store._load_manifest("seen")["snapshots"]
+        assert snaps[-1].get("kind") != "delta"
+        got2 = {r["url"]: (r["kind"], r["last_significant_kind"], r["is_seed"])
+                for r in store.read_snapshot(spark, "seen").collect()}
+        assert got2 == got
