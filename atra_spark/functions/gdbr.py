@@ -12,18 +12,29 @@ Pipeline (mirrors the reference):
 3. detach the most probable node — the max-scoring topmost candidate
    above ``filter_threshold`` (get_most_probable + remove_gdbr:627-645)
 
-The model is trained with deterministic sub-gradient descent on hinge
-loss (the liblinear analog); ``train_gdbr_model`` builds one from
-labeled texts. Off by default in the crawl config (parity mode), like
-the reference's optional gdbr registry.
+The model family matches the reference's: liblinear ``L2R_L2LOSS_SVR``
+(epsilon-insensitive L2-loss support-vector REGRESSION to labels
+{1.0, 0.0} with cost C=10, p(eps)=0.1 — identifier.rs test config
+:686-691), trained here by deterministic full-batch projected
+gradient descent on the primal over L2-normalized TF-IDF rows, with
+optional German Snowball stemming + stopword removal exactly like the
+reference's German pipeline (Algorithm::German + iso stopwords).
+Regression-to-{0,1} is why the thresholds are 0.1 (climb) and 0.5
+(final filter). Parity with the reference's own train/predict data is
+pinned by tests/test_gdbr.py::TestReferenceFixtureParity over the
+ported data/gdbr/de/svm.csv fixture. Off by default in the crawl
+config (parity mode), like the reference's optional gdbr registry.
 """
 
 from __future__ import annotations
 
 import math
+import re
 from collections import Counter
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
+
+import numpy as np
 
 _EXCLUDED_TAGS = {"script", "style", "noscript", "template", "head", "meta", "link"}
 _VOID_TAGS = {
@@ -32,8 +43,23 @@ _VOID_TAGS = {
 }
 
 
-def _tokenize(text: str) -> list[str]:
-    return [t for t in text.lower().split() if t]
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def _tokenize(text: str, lang: str | None = None) -> list[str]:
+    """Lowercased word tokens; with ``lang`` (e.g. 'de') the
+    reference's language pipeline applies: stopword removal + Snowball
+    stemming (svm crate tokenizer with Algorithm::German)."""
+    if lang is None:
+        return [t for t in text.lower().split() if t]
+    from .stemmer import SNOWBALL_STOPWORDS, get_stemmer
+
+    code = {"de": "german", "deu": "german", "en": "english", "eng": "english"}.get(
+        lang.lower(), lang.lower()
+    )
+    sw = SNOWBALL_STOPWORDS.get(code, frozenset())
+    stem = get_stemmer(code)
+    return [stem(w) for w in _WORD_RE.findall(text.lower()) if w not in sw]
 
 
 def _tfidf_vector(tokens: list[str], idf: dict[str, float]) -> dict[str, float]:
@@ -52,38 +78,75 @@ class GdbrModel:
     bias: float = 0.0
     threshold: float = 0.1          # per-node climb threshold (:385-387)
     filter_threshold: float = 0.5   # removal threshold (:389-391)
+    lang: str | None = None         # tokenizer language (stemmer+stopwords)
 
     def predict(self, text: str) -> float:
-        x = _tfidf_vector(_tokenize(text), self.idf)
-        return sum(self.weights.get(w, 0.0) * v for w, v in x.items()) + self.bias
+        """SVR score ~ regression to {0=content, 1=banner} over the
+        L2-normalized TF-IDF vector (liblinear rows are normalized the
+        same way in the svm crate's vectorizer)."""
+        x = _tfidf_vector(_tokenize(text, self.lang), self.idf)
+        norm = math.sqrt(sum(v * v for v in x.values()))
+        if norm == 0.0:
+            return self.bias
+        return sum(self.weights.get(w, 0.0) * v for w, v in x.items()) / norm + self.bias
 
 
 def train_gdbr_model(
     positive: list[str],
     negative: list[str],
-    epochs: int = 60,
-    lr: float = 0.5,
-    reg: float = 1e-3,
+    c: float = 10.0,
+    eps: float = 0.1,
+    iters: int = 4000,
+    lang: str | None = None,
 ) -> GdbrModel:
-    """Linear SVM (hinge loss, deterministic SGD over a fixed sample
-    order) on TF-IDF features — the svm-crate training analog."""
-    docs = [(t, 1.0) for t in positive] + [(t, -1.0) for t in negative]
+    """Deterministic L2R_L2LOSS_SVR (the reference's liblinear solver
+    family, identifier.rs:686-691: cost=10, p=0.1): full-batch
+    gradient descent on the primal
+
+        min_w  1/2 ||w||^2 + C * sum_i max(0, |w.x_i - y_i| - eps)^2
+
+    with labels y in {1.0, 0.0} and L2-normalized TF-IDF rows. The
+    step size is 1/(1 + 2C*sigma_max^2) (the objective's Lipschitz
+    bound), so training is convergent and bit-reproducible — no RNG,
+    no sample-order sensitivity."""
+    texts = list(positive) + list(negative)
+    y = np.array([1.0] * len(positive) + [0.0] * len(negative))
+    docs = [_tokenize(t, lang) for t in texts]
     n = float(len(docs))
-    wf = Counter(w for t, _y in docs for w in set(_tokenize(t)))
-    idf = {w: math.log10(n / (c + 1.0)) + 1.0 for w, c in wf.items()}
-    weights: dict[str, float] = {}
-    bias = 0.0
-    for _ in range(epochs):
-        for text, y in docs:
-            x = _tfidf_vector(_tokenize(text), idf)
-            margin = y * (sum(weights.get(w, 0.0) * v for w, v in x.items()) + bias)
-            for w in list(weights):
-                weights[w] *= 1.0 - lr * reg
-            if margin < 1.0:
-                for w, v in x.items():
-                    weights[w] = weights.get(w, 0.0) + lr * y * v
-                bias += lr * y * 0.1
-    return GdbrModel(idf=idf, weights=weights, bias=bias)
+    wf = Counter(w for d in docs for w in set(d))
+    idf = {w: math.log10(n / (cnt + 1.0)) + 1.0 for w, cnt in wf.items()}
+    vocab = {w: i for i, w in enumerate(sorted(wf))}
+    X = np.zeros((len(docs), len(vocab)))
+    for i, d in enumerate(docs):
+        if not d:
+            continue
+        for w in d:
+            X[i, vocab[w]] += 1.0
+    # tf = count/len, then x idf, then l2-normalize per row
+    lens = np.array([max(1, len(d)) for d in docs], dtype=float)
+    X /= lens[:, None]
+    idf_arr = np.array([idf[w] for w in sorted(wf)])
+    X *= idf_arr
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    X /= norms[:, None]
+
+    Xb = np.hstack([X, np.ones((len(docs), 1))])
+    smax = float(np.linalg.norm(Xb, 2))
+    lr = 1.0 / (1.0 + 2.0 * c * smax * smax)
+    w = np.zeros(Xb.shape[1])
+    for _ in range(iters):
+        r = Xb @ w - y
+        a = np.abs(r) - eps
+        mask = a > 0
+        g = w.copy()
+        g[-1] = 0.0  # bias unregularized (liblinear -B convention)
+        if mask.any():
+            g = g + 2.0 * c * (np.sign(r[mask]) * a[mask]) @ Xb[mask]
+        w -= lr * g
+    inv = sorted(wf)
+    weights = {t: float(w[i]) for i, t in enumerate(inv) if w[i] != 0.0}
+    return GdbrModel(idf=idf, weights=weights, bias=float(w[-1]), lang=lang)
 
 
 class _Node:
@@ -152,28 +215,101 @@ def _parse(html_text: str) -> _Node | None:
     return tb.root
 
 
-def _find(root: _Node, model: GdbrModel) -> tuple[_Node | None, float]:
-    scored: list[tuple[float, _Node]] = []
+# w3schools-taxonomy tag categories the reference excludes from
+# climbing (html.rs:216,218); P/A/Div/Title/Dialog/Details are
+# whitelisted regardless (identifier.rs:489-498)
+_CAT_STYLES_SEMANTICS = {
+    "style", "div", "span", "header", "hgroup", "footer", "main",
+    "section", "search", "article", "aside", "details", "dialog",
+    "summary", "data",
+}
+_CAT_PROGRAMMING = {"script", "noscript", "applet", "embed", "object", "param"}
+_CLIMB_WHITELIST = {"p", "a", "div", "title", "dialog", "details"}
+
+
+def _climb_allowed(tag: str) -> bool:
+    """is_possibly_gdbr_text_containing_element for elements
+    (identifier.rs:486-518): whitelisted tags pass, otherwise any tag
+    outside the Programming / StylesAndSemantics categories."""
+    return tag in _CLIMB_WHITELIST or (
+        tag not in _CAT_PROGRAMMING and tag not in _CAT_STYLES_SEMANTICS
+    )
+
+
+def _find(root: _Node, model: GdbrModel):
+    """The reference's level-climb (identify_gdbr_elements_in_html,
+    identifier.rs:547-625) + get_most_probable(:627-634), FilterMode::
+    OnScore:
+
+    - level 0: leaf TEXT nodes whose parent element is outside the
+      Programming/StylesAndSemantics categories and whose own score
+      clears ``threshold``
+    - each next level: parents of the previous level that pass the
+      climb tag filter AND score >= threshold on their subtree text;
+      chains merge via a visited map
+    - climbing continues only while a level holds >1 distinct nodes
+      (one more level after the chains converge, then stop) — the
+      winner is picked from the LAST level by own score, gated on
+      ``filter_threshold``
+
+    Returns (element|None, text_chunk_index|None, score): a level-0
+    winner is a single text chunk inside its element.
+    """
+    thr = model.threshold
+    level0: list[tuple[_Node, int, float, float]] = []  # (parent el, chunk idx, score, max)
     for node in root.iter_elements():
         if node.tag == "#root" or _in_excluded(node):
             continue
-        text = node.subtree_text()
-        if not text:
-            continue
-        s = model.predict(text)
-        if s >= model.threshold:
-            scored.append((s, node))
-    if not scored:
-        return None, 0.0
-    # topmost candidates: drop nodes whose parent is also a candidate
-    cand_ids = {id(n) for _s, n in scored}
-    topmost = [
-        (s, n) for s, n in scored if n.parent is None or id(n.parent) not in cand_ids
-    ]
-    best_s, best_n = max(topmost, key=lambda p: p[0])
-    if best_s < model.filter_threshold:
-        return None, best_s
-    return best_n, best_s
+        if node.tag in _CAT_PROGRAMMING or node.tag in _CAT_STYLES_SEMANTICS:
+            continue  # initial filter is category-only (:559-575), no whitelist
+        for i, t in enumerate(node.texts):
+            s = model.predict(t)
+            if s >= thr:
+                level0.append((node, i, s, s))
+    if not level0:
+        return None, None, 0.0
+
+    # entry = [kind, element, chunk_idx|None, own_score, max_score]
+    visited: dict[int, list] = {}
+    levels: list[list] = [[["#text", n, i, s, mx] for n, i, s, mx in level0]]
+    cur: list = levels[0]
+    while True:
+        nxt: dict[int, list] = {}
+        for kind, node, _idx, _score, child_max in cur:
+            # a text chunk's parent is its element; an element's parent
+            # is its DOM parent
+            parent = node if kind == "#text" else node.parent
+            if parent is None or parent.tag == "#root":
+                continue
+            pid = id(parent)
+            if pid in visited:
+                ent = visited[pid]
+                ent[4] = max(ent[4], child_max)
+                nxt[pid] = ent
+                continue
+            if not _climb_allowed(parent.tag) or _in_excluded(parent):
+                continue
+            text = parent.subtree_text()
+            if not text:
+                continue
+            s = model.predict(text)
+            if s >= thr:
+                ent = ["#el", parent, None, s, max(s, child_max)]
+                visited[pid] = ent
+                nxt[pid] = ent
+        if not nxt:
+            break
+        levels.append(list(nxt.values()))
+        cur = levels[-1]
+        if len(nxt) == 1:
+            break
+
+    last = levels[-1]
+    best = max(last, key=lambda e: e[3])
+    kind, node, idx, s, _mx = best
+    if s < model.filter_threshold:
+        return None, None, s
+    return node, (idx if kind == "#text" else None), s
 
 
 def find_banner_score(html_text: str, model: GdbrModel) -> float:
@@ -182,19 +318,22 @@ def find_banner_score(html_text: str, model: GdbrModel) -> float:
     root = _parse(html_text)
     if root is None:
         return 0.0
-    node, score = _find(root, model)
+    node, _idx, score = _find(root, model)
     return score if node is not None else min(score, 0.0)
 
 
 def remove_consent_banner(html_text: str, model: GdbrModel) -> tuple[str, bool, float]:
     """(clean_document_text, removed?, score): detaches the identified
-    banner node and re-emits the remaining document text in document
-    order (remove_gdbr:640-645)."""
+    banner node (or single text leaf) and re-emits the remaining
+    document text in document order (remove_gdbr:640-645)."""
     root = _parse(html_text)
     if root is None:
         return "", False, 0.0
-    node, score = _find(root, model)
+    node, idx, score = _find(root, model)
     if node is None:
         return root.subtree_text(), False, score
-    node.parent.children.remove(node)
+    if idx is not None:  # level-0 winner: detach one text leaf
+        node.texts.pop(idx)
+    else:
+        node.parent.children.remove(node)
     return root.subtree_text(), True, score

@@ -34,17 +34,14 @@ ROTATE_BYTES = 1 << 30       # size-based file rotation (forward_if_filesize)
 
 
 def _labeled_digest(data: bytes) -> str:
-    """Labeled digest (toolkit/digest.rs labeled_xxh128_digest):
-    ``xxh128:<hex>`` when the xxhash module is available, else a
-    documented ``sha1:`` stand-in (no pip installs in this sandbox)."""
-    try:
-        import xxhash
+    """Labeled digest, byte-format-identical to the reference
+    (toolkit/digest.rs:22-38): ``XXH128:`` + padded BASE32 of the
+    big-endian xxh3-128 — served by the system libxxhash via ctypes
+    (functions/digest.py ladder; sha1 stand-in only if no xxhash
+    implementation exists on the host)."""
+    from ..functions.digest import labeled_xxh128_digest
 
-        return "xxh128:" + xxhash.xxh128(data).hexdigest()
-    except ImportError:
-        import hashlib
-
-        return "sha1:" + hashlib.sha1(data).hexdigest()
+    return labeled_xxh128_digest(data)
 
 
 def _http_header_block(status: int, headers: dict | None, n_bytes: int, content_type: str) -> bytes:

@@ -175,6 +175,20 @@ def _load_probe() -> float:
     return round(os.getloadavg()[0], 2)
 
 
+def _membw_probe() -> float:
+    """Single-thread memcpy MB/s over a 64 MB working set — the box's
+    DRAM bandwidth is a SHARED resource external tenants contend for
+    (measured swinging 400 MB/s..4 GB/s day to day while loadavg looks
+    calm), and the frontier stage is bandwidth-bound; one number per
+    rep makes throughput swings attributable."""
+    import numpy as np
+
+    a = np.ones(64 * 1024 * 1024 // 8)
+    t0 = time.perf_counter()
+    a.copy()
+    return round(64 / (time.perf_counter() - t0), 0)
+
+
 def scaling(n_pages: int) -> None:
     """Run the identical crawl at N and 4N cores (default 4 vs 16; see
     BENCH/BASELINE.md for why not 8 vs 32 on this box) in fresh
@@ -196,6 +210,7 @@ def scaling(n_pages: int) -> None:
     for _ in range(repeats):
         for cores in core_pair:
             load = _load_probe()
+            membw = _membw_probe()
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--crawl-only", str(cores),
                  "--pages", str(n_pages)],
@@ -204,6 +219,7 @@ def scaling(n_pages: int) -> None:
             line = out.stdout.strip().splitlines()[-1]
             r = json.loads(line)
             r["loadavg_pre"] = load
+            r["membw_mb_s_pre"] = membw
             print(json.dumps(r), file=sys.stderr)
             reps[cores].append(r)
     best = {c: min(rs, key=lambda r: r["crawl_sec"]) for c, rs in reps.items()}
@@ -220,6 +236,7 @@ def scaling(n_pages: int) -> None:
         "scaling_efficiency": eff,
         "pair_efficiencies": pair_effs,
         "loadavg": {str(c): [r["loadavg_pre"] for r in rs] for c, rs in reps.items()},
+        "membw_mb_s": {str(c): [r["membw_mb_s_pre"] for r in rs] for c, rs in reps.items()},
         "raw_sec": {str(c): [r["crawl_sec"] for r in rs] for c, rs in reps.items()},
         "pages": n_pages, "cores": list(core_pair)}))
 
@@ -258,9 +275,12 @@ def _main_bench() -> None:
     query_reps = int(os.environ.get("ATRA_BENCH_QUERY_REPS", "3"))
     loadavg_log: dict[str, list[float]] = {"query_pass": [], "crawl_bench": [],
                                            "steady_state_round": []}
+    membw_log: dict[str, list[float]] = {"query_pass": [], "crawl_bench": [],
+                                         "steady_state_round": []}
     timings: dict[str, float] = {}
     for _rep in range(query_reps):
         loadavg_log["query_pass"].append(_load_probe())
+        membw_log["query_pass"].append(_membw_probe())
         for name in HEADLINE:
             t0 = time.monotonic()
             df = qs[name](spark, sf_dir)
@@ -272,6 +292,7 @@ def _main_bench() -> None:
     crawl_secs, fetched = [], 0
     for _rep in range(int(os.environ.get("ATRA_BENCH_CRAWL_REPS", "2"))):
         loadavg_log["crawl_bench"].append(_load_probe())
+        membw_log["crawl_bench"].append(_membw_probe())
         sec, fetched = crawl_bench(spark, n_pages, cpus)
         crawl_secs.append(sec)
     crawl_sec = min(crawl_secs)
@@ -284,6 +305,7 @@ def _main_bench() -> None:
     mega_secs, mega_fetched = [], 0
     for _rep in range(int(os.environ.get("ATRA_BENCH_STEADY_REPS", "3"))):
         loadavg_log["steady_state_round"].append(_load_probe())
+        membw_log["steady_state_round"].append(_membw_probe())
         sec, mega_fetched = mega_round_bench(spark, n_pages)
         mega_secs.append(sec)
     mega_sec = min(mega_secs)
@@ -320,6 +342,7 @@ def _main_bench() -> None:
                     "steady_state_round": [round(s, 3) for s in mega_secs],
                 },
                 "loadavg_pre": loadavg_log,
+                "membw_mb_s_pre": membw_log,
             }
         )
     )

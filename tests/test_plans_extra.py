@@ -396,3 +396,40 @@ class TestStreamingPoliteness:
         waves = [[("a", "h", t0), ("b", "h", t0)]]
         got = self._run(spark, tmp_path, waves, delay_ms=60000)
         assert len(got) == 2 and sum(got.values()) == 1
+
+
+class TestXxh128Digest:
+    """WARC digests must be byte-format-identical to the reference's
+    labeled_xxh128_digest (toolkit/digest.rs:22-38): 'XXH128:' +
+    padded RFC4648 BASE32 of xxh3_128 big-endian bytes."""
+
+    def test_canonical_empty_vector(self):
+        from atra_spark.functions.digest import (
+            digest_impl_name,
+            labeled_xxh128_digest,
+            xxh3_128,
+        )
+
+        assert digest_impl_name() in ("xxhash", "ctypes")  # real xxh3 on this host
+        # canonical XXH3-128 sanity value for empty input (upstream xxHash)
+        assert xxh3_128(b"") == 0x99AA06D3014798D86001C324468D497F
+        import base64
+
+        expect = "XXH128:" + base64.b32encode(
+            (0x99AA06D3014798D86001C324468D497F).to_bytes(16, "big")
+        ).decode()
+        assert labeled_xxh128_digest(b"") == expect
+        assert expect.endswith("======")  # data_encoding::BASE32 pads
+
+    def test_digest_stability_and_distinctness(self):
+        from atra_spark.functions.digest import labeled_xxh128_digest
+
+        a = labeled_xxh128_digest(b"hello world")
+        assert a == labeled_xxh128_digest(b"hello world")
+        assert a != labeled_xxh128_digest(b"hello worle")
+        assert a.startswith("XXH128:") and len(a) == 7 + 32
+
+    def test_warc_records_carry_xxh128(self, spark):
+        from atra_spark.plans.export import _labeled_digest
+
+        assert _labeled_digest(b"payload").startswith("XXH128:")
