@@ -86,7 +86,125 @@ _SAMPLES: dict[str, str] = {
     ),
 }
 
-LANGS = tuple(MARKERS)
+# profile-only languages (round-3 widening toward whatlang's coverage,
+# language_detection.rs:97-253): detection knows them, the fixture
+# generator does not (LANGS below stays the frozen fixture set).
+# Samples are function-word-dense running text written for this repo.
+_EXTRA_SAMPLES: dict[str, str] = {
+    "por": (
+        "o sistema guarda os dados e a tabela não está vazia porque uma "
+        "rede de páginas foi construída com cuidado para que o número de "
+        "palavras fique como texto e não se perca mas as ligações ficam "
+        "na cadeia se o valor de uma página mudar mais tarde e você pode "
+        "ver quem colocou o texto na página sem que os valores sejam "
+        "perdidos pois isso é o que importa quando tudo está guardado"
+    ),
+    "nld": (
+        "het systeem bewaart de gegevens en de tabel is niet leeg omdat "
+        "een netwerk van pagina's met zorg werd gebouwd zodat het aantal "
+        "woorden als tekst blijft en niet verloren gaat maar de links "
+        "blijven in de keten als de waarde van een pagina later verandert "
+        "en je kunt zien wie de tekst op de pagina heeft gezet zonder dat "
+        "de waarden verloren gaan want dat is wat telt"
+    ),
+    "pol": (
+        "system przechowuje dane a tabela nie jest pusta ponieważ sieć "
+        "stron została zbudowana starannie żeby liczba słów pozostała "
+        "jako tekst i nie zginęła ale łącza zostają w łańcuchu jeśli "
+        "wartość strony zmieni się później i można zobaczyć kto umieścił "
+        "tekst na stronie bez utraty wartości bo to jest właśnie to co "
+        "się liczy kiedy wszystko jest zapisane"
+    ),
+    "tur": (
+        "sistem verileri saklar ve tablo boş değildir çünkü sayfalardan "
+        "oluşan bir ağ özenle kuruldu böylece kelime sayısı metin olarak "
+        "kalır ve kaybolmaz ama bağlantılar zincirde kalır eğer bir "
+        "sayfanın değeri daha sonra değişirse ve metni sayfaya kimin "
+        "koyduğunu değerler kaybolmadan görebilirsiniz çünkü her şey "
+        "saklandığında önemli olan budur"
+    ),
+    "ces": (
+        "systém ukládá data a tabulka není prázdná protože síť stránek "
+        "byla pečlivě postavena aby počet slov zůstal jako text a "
+        "neztratil se ale odkazy zůstávají v řetězu pokud se hodnota "
+        "stránky později změní a můžete vidět kdo umístil text na "
+        "stránku aniž by se hodnoty ztratily protože právě to se počítá "
+        "když je všechno uloženo"
+    ),
+    "swe": (
+        "systemet sparar uppgifterna och tabellen är inte tom eftersom "
+        "ett nätverk av sidor byggdes med omsorg så att antalet ord "
+        "stannar som text och inte går förlorat men länkarna stannar i "
+        "kedjan om värdet på en sida ändras senare och du kan se vem som "
+        "satte texten på sidan utan att värdena går förlorade för det är "
+        "vad som räknas när allting är sparat"
+    ),
+    "dan": (
+        "systemet gemmer oplysningerne og tabellen er ikke tom fordi et "
+        "netværk af sider blev bygget med omhu således at antallet af "
+        "ord bliver som tekst og ikke går tabt men henvisningerne bliver "
+        "i kæden hvis værdien af en side ændres senere og du kan se hvem "
+        "der satte teksten på siden uden at værdierne går tabt for det "
+        "er hvad der tæller når alting er gemt"
+    ),
+    "ron": (
+        "sistemul păstrează datele și tabelul nu este gol pentru că o "
+        "rețea de pagini a fost construită cu grijă astfel încât numărul "
+        "de cuvinte să rămână ca text și să nu se piardă dar legăturile "
+        "rămân în lanț dacă valoarea unei pagini se schimbă mai târziu "
+        "și puteți vedea cine a pus textul pe pagină fără ca valorile să "
+        "se piardă pentru că asta contează când totul este păstrat"
+    ),
+    "fin": (
+        "järjestelmä tallentaa tiedot ja taulukko ei ole tyhjä koska "
+        "sivujen verkko rakennettiin huolella jotta sanojen määrä pysyy "
+        "tekstinä eikä katoa mutta linkit pysyvät ketjussa jos sivun "
+        "arvo muuttuu myöhemmin ja voit nähdä kuka laittoi tekstin "
+        "sivulle ilman että arvot katoavat koska sillä on merkitystä "
+        "kun kaikki on tallennettu"
+    ),
+    "hun": (
+        "a rendszer megőrzi az adatokat és a táblázat nem üres mert az "
+        "oldalak hálózata gondosan épült hogy a szavak száma szövegként "
+        "maradjon és ne vesszen el de a hivatkozások a láncban maradnak "
+        "ha egy oldal értéke később megváltozik és láthatod ki tette a "
+        "szöveget az oldalra anélkül hogy az értékek elvesznének mert ez "
+        "számít amikor minden el van mentve"
+    ),
+    "ukr": (
+        "ця система зберігає дані і таблиця не порожня тому що мережа "
+        "сторінок була побудована дбайливо щоб кількість слів залишилася "
+        "як текст і не загубилася але посилання залишаються в ланцюзі "
+        "якщо значення сторінки зміниться пізніше і ви можете побачити "
+        "хто поклав текст на сторінку без втрати значень бо саме це має "
+        "значення коли все збережено"
+    ),
+    "ell": (
+        "το σύστημα φυλάει τα δεδομένα και ο πίνακας δεν είναι άδειος "
+        "γιατί ένα δίκτυο σελίδων χτίστηκε με προσοχή ώστε ο αριθμός των "
+        "λέξεων να μείνει ως κείμενο και να μη χαθεί αλλά οι σύνδεσμοι "
+        "μένουν στην αλυσίδα αν η αξία μιας σελίδας αλλάξει αργότερα και "
+        "μπορείτε να δείτε ποιος έβαλε το κείμενο στη σελίδα χωρίς να "
+        "χαθούν οι αξίες γιατί αυτό μετράει όταν όλα είναι φυλαγμένα"
+    ),
+    "kor": (
+        "이 시스템 은 데이터 를 저장 하고 테이블 은 비어 있지 않습니다 "
+        "왜냐하면 페이지 의 네트워크 가 신중하게 만들어져서 단어 의 수가 "
+        "텍스트 로 남고 사라지지 않기 때문입니다 그러나 링크 는 체인 에 "
+        "남아 있으며 페이지 의 값 이 나중에 바뀌면 누가 텍스트 를 페이지 "
+        "에 넣었는지 값 을 잃지 않고 볼 수 있습니다"
+    ),
+    "ara": (
+        "هذا النظام يحفظ البيانات والجدول ليس فارغا لأن شبكة من الصفحات "
+        "بنيت بعناية حتى يبقى عدد الكلمات كنص ولا يضيع لكن الروابط تبقى "
+        "في السلسلة إذا تغيرت قيمة صفحة لاحقا ويمكنك أن ترى من وضع النص "
+        "على الصفحة دون أن تضيع القيم لأن هذا هو ما يهم عندما يكون كل "
+        "شيء محفوظا"
+    ),
+}
+
+LANGS = tuple(MARKERS)  # frozen fixture set (generator + JVM markers)
+DETECT_LANGS = LANGS + tuple(_EXTRA_SAMPLES)  # full detection coverage
 UND = "und"
 
 _PROFILE_TOP = 300
@@ -120,6 +238,8 @@ def _build_profiles() -> dict[str, dict[str, int]]:
             + FILLER[lang] * 2
         )
         out[lang] = _trigram_ranks(corpus)
+    for lang, sample in _EXTRA_SAMPLES.items():
+        out[lang] = _trigram_ranks(sample)
     return out
 
 
@@ -141,7 +261,7 @@ def detect_lang(text: str | None) -> tuple[str | None, float | None]:
     max_rank = _PROFILE_TOP
     worst = len(doc) * max_rank
     best_lang, best_dist = None, None
-    for lang in LANGS:
+    for lang in DETECT_LANGS:
         prof = _PROFILES[lang]
         d = sum(abs(prof.get(g, max_rank) - r) for g, r in doc.items())
         if best_dist is None or d < best_dist or (d == best_dist and lang < best_lang):

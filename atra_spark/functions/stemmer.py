@@ -1,12 +1,15 @@
-"""Snowball stemmers (English/Porter2 and German), pure Python.
+"""Snowball stemmers (English/Porter2, German, French, Spanish,
+Italian, Russian), pure Python.
 
 The reference tokenizer optionally stems via the rust-stemmers crate
 (text_processing/src/tokenizer.rs:71-77, Snowball algorithms). No
-stemmer library ships in this environment, so the two algorithms the
-reference's own tests exercise (English, German — tokenizer.rs:92-105)
-are implemented here from the published Snowball specifications
-(snowballstem.org). Languages beyond these two fall back to identity
-(declared in COVERAGE.md).
+stemmer library ships in this environment, so six of rust-stemmers'
+algorithms — the two the reference's own tests exercise (English,
+German — tokenizer.rs:92-105) plus the four largest European web
+languages (French, Spanish, Italian, Russian, added round 3) — are
+implemented here from the published Snowball specifications
+(snowballstem.org). Remaining rust-stemmers languages fall back to
+identity (declared in COVERAGE.md).
 
 Pure per-token string functions — used inside Arrow-batched pandas
 UDFs (textstats.tokenize), never as row-at-a-time Spark UDFs.
@@ -308,6 +311,786 @@ def stem_german(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Russian (Snowball spec, snowballstem.org/algorithms/russian/stemmer.html)
+# ---------------------------------------------------------------------------
+_RU_VOWELS = "аеиоуыэюя"
+
+_RU_PERF_GERUND_1 = ("вшись", "вши", "в")          # require preceding а/я
+_RU_PERF_GERUND_2 = ("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")
+_RU_ADJECTIVE = (
+    "ими", "ыми", "его", "ого", "ему", "ому", "ее", "ие", "ые", "ое",
+    "ей", "ий", "ый", "ой", "ем", "им", "ым", "ом", "их", "ых", "ую",
+    "юю", "ая", "яя", "ою", "ею",
+)
+_RU_PARTICIPLE_1 = ("ем", "нн", "вш", "ющ", "щ")   # require preceding а/я
+_RU_PARTICIPLE_2 = ("ивш", "ывш", "ующ")
+_RU_VERB_1 = (                                      # require preceding а/я
+    "ешь", "нно", "ете", "йте", "ла", "на", "ли", "ем", "ло", "но",
+    "ет", "ют", "ны", "ть", "й", "л", "н",
+)
+_RU_VERB_2 = (
+    "ейте", "уйте", "ила", "ыла", "ена", "ите", "или", "ыли", "ило",
+    "ыло", "ено", "ует", "уют", "ены", "ить", "ыть", "ишь", "ует",
+    "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ят", "ит", "ыт", "ую", "ю",
+)
+_RU_NOUN = (
+    "иями", "ями", "ами", "ией", "иям", "ием", "иях", "ия", "ья", "ию",
+    "ью", "ев", "ов", "ие", "ье", "еи", "ии", "ей", "ой", "ий", "ям",
+    "ем", "ам", "ом", "ах", "ях", "ы", "ь", "ю", "я", "а", "е", "и",
+    "й", "о", "у",
+)
+
+
+def _ru_rv_r2(w: str) -> tuple[int, int]:
+    rv = len(w)
+    for i, ch in enumerate(w):
+        if ch in _RU_VOWELS:
+            rv = i + 1
+            break
+    r1 = len(w)
+    for i in range(1, len(w)):
+        if w[i] not in _RU_VOWELS and w[i - 1] in _RU_VOWELS:
+            r1 = i + 1
+            break
+    r2 = len(w)
+    for i in range(r1 + 1, len(w)):
+        if w[i] not in _RU_VOWELS and w[i - 1] in _RU_VOWELS:
+            r2 = i + 1
+            break
+    return rv, r2
+
+
+def _ru_ends(w: str, suf: str, rv: int, need_ay: bool = False) -> bool:
+    """Suffix match entirely inside RV; group-1 endings additionally
+    require а/я immediately before (the а/я also inside RV)."""
+    if not w.endswith(suf) or len(w) - len(suf) < rv:
+        return False
+    if need_ay:
+        i = len(w) - len(suf) - 1
+        return i >= rv and w[i] in "ая"
+    return True
+
+
+def stem_russian(word: str) -> str:
+    """Snowball Russian stemmer (suffix classes in RV, derivational in
+    R2, tidy-up step 4); ё is folded to е first, per the spec note."""
+    w = word.lower().replace("ё", "е")
+    if not any(c in _RU_VOWELS for c in w):
+        return w
+    rv, r2 = _ru_rv_r2(w)
+
+    # step 1: perfective gerund, else [reflexive] adjectival|verb|noun
+    done = False
+    for suf in _RU_PERF_GERUND_2:
+        if _ru_ends(w, suf, rv):
+            w = w[: -len(suf)]
+            done = True
+            break
+    if not done:
+        for suf in _RU_PERF_GERUND_1:
+            if _ru_ends(w, suf, rv, need_ay=True):
+                w = w[: -len(suf)]
+                done = True
+                break
+    if not done:
+        for suf in ("ся", "сь"):
+            if _ru_ends(w, suf, rv):
+                w = w[: -len(suf)]
+                break
+        matched = False
+        for suf in _RU_ADJECTIVE:
+            if _ru_ends(w, suf, rv):
+                w = w[: -len(suf)]
+                matched = True
+                # optional preceding participle
+                for p in _RU_PARTICIPLE_2:
+                    if _ru_ends(w, p, rv):
+                        w = w[: -len(p)]
+                        break
+                else:
+                    for p in _RU_PARTICIPLE_1:
+                        if _ru_ends(w, p, rv, need_ay=True):
+                            w = w[: -len(p)]
+                            break
+                break
+        if not matched:
+            for suf in _RU_VERB_2:
+                if _ru_ends(w, suf, rv):
+                    w = w[: -len(suf)]
+                    matched = True
+                    break
+            if not matched:
+                for suf in _RU_VERB_1:
+                    if _ru_ends(w, suf, rv, need_ay=True):
+                        w = w[: -len(suf)]
+                        matched = True
+                        break
+            if not matched:
+                for suf in _RU_NOUN:
+                    if _ru_ends(w, suf, rv):
+                        w = w[: -len(suf)]
+                        break
+
+    # step 2: final и in RV
+    if _ru_ends(w, "и", rv):
+        w = w[:-1]
+    # step 3: derivational ость/ост in R2
+    for suf in ("ость", "ост"):
+        if w.endswith(suf) and len(w) - len(suf) >= r2:
+            w = w[: -len(suf)]
+            break
+    # step 4: undouble нн | superlative ейш(е) (+ undouble) | drop ь
+    if _ru_ends(w, "нн", rv):
+        w = w[:-1]
+    else:
+        for suf in ("ейше", "ейш"):
+            if _ru_ends(w, suf, rv):
+                w = w[: -len(suf)]
+                if _ru_ends(w, "нн", rv):
+                    w = w[:-1]
+                break
+        else:
+            if _ru_ends(w, "ь", rv):
+                w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Spanish (Snowball spec, snowballstem.org/algorithms/spanish/stemmer.html)
+# ---------------------------------------------------------------------------
+_ES_VOWELS = "aeiouáéíóúü"
+_ES_ACCENT = str.maketrans("áéíóú", "aeiou")
+
+
+def _rv_es(w: str) -> int:
+    """Spanish/Italian RV rule: if the second letter is a consonant,
+    RV = after the next following vowel; if the first two letters are
+    vowels, RV = after the next consonant; else (consonant-vowel) RV =
+    after the third letter; else end of word."""
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _ES_VOWELS:
+        for i in range(2, n):
+            if w[i] in _ES_VOWELS:
+                return i + 1
+        return n
+    if w[0] in _ES_VOWELS and w[1] in _ES_VOWELS:
+        for i in range(2, n):
+            if w[i] not in _ES_VOWELS:
+                return i + 1
+        return n
+    return 3
+
+
+def _r1_r2_generic(w: str, vowels: str) -> tuple[int, int]:
+    r1 = len(w)
+    for i in range(1, len(w)):
+        if w[i] not in vowels and w[i - 1] in vowels:
+            r1 = i + 1
+            break
+    r2 = len(w)
+    for i in range(r1 + 1, len(w)):
+        if w[i] not in vowels and w[i - 1] in vowels:
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+_ES_PRON = ("selas", "selos", "sela", "selo", "las", "les", "los", "nos",
+            "me", "se", "la", "le", "lo")
+_ES_PRON_PRE_A = ("iéndo", "ándo", "ár", "ér", "ír")   # replace accented
+_ES_PRON_PRE_B = ("iendo", "ando", "ar", "er", "ir")
+
+
+def stem_spanish(word: str) -> str:
+    """Snowball Spanish stemmer: attached-pronoun step 0, standard
+    suffixes (R1/R2), y-verbs and verb suffixes in RV, residual step,
+    final de-accenting."""
+    w = word.lower()
+    rv = _rv_es(w)
+    r1, r2 = _r1_r2_generic(w, _ES_VOWELS)
+
+    # step 0: attached pronoun — deleted when pronoun AND the gerund/
+    # infinitive stem ending before it both lie in RV
+    for pron in _ES_PRON:
+        if not (w.endswith(pron) and len(w) - len(pron) >= rv):
+            continue
+        base = w[: -len(pron)]
+        hit = False
+        for pre in _ES_PRON_PRE_A:
+            if base.endswith(pre) and len(base) - len(pre) >= rv:
+                w = base.translate(_ES_ACCENT)
+                hit = True
+                break
+        if not hit:
+            for pre in _ES_PRON_PRE_B:
+                if base.endswith(pre) and len(base) - len(pre) >= rv:
+                    w = base
+                    hit = True
+                    break
+        if not hit and base.endswith("yendo") and "uyendo" in base[-6:]:
+            w = base
+            hit = True
+        if hit:
+            break
+    rv, r1, r2 = min(rv, len(w)), min(r1, len(w)), min(r2, len(w))
+
+    def in_r2(k: int) -> bool:
+        return len(w) - k >= r2
+
+    def in_rv(k: int) -> bool:
+        return len(w) - k >= rv
+
+    # step 1: standard suffixes — longest match across the whole table
+    step1_groups: list[tuple[tuple[str, ...], str]] = [
+        (("amientos", "imientos", "amiento", "imiento", "anzas", "ismos",
+          "ables", "ibles", "istas", "osos", "osas", "anza", "icos", "icas",
+          "ismo", "able", "ible", "ista", "oso", "osa", "ico", "ica"), "del_r2"),
+        (("adoras", "adores", "aciones", "ancias", "adora", "ación", "ador",
+          "antes", "ancia", "ante"), "ador"),
+        (("logías", "logía"), "log"),
+        (("uciones", "ución"), "u"),
+        (("encias", "encia"), "ente"),
+        (("amente",), "amente"),
+        (("mente",), "mente"),
+        (("idades", "idad"), "idad"),
+        (("ivas", "ivos", "iva", "ivo"), "iv"),
+    ]
+    table = sorted(
+        ((s, kind) for sufs, kind in step1_groups for s in sufs),
+        key=lambda t: -len(t[0]),
+    )
+    changed1 = False
+    for suf, kind in table:
+        if not w.endswith(suf):
+            continue
+        k = len(suf)
+        if kind == "del_r2" and in_r2(k):
+            w = w[:-k]
+            changed1 = True
+        elif kind == "ador" and in_r2(k):
+            w = w[:-k]
+            if w.endswith("ic") and len(w) - 2 >= r2:
+                w = w[:-2]
+            changed1 = True
+        elif kind in ("log", "u", "ente") and in_r2(k):
+            w = w[:-k] + kind  # replacement suffix == group name
+            changed1 = True
+        elif kind == "amente" and len(w) - k >= r1:
+            w = w[:-k]
+            if w.endswith("iv") and len(w) - 2 >= r2:
+                w = w[:-2]
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+            else:
+                for p in ("os", "ic", "ad"):
+                    if w.endswith(p) and len(w) - 2 >= r2:
+                        w = w[:-2]
+                        break
+            changed1 = True
+        elif kind == "mente" and in_r2(k):
+            w = w[:-k]
+            for p in ("ante", "able", "ible"):
+                if w.endswith(p) and len(w) - len(p) >= r2:
+                    w = w[: -len(p)]
+                    break
+            changed1 = True
+        elif kind == "idad" and in_r2(k):
+            w = w[:-k]
+            for p in ("abil", "ic", "iv"):
+                if w.endswith(p) and len(w) - len(p) >= r2:
+                    w = w[: -len(p)]
+                    break
+            changed1 = True
+        elif kind == "iv" and in_r2(k):
+            w = w[:-k]
+            if w.endswith("at") and len(w) - 2 >= r2:
+                w = w[:-2]
+            changed1 = True
+        break
+
+    rv = min(rv, len(w))
+    changed2 = False
+    if not changed1:
+        # step 2a: verb suffixes beginning y, preceded by u
+        for suf in ("yeron", "yendo", "yamos", "yais", "yan", "yen", "yas",
+                    "yes", "ya", "ye", "yo", "yó"):
+            if w.endswith(suf) and len(w) - len(suf) >= rv:
+                if len(w) - len(suf) >= 1 and w[len(w) - len(suf) - 1] == "u":
+                    w = w[: -len(suf)]
+                    changed2 = True
+                break
+        if not changed2:
+            # step 2b: other verb suffixes in RV
+            gu_set = ("en", "es", "éis", "emos")
+            for suf in sorted((
+                "aríamos", "eríamos", "iríamos", "iéramos", "iésemos",
+                "aríais", "aseis", "eríais", "iríais", "ieseis", "asteis",
+                "isteis", "ábamos", "áramos", "ásemos", "arían", "arías",
+                "aréis", "erían", "erías", "eréis", "irían", "irías",
+                "iréis", "ieran", "iesen", "ieron", "iendo", "ieras",
+                "ieses", "abais", "arais", "íamos", "emos", "arán", "arás",
+                "aría", "erán", "erás", "ería", "irán", "irás", "iría",
+                "iera", "iese", "aste", "iste", "aban", "aran", "asen",
+                "aron", "ando", "abas", "adas", "idas", "aras", "ases",
+                "íais", "ados", "idos", "amos", "imos", "ará", "aré",
+                "erá", "eré", "irá", "iré", "aba", "ada", "ida", "ara",
+                "ase", "ían", "ado", "ido", "ías", "áis", "éis", "ía",
+                "ad", "ed", "id", "an", "ió", "ar", "er", "ir", "as",
+                "ís", "en", "es",
+            ), key=len, reverse=True):
+                if w.endswith(suf) and len(w) - len(suf) >= rv:
+                    w = w[: -len(suf)]
+                    if suf in gu_set and w.endswith("gu"):
+                        w = w[:-1]
+                    changed2 = True
+                    break
+
+    rv = min(rv, len(w))
+    # step 3: residual suffix
+    for suf in ("os", "a", "o", "á", "í", "ó"):
+        if w.endswith(suf) and len(w) - len(suf) >= rv:
+            w = w[: -len(suf)]
+            break
+    else:
+        for suf in ("e", "é"):
+            if w.endswith(suf) and len(w) - 1 >= rv:
+                w = w[:-1]
+                if w.endswith("gu") and len(w) - 1 >= rv:
+                    w = w[:-1]
+                break
+
+    return w.translate(_ES_ACCENT)
+
+
+# ---------------------------------------------------------------------------
+# Italian (Snowball spec, snowballstem.org/algorithms/italian/stemmer.html)
+# ---------------------------------------------------------------------------
+_IT_VOWELS = "aeiouàèìòù"
+_IT_PRE_ACCENT = str.maketrans("áéíóú", "àèìòù")
+_IT_PRON = (
+    "gliela", "gliele", "glieli", "glielo", "gliene", "sene",
+    "mela", "mele", "meli", "melo", "mene", "tela", "tele", "teli",
+    "telo", "tene", "cela", "cele", "celi", "celo", "cene", "vela",
+    "vele", "veli", "velo", "vene", "gli", "ci", "la", "le", "li",
+    "lo", "mi", "ne", "si", "ti", "vi",
+)
+
+
+def stem_italian(word: str) -> str:
+    """Snowball Italian stemmer: attached pronouns (step 0), standard
+    suffixes, verb suffixes in RV, residual vowel + ch/gh step."""
+    w = word.lower().translate(_IT_PRE_ACCENT)
+    # mark u/i between vowels as consonants; u after q
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "ui" and chars[i - 1] in _IT_VOWELS and chars[i + 1] in _IT_VOWELS:
+            chars[i] = chars[i].upper()
+    for i in range(1, len(chars)):
+        if chars[i] == "u" and chars[i - 1] == "q":
+            chars[i] = "U"
+    w = "".join(chars)
+    rv = _rv_it(w)
+    r1, r2 = _r1_r2_generic(w.lower(), _IT_VOWELS)
+
+    # step 0: attached pronoun after -ando/-endo (delete) or -ar/-er/
+    # -ir (replace with e), stem ending in RV
+    for pron in sorted(_IT_PRON, key=len, reverse=True):
+        if not (w.endswith(pron) and len(w) - len(pron) >= rv):
+            continue
+        base = w[: -len(pron)]
+        if base.endswith(("ando", "endo")) and len(base) - 4 >= rv:
+            w = base
+        elif base.endswith(("ar", "er", "ir")) and len(base) - 2 >= rv:
+            w = base + "e"
+        break
+
+    def in_r2(k: int) -> bool:
+        return len(w) - k >= r2
+
+    rv, r1, r2 = min(rv, len(w)), min(r1, len(w)), min(r2, len(w))
+    # step 1: standard suffixes (longest match across table)
+    groups: list[tuple[tuple[str, ...], str]] = [
+        (("atrice", "atrici", "mente", "anza", "anze", "ico", "ici", "ica",
+          "ice", "iche", "ichi", "ismo", "ismi", "abile", "abili", "ibile",
+          "ibili", "ista", "iste", "isti", "istà", "istè", "istì", "oso",
+          "osi", "osa", "ose", "ante", "anti"), "del_r2"),
+        (("azione", "azioni", "atore", "atori"), "azione"),
+        (("logia", "logie"), "log"),
+        (("uzione", "uzioni", "usione", "usioni"), "u"),
+        (("enza", "enze"), "ente"),
+        (("amento", "amenti", "imento", "imenti"), "del_rv"),
+        (("amente",), "amente"),
+        (("ità",), "ita"),
+        (("ivo", "ivi", "iva", "ive"), "iv"),
+    ]
+    table = sorted(
+        ((s, kind) for sufs, kind in groups for s in sufs), key=lambda t: -len(t[0])
+    )
+    changed1 = False
+    for suf, kind in table:
+        if not w.endswith(suf):
+            continue
+        k = len(suf)
+        if kind == "del_r2" and in_r2(k):
+            w = w[:-k]
+            changed1 = True
+        elif kind == "azione" and in_r2(k):
+            w = w[:-k]
+            if w.endswith("ic") and len(w) - 2 >= r2:
+                w = w[:-2]
+            changed1 = True
+        elif kind in ("log", "u", "ente") and in_r2(k):
+            w = w[:-k] + {"log": "log", "u": "u", "ente": "ente"}[kind]
+            changed1 = True
+        elif kind == "del_rv" and len(w) - k >= rv:
+            w = w[:-k]
+            changed1 = True
+        elif kind == "amente" and len(w) - k >= r1:
+            w = w[:-k]
+            if w.endswith("iv") and len(w) - 2 >= r2:
+                w = w[:-2]
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+            else:
+                for p in ("os", "ic", "abil"):
+                    if w.endswith(p) and len(w) - len(p) >= r2:
+                        w = w[: -len(p)]
+                        break
+            changed1 = True
+        elif kind == "ita" and in_r2(k):
+            w = w[:-k]
+            for p in ("abil", "ic", "iv"):
+                if w.endswith(p) and len(w) - len(p) >= r2:
+                    w = w[: -len(p)]
+                    break
+            changed1 = True
+        elif kind == "iv" and in_r2(k):
+            w = w[:-k]
+            if w.endswith("at") and len(w) - 2 >= r2:
+                w = w[:-2]
+                if w.endswith("ic") and len(w) - 2 >= r2:
+                    w = w[:-2]
+            changed1 = True
+        break
+
+    rv = min(rv, len(w))
+    # step 2: verb suffixes (only if step 1 removed nothing)
+    if not changed1:
+        for suf in sorted((
+            "erebbero", "irebbero", "assero", "assimo", "eranno", "erebbe",
+            "eremmo", "ereste", "eresti", "essero", "iranno", "irebbe",
+            "iremmo", "ireste", "iresti", "iscano", "iscono", "issero",
+            "arono", "avamo", "avano", "avate", "eremo", "erete", "erono",
+            "evamo", "evano", "evate", "iremo", "irete", "irono", "ivamo",
+            "ivano", "ivate", "ammo", "ando", "asse", "assi", "emmo",
+            "enda", "ende", "endi", "endo", "erai", "erei", "Yamo", "iamo",
+            "immo", "irai", "irei", "isca", "isce", "isci", "isco", "ano",
+            "are", "ata", "ate", "ati", "ato", "ava", "avi", "avo", "erà",
+            "ere", "erò", "ete", "eva", "evi", "evo", "irà", "ire", "irò",
+            "ita", "ite", "iti", "ito", "iva", "ivi", "ivo", "ono", "uta",
+            "ute", "uti", "uto", "ar", "ir",
+        ), key=len, reverse=True):
+            if w.endswith(suf) and len(w) - len(suf) >= rv:
+                w = w[: -len(suf)]
+                break
+
+    rv = min(rv, len(w))
+    # step 3a: final vowel (and a preceding i) in RV
+    for suf in ("a", "e", "i", "o", "à", "è", "ì", "ò"):
+        if w.endswith(suf) and len(w) - 1 >= rv:
+            w = w[:-1]
+            if w.endswith("i") and len(w) - 1 >= rv:
+                w = w[:-1]
+            break
+    # step 3b: ch/gh -> c/g in RV
+    if w.endswith(("ch", "gh")) and len(w) - 1 >= rv:
+        w = w[:-1]
+
+    return w.lower()
+
+
+def _rv_it(w: str) -> int:
+    """Italian RV uses the Spanish rule over Italian vowels (marked
+    U/I count as consonants)."""
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _IT_VOWELS:
+        for i in range(2, n):
+            if w[i] in _IT_VOWELS:
+                return i + 1
+        return n
+    if w[0] in _IT_VOWELS and w[1] in _IT_VOWELS:
+        for i in range(2, n):
+            if w[i] not in _IT_VOWELS:
+                return i + 1
+        return n
+    return 3
+
+
+# ---------------------------------------------------------------------------
+# French (Snowball spec, snowballstem.org/algorithms/french/stemmer.html)
+# ---------------------------------------------------------------------------
+_FR_VOWELS = "aeiouyâàëéêèïîôûù"
+
+
+def _fr_mark(w: str) -> str:
+    """Pre-step: u/i between vowels, y next to a vowel, and u after q
+    are marked as consonants (upper-cased)."""
+    chars = list(w)
+    n = len(chars)
+    for i in range(n):
+        c = chars[i]
+        prev_v = i > 0 and chars[i - 1].lower() in _FR_VOWELS
+        next_v = i + 1 < n and chars[i + 1].lower() in _FR_VOWELS
+        if c in "ui" and prev_v and next_v:
+            chars[i] = c.upper()
+        elif c == "y" and (prev_v or next_v):
+            chars[i] = "Y"
+        elif c == "u" and i > 0 and chars[i - 1] == "q":
+            chars[i] = "U"
+    return "".join(chars)
+
+
+def _fr_rv(w: str) -> int:
+    lw = w.lower()
+    for pre in ("par", "col", "tap"):
+        if lw.startswith(pre):
+            return 3
+    if len(lw) >= 3 and lw[0] in _FR_VOWELS and lw[1] in _FR_VOWELS:
+        return 3
+    for i in range(1, len(lw)):
+        if lw[i] in _FR_VOWELS:
+            return i + 1
+    return len(lw)
+
+
+_FR_STEP1 = sorted((
+    "issements", "issement", "atrices", "atrice", "ateurs", "ations",
+    "logies", "usions", "utions", "ements", "amment", "emment", "ments",
+    "ances", "iqUes", "ismes", "ables", "istes", "ateur", "ation",
+    "logie", "usion", "ution", "ences", "ement", "euses", "ance", "iqUe",
+    "isme", "able", "iste", "ence", "ités", "ives", "eaux", "euse",
+    "ment", "eux", "ité", "ive", "ifs", "aux", "if",
+), key=len, reverse=True)
+
+_FR_STEP2A = sorted((
+    "issaIent", "issantes", "iraIent", "issante", "issants", "issions",
+    "irions", "issais", "issait", "issant", "issent", "issiez", "issons",
+    "irais", "irait", "irent", "iriez", "irons", "iront", "isses",
+    "issez", "îmes", "îtes", "irai", "iras", "irez", "isse", "ies", "ira",
+    "ît", "ie", "ir", "is", "it", "i",
+), key=len, reverse=True)
+
+_FR_STEP2B_ER = (
+    "eraIent", "erions", "èrent", "erais", "erait", "eriez", "erons",
+    "eront", "erai", "eras", "erez", "ées", "era", "iez", "ée", "és",
+    "er", "ez", "é",
+)
+_FR_STEP2B_A = (
+    "assions", "assiez", "assent", "aIent", "antes", "asses", "âmes",
+    "âtes", "ante", "ants", "asse", "ais", "ait", "ant", "ât", "ai",
+    "as", "a",
+)
+
+
+def stem_french(word: str) -> str:
+    """Snowball French stemmer: standard-suffix step 1 with its
+    sub-rules, verb steps 2a/2b, residual step 4, undoubling and
+    un-accenting."""
+    w = _fr_mark(word.lower())
+    rv = _fr_rv(w)
+    r1, r2 = _r1_r2_generic(w.lower(), _FR_VOWELS)
+
+    def L(k: int) -> int:
+        return len(w) - k
+
+    step1_changed = False
+    found_ment = False
+    # ---- step 1 (longest match) ----
+    for suf in _FR_STEP1:
+        if not w.endswith(suf):
+            continue
+        k = len(suf)
+        if suf in ("ance", "iqUe", "isme", "able", "iste", "eux",
+                   "ances", "iqUes", "ismes", "ables", "istes"):
+            if L(k) >= r2:
+                w = w[:-k]
+                step1_changed = True
+        elif suf in ("atrice", "ateur", "ation", "atrices", "ateurs", "ations"):
+            if L(k) >= r2:
+                w = w[:-k]
+                step1_changed = True
+                if w.endswith("ic"):
+                    if len(w) - 2 >= r2:
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif suf in ("logie", "logies"):
+            if L(k) >= r2:
+                w = w[:-k] + "log"
+                step1_changed = True
+        elif suf in ("usion", "ution", "usions", "utions"):
+            if L(k) >= r2:
+                w = w[:-k] + "u"
+                step1_changed = True
+        elif suf in ("ence", "ences"):
+            if L(k) >= r2:
+                w = w[:-k] + "ent"
+                step1_changed = True
+        elif suf in ("ement", "ements"):
+            if L(k) >= rv:
+                w = w[:-k]
+                step1_changed = True
+                if w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                elif w.endswith("eus"):
+                    if len(w) - 3 >= r2:
+                        w = w[:-3]
+                    elif len(w) - 3 >= r1:
+                        w = w[:-3] + "eux"
+                elif w.endswith(("abl", "iqU")) and len(w) - 3 >= r2:
+                    w = w[:-3]
+                elif w.endswith(("ièr", "Ièr")) and len(w) - 3 >= rv:
+                    w = w[:-3] + "i"
+        elif suf in ("ité", "ités"):
+            if L(k) >= r2:
+                w = w[:-k]
+                step1_changed = True
+                if w.endswith("abil"):
+                    if len(w) - 4 >= r2:
+                        w = w[:-4]
+                    else:
+                        w = w[:-4] + "abl"
+                elif w.endswith("ic"):
+                    if len(w) - 2 >= r2:
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+                elif w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif suf in ("if", "ive", "ifs", "ives"):
+            if L(k) >= r2:
+                w = w[:-k]
+                step1_changed = True
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("ic"):
+                        if len(w) - 2 >= r2:
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+        elif suf == "eaux":
+            w = w[:-4] + "eau"
+            step1_changed = True
+        elif suf == "aux":
+            if L(k) >= r1:
+                w = w[:-3] + "al"
+                step1_changed = True
+        elif suf in ("euse", "euses"):
+            if L(k) >= r2:
+                w = w[:-k]
+                step1_changed = True
+            elif L(k) >= r1:
+                w = w[:-k] + "eux"
+                step1_changed = True
+        elif suf in ("issement", "issements"):
+            if L(k) >= r1 and L(k) >= 1 and w[L(k) - 1].lower() not in _FR_VOWELS:
+                w = w[:-k]
+                step1_changed = True
+        elif suf == "amment":
+            if L(k) >= rv:
+                w = w[:-k] + "ant"
+                found_ment = True
+        elif suf == "emment":
+            if L(k) >= rv:
+                w = w[:-k] + "ent"
+                found_ment = True
+        elif suf in ("ment", "ments"):
+            if L(k) >= 1 and w[L(k) - 1].lower() in _FR_VOWELS and L(k) - 1 >= rv:
+                w = w[:-k]
+                found_ment = True
+        break
+
+    # ---- step 2a: verb suffixes beginning i (if step 1 did nothing,
+    # or it matched one of the ment-family endings) ----
+    did_2 = False
+    if not step1_changed or found_ment:
+        for suf in _FR_STEP2A:
+            if w.endswith(suf) and L(len(suf)) >= rv:
+                j = L(len(suf)) - 1
+                if j >= rv and w[j].lower() not in _FR_VOWELS:
+                    w = w[: -len(suf)]
+                    did_2 = True
+                break
+        if not did_2:
+            # ---- step 2b ----
+            for suf in sorted(
+                ("ions",) + _FR_STEP2B_ER + _FR_STEP2B_A, key=len, reverse=True
+            ):
+                if not w.endswith(suf):
+                    continue
+                k = len(suf)
+                if suf == "ions":
+                    if L(k) >= r2:
+                        w = w[:-k]
+                        did_2 = True
+                elif suf in _FR_STEP2B_ER:
+                    if L(k) >= rv:
+                        w = w[:-k]
+                        did_2 = True
+                else:  # a-family
+                    if L(k) >= rv:
+                        w = w[:-k]
+                        did_2 = True
+                        if w.endswith("e") and len(w) - 1 >= rv:
+                            w = w[:-1]
+                break
+
+    altered = step1_changed or did_2
+    if altered:
+        # ---- step 3 ----
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # ---- step 4 ----
+        if w.endswith("s") and len(w) >= 2 and w[-2].lower() not in "aiouès":
+            w = w[:-1]
+        if w.endswith("ion") and len(w) - 3 >= r2 and len(w) >= 4 and w[-4] in "st":
+            w = w[:-3]
+        else:
+            for suf in ("ière", "Ière", "ier", "Ier"):
+                if w.endswith(suf) and len(w) - len(suf) >= rv:
+                    w = w[: -len(suf)] + "i"
+                    break
+            else:
+                if w.endswith("e") and len(w) - 1 >= rv:
+                    w = w[:-1]
+                elif w.endswith("ë") and len(w) - 1 >= rv and w[-3:-1] == "gu":
+                    w = w[:-1]
+
+    # ---- step 5: undouble ----
+    if w.endswith(("enn", "onn", "ett", "ell", "eill")):
+        w = w[:-1]
+    # ---- step 6: un-accent é/è before a final consonant run ----
+    i = len(w) - 1
+    run = 0
+    while i >= 0 and w[i].lower() not in _FR_VOWELS:
+        i -= 1
+        run += 1
+    if run > 0 and i >= 0 and w[i] in "éè":
+        w = w[:i] + "e" + w[i + 1:]
+
+    return w.lower()
+
+
+# ---------------------------------------------------------------------------
 # Snowball stopword lists (published with the Snowball project; the
 # reference's iso_stopwords registry serves the same per-language role,
 # stopword_registry.rs — list provenance declared in COVERAGE.md)
@@ -350,11 +1133,71 @@ SNOWBALL_STOPWORDS: dict[str, frozenset[str]] = {
         würden zu zum zur zwar zwischen
     """.split()),
 }
+SNOWBALL_STOPWORDS["french"] = frozenset("""
+    au aux avec ce ces dans de des du elle en et eux il ils je la le les
+    leur lui ma mais me même mes moi mon ne nos notre nous on ou par pas
+    pour qu que qui sa se ses son sur ta te tes toi ton tu un une vos
+    votre vous c d j l à m n s t y été étée étées étés étant suis es est
+    sommes êtes sont serai seras sera serons serez seront serais serait
+    serions seriez seraient étais était étions étiez étaient fus fut
+    fûmes fûtes furent sois soit soyons soyez soient fusse fusses fût
+    fussions fussiez fussent ayant eu eue eues eus ai as avons avez ont
+    aurai auras aura aurons aurez auront aurais aurait aurions auriez
+    auraient avais avait avions aviez avaient eut eûmes eûtes eurent aie
+    aies ait ayons ayez aient eusse eusses eût eussions eussiez eussent
+""".split())
+SNOWBALL_STOPWORDS["spanish"] = frozenset("""
+    de la que el en y a los del se las por un para con no una su al lo
+    como más pero sus le ya o este sí porque esta entre cuando muy sin
+    sobre también me hasta hay donde quien desde todo nos durante todos
+    uno les ni contra otros ese eso ante ellos e esto mí antes algunos
+    qué unos yo otro otras otra él tanto esa estos mucho quienes nada
+    muchos cual poco ella estar estas algunas algo nosotros mi mis tú te
+    ti tu tus ellas nosotras vosotros vosotras os mío mía míos mías tuyo
+    tuya tuyos tuyas suyo suya suyos suyas nuestro nuestra nuestros
+    nuestras vuestro vuestra vuestros vuestras esos esas estoy estás
+    está estamos estáis están es son soy eres somos sois era eras éramos
+    erais eran fui fuiste fue fuimos fuisteis fueron he has ha hemos
+    habéis han
+""".split())
+SNOWBALL_STOPWORDS["italian"] = frozenset("""
+    ad al allo ai agli all agl alla alle con col coi da dal dallo dai
+    dagli dall dagl dalla dalle di del dello dei degli dell degl della
+    delle in nel nello nei negli nell negl nella nelle su sul sullo sui
+    sugli sull sugl sulla sulle per tra contro io tu lui lei noi voi
+    loro mio mia miei mie tuo tua tuoi tue suo sua suoi sue nostro
+    nostra nostri nostre vostro vostra vostri vostre mi ti ci vi lo la
+    li le gli ne il un uno una ma ed se perché anche come dov dove che
+    chi cui non più quale quanto quanti quanta quante quello quelli
+    quella quelle questo questi questa queste si tutto tutti a c e i l
+    o ho hai ha abbiamo avete hanno sono sei è siamo siete era erano
+""".split())
+SNOWBALL_STOPWORDS["russian"] = frozenset("""
+    и в во не что он на я с со как а то все она так его но да ты к у же
+    вы за бы по только ее мне было вот от меня еще нет о из ему теперь
+    когда даже ну вдруг ли если уже или ни быть был него до вас нибудь
+    опять уж вам ведь там потом себя ничего ей может они тут где есть
+    надо ней для мы тебя их чем была сам чтоб без будто чего раз тоже
+    себе под будет ж тогда кто этот того потому этого какой совсем ним
+    здесь этом один почти мой тем чтобы нее сейчас были куда зачем всех
+    никогда можно при наконец два об другой хоть после над больше тот
+    через эти нас про всего них какая много разве три эту моя впрочем
+    хорошо свою этой перед иногда лучше чуть том нельзя такой им более
+    всегда конечно всю между это
+""".split())
 SNOWBALL_STOPWORDS["eng"] = SNOWBALL_STOPWORDS["english"]
 SNOWBALL_STOPWORDS["deu"] = SNOWBALL_STOPWORDS["german"]
+SNOWBALL_STOPWORDS["fra"] = SNOWBALL_STOPWORDS["french"]
+SNOWBALL_STOPWORDS["spa"] = SNOWBALL_STOPWORDS["spanish"]
+SNOWBALL_STOPWORDS["ita"] = SNOWBALL_STOPWORDS["italian"]
+SNOWBALL_STOPWORDS["rus"] = SNOWBALL_STOPWORDS["russian"]
 
 STEMMERS = {"english": stem_english, "eng": stem_english,
-            "german": stem_german, "deu": stem_german}
+            "german": stem_german, "deu": stem_german,
+            "french": stem_french, "fra": stem_french,
+            "spanish": stem_spanish, "spa": stem_spanish,
+            "italian": stem_italian, "ita": stem_italian,
+            "russian": stem_russian, "rus": stem_russian}
 
 
 def get_stemmer(name: str | None):

@@ -224,3 +224,51 @@ class TestGoldenParity:
             assert dom_text == golden_text, f"text mismatch for {url}"
             assert links == fixture_set.golden_links[url], f"links mismatch for {url}"
             assert detect_lang(dom_text)[0] == golden_lang, f"lang mismatch for {url}"
+
+
+class TestLangIdWidening:
+    """Round-3 widening: 14 profile-only languages on top of the 7
+    fixture languages (whatlang coverage direction,
+    language_detection.rs:97-253). Held-out sentences (NOT the profile
+    samples) must classify correctly — including the hard pairs
+    por/spa, swe/dan, rus/ukr, pol/ces."""
+
+    HELD_OUT = {
+        "por": "as páginas foram guardadas porque você não quer perder o texto mas também as ligações que estão na rede",
+        "nld": "de pagina's werden bewaard omdat je de tekst niet wilt verliezen maar ook de links die in het netwerk staan",
+        "pol": "strony zostały zapisane ponieważ nie chcesz stracić tekstu ale także łączy które są w sieci",
+        "tur": "sayfalar kaydedildi çünkü metni kaybetmek istemiyorsunuz ama ağdaki bağlantıları da",
+        "ces": "stránky byly uloženy protože nechcete ztratit text ale také odkazy které jsou v síti",
+        "swe": "sidorna sparades eftersom du inte vill förlora texten men också länkarna som finns i nätverket",
+        "dan": "siderne blev gemt fordi du ikke vil miste teksten men også henvisningerne der er i netværket",
+        "ron": "paginile au fost păstrate pentru că nu vrei să pierzi textul dar și legăturile care sunt în rețea",
+        "fin": "sivut tallennettiin koska et halua menettää tekstiä mutta myös linkit jotka ovat verkossa",
+        "hun": "az oldalakat elmentették mert nem akarod elveszíteni a szöveget de a hivatkozásokat sem amelyek a hálózatban vannak",
+        "ukr": "сторінки були збережені тому що ви не хочете втратити текст але також посилання які є в мережі",
+        "ell": "οι σελίδες φυλάχτηκαν γιατί δεν θέλετε να χάσετε το κείμενο αλλά και τους συνδέσμους που είναι στο δίκτυο",
+        "kor": "페이지 가 저장 되었습니다 왜냐하면 텍스트 를 잃고 싶지 않기 때문입니다",
+        "ara": "تم حفظ الصفحات لأنك لا تريد أن تفقد النص ولكن أيضا الروابط التي في الشبكة",
+    }
+
+    def test_profile_count(self):
+        from atra_spark.functions.langdata import DETECT_LANGS, LANGS
+
+        assert len(LANGS) == 7  # frozen fixture set untouched
+        assert len(DETECT_LANGS) == 21
+
+    def test_held_out_sentences(self):
+        for lang, text in self.HELD_OUT.items():
+            got, conf = detect_lang(text)
+            assert got == lang, f"{lang} -> {got}"
+            assert conf and conf > 0.3
+
+    def test_multilingual_mixed_document_dominant_lang(self):
+        """A document that is mostly Portuguese with an English quote
+        resolves to the dominant language."""
+        text = (
+            self.HELD_OUT["por"] + " "
+            + self.HELD_OUT["por"] + " "
+            + "the quick survey shows that this page links data"
+        )
+        got, _ = detect_lang(text)
+        assert got == "por"

@@ -81,7 +81,9 @@ class TestRegistry:
         assert get_stemmer("deu")("katzen") == "katz"
 
     def test_unknown_language_identity_lowercase(self):
-        assert get_stemmer("fra")("Mangées") == "mangées"
+        # french gained a real stemmer in round 3; polish remains the
+        # declared identity fallback
+        assert get_stemmer("pol")("Stronami") == "stronami"
 
     def test_none(self):
         assert get_stemmer(None) is None
@@ -107,3 +109,110 @@ class TestTokenizerIntegration:
     def test_stopword_lists_nonempty(self):
         assert len(SNOWBALL_STOPWORDS["english"]) > 100
         assert len(SNOWBALL_STOPWORDS["german"]) > 150
+
+
+class TestRussian:
+    """Snowball Russian vectors, hand-traced from the published spec
+    (perfective gerund / adjectival / verb / noun classes in RV,
+    derivational ость in R2, step-4 tidy-up)."""
+
+    VECTORS = {
+        "книга": "книг", "книги": "книг", "книгами": "книг",
+        "делав": "дела", "сделавшись": "сдела",
+        "красивый": "красив", "красивая": "красив", "красивыми": "красив",
+        "читала": "чита", "читают": "чита", "читать": "чита",
+        "университет": "университет", "университета": "университет",
+        "скорость": "скорост", "скоростью": "скорост",
+        "важность": "важност", "важнейший": "важн",
+        "жизнь": "жизн", "программирование": "программирован",
+        "новостей": "новост", "ёлка": "елк",
+    }
+
+    def test_vectors(self):
+        from atra_spark.functions.stemmer import stem_russian
+
+        for w, s in self.VECTORS.items():
+            assert stem_russian(w) == s, (w, stem_russian(w), s)
+
+
+class TestFrench:
+    VECTORS = {
+        "continuation": "continu", "continuer": "continu",
+        "majestueux": "majestu", "nationale": "national",
+        "nations": "nation", "logique": "logiqu", "logiques": "logiqu",
+        "éléments": "élément", "important": "import",
+        "importantes": "import", "librement": "libr",
+        "parlaient": "parl", "finissait": "fin",
+        "volontairement": "volontair", "sérieuse": "sérieux",
+        "sérieusement": "sérieux", "nourrissement": "nourr",
+    }
+
+    def test_vectors(self):
+        from atra_spark.functions.stemmer import stem_french
+
+        for w, s in self.VECTORS.items():
+            assert stem_french(w) == s, (w, stem_french(w), s)
+
+
+class TestSpanish:
+    VECTORS = {
+        "caminando": "camin", "bebiendo": "beb",
+        "comiéndoselo": "com", "torturadora": "tortur",
+        "nacional": "nacional", "nacionales": "nacional",
+        "importante": "import", "facilidad": "facil",
+        "felicidades": "felic", "rápidamente": "rapid",
+        "generosidad": "gener", "cantando": "cant",
+        "llegaron": "lleg", "viviendo": "viv",
+        "lógica": "logic", "programación": "program",
+    }
+
+    def test_vectors(self):
+        from atra_spark.functions.stemmer import stem_spanish
+
+        for w, s in self.VECTORS.items():
+            assert stem_spanish(w) == s, (w, stem_spanish(w), s)
+
+
+class TestItalian:
+    VECTORS = {
+        "abbandonare": "abbandon", "abbandonati": "abbandon",
+        "nazionale": "nazional", "nazionali": "nazional",
+        "logica": "logic", "importante": "import",
+        "felicità": "felic", "velocemente": "veloc",
+        "mangiando": "mang", "parlavano": "parl",
+        "costruzione": "costruzion", "bellissimo": "bellissim",
+    }
+
+    def test_vectors(self):
+        from atra_spark.functions.stemmer import stem_italian
+
+        for w, s in self.VECTORS.items():
+            assert stem_italian(w) == s, (w, stem_italian(w), s)
+
+
+class TestNewRegistryEntries:
+    def test_iso_codes_resolve(self):
+        from atra_spark.functions.stemmer import get_stemmer
+
+        assert get_stemmer("fra")("nations") == "nation"
+        assert get_stemmer("spa")("cantando") == "cant"
+        assert get_stemmer("ita")("logica") == "logic"
+        assert get_stemmer("rus")("книги") == "книг"
+
+    def test_stopword_lists_nonempty_new(self):
+        from atra_spark.functions.stemmer import SNOWBALL_STOPWORDS
+
+        for lang in ("french", "spanish", "italian", "russian"):
+            assert len(SNOWBALL_STOPWORDS[lang]) > 80, lang
+
+    def test_conflation_classes(self):
+        """Inflection families map to one stem (the property TF-IDF
+        and GDBR rely on)."""
+        from atra_spark.functions.stemmer import (
+            stem_french, stem_italian, stem_russian, stem_spanish,
+        )
+
+        assert len({stem_french(w) for w in ("continuer", "continuation")}) == 1
+        assert len({stem_spanish(w) for w in ("nacional", "nacionales")}) == 1
+        assert len({stem_italian(w) for w in ("abbandonare", "abbandonati")}) == 1
+        assert len({stem_russian(w) for w in ("книга", "книги", "книгами")}) == 1
