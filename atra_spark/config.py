@@ -53,7 +53,7 @@ class CrawlConfig:
     # recrawl (recrawl_management): None disables
     recrawl_interval_s: int | None = None
 
-    # seen-index maintenance: merge each bucket's URL delta chain into
+    # seen-index maintenance: merge each bucket's hash-delta chain into
     # one file every k rounds (RocksDB compaction analog; 0 = never).
     # Between compactions the chain grows by one small file per round.
     seen_compact_every: int = 8

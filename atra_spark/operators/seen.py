@@ -165,16 +165,32 @@ def aggregate_candidates(
     merges, where map-side combine cannot reduce) and for the plan
     test that pins its shape.
 
-    Expects columns: url, host, ``DEPTH_COLS``.
+    The relation is deliberately NARROW — ``url`` plus the three
+    depth longs, nothing else (bandwidth diet for the frontier
+    stage's DRAM-bound shuffle): ``host`` is the URL's PSL origin, a
+    pure function of the url string, so the engine recomputes it
+    AFTER the seen-filter on the (much smaller) surviving new-URL set
+    instead of shipping a second string through the exchange. A
+    string aggregate here would also demote the plan from
+    HashAggregate to SortAggregate (var-length agg buffers), losing
+    the map-side combine economics. Grouping by ``url`` alone makes
+    the exchange hash-partition by url, which is exactly the bucket
+    routing of the SeenIndex probe downstream (``pmod(hash(url),
+    P)``): with spark.sql.shuffle.partitions == num_buckets the probe
+    consumes this agg's output partitioning directly and the frontier
+    stage pays ONE exchange total.
+
+    Expects columns: url, ``DEPTH_COLS``; any other column (e.g.
+    host) is dropped by the grouping.
     """
     aggs = [F.min(c).alias(c) for c in DEPTH_COLS]
     if num_salts <= 1:
-        return exploded_links.groupBy("url", "host").agg(*aggs)
+        return exploded_links.groupBy("url").agg(*aggs)
     partial = (
         exploded_links.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col("url")) + F.spark_partition_id(), F.lit(num_salts))
         )
-        .groupBy("url", "host", "_salt")
+        .groupBy("url", "_salt")
         .agg(*aggs)
     )
-    return partial.groupBy("url", "host").agg(*aggs)
+    return partial.groupBy("url").agg(*aggs)

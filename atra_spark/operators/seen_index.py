@@ -1,4 +1,4 @@
-"""Persistent per-bucket seen-set membership index (bloom + URL deltas).
+"""Persistent per-bucket seen-set membership index (bloom + hash deltas).
 
 The reference answers "have I seen this URL?" with RocksDB point
 lookups: an in-block bloom check first, then the exact key lookup
@@ -7,28 +7,40 @@ get in link_state/db.rs). This module is that storage engine mapped
 onto Spark's execution model:
 
 - the URL universe is split into ``num_buckets`` buckets by
-  ``pmod(xxhash64(url), B)`` (same JVM hash the probe uses, so build
-  and probe agree bit-for-bit);
+  ``pmod(hash(url), B)`` — Spark's OWN hash-partitioning assignment
+  (Murmur3, seed 42). With B equal to the shuffle partition count,
+  the output partitioning of the upstream ``groupBy(url)`` candidate
+  aggregation IS the bucket routing, so the engine probes with ZERO
+  additional exchange (``aligned=True``): every bucket's rows already
+  sit in exactly one task, and AQE partition coalescing only merges
+  whole buckets, never splits one;
 - each bucket owns an immutable bloom bitmap file (rewritten only in
-  rounds that add URLs to that bucket) and a chain of per-round URL
+  rounds that add URLs to that bucket) and a chain of per-round hash
   delta parquet files (RocksDB memtable-flush/SST economics: appends
-  only, periodic compaction, never a full-index rewrite);
-- membership probing repartitions the candidate set by bucket and runs
-  ``mapInPandas``: each task loads ONLY its buckets' bitmaps (and,
-  only for rows the bloom cannot reject, that bucket's exact URL set)
-  from shared storage, with a per-worker LRU cache across tasks.
+  only, periodic compaction, never a full-index rewrite). Deltas
+  store TWO independent 64-bit hashes per URL — ``xxhash64(url)`` and
+  ``xxhash64(url, 1)`` — 16 bytes/URL instead of the URL string, and
+  the exact confirm is a lexsorted-numpy pair lookup instead of a
+  Python string-set probe. The 128-bit composite makes a false
+  "seen" verdict a 2^-128-scale event (expected colliding pairs at
+  10^10 URLs: n^2/2^129 ~= 1.5e-19) — exact for any real corpus,
+  while the probe's working set shrinks ~6x vs string sets;
+- membership probing runs ``mapInPandas``: each task loads ONLY its
+  buckets' bitmaps (and, only for rows the bloom cannot reject, that
+  bucket's hash-pair chain) from shared storage, with a per-worker
+  LRU cache across tasks.
 
 Nothing is broadcast and the driver never holds a bitmap: executor
 residency is bounded by (buckets per task) x bitmap size + the LRU
 cap, not by the whole index. Sizing at 10^10 URLs / 1% fp: the
 optimal bloom needs m = -n*ln(0.01)/ln(2)^2 ~= 9.6 bits per URL ->
-~12 GB of bitmaps TOTAL (not the ~1.5 GB an earlier docstring
-claimed); with B = 4096 buckets that is ~3 MB per bucket — one small
-object-store read per task, never a 12 GB broadcast. Exact-confirm
-URL deltas are ~2.4M URLs/bucket (~40 MB zstd parquet), read only by
-tasks whose batch has bloom hits and cached across rounds by delta
-chain (the chain grows by one small file per round, so a warm worker
-reads only the newest delta).
+~12 GB of bitmaps TOTAL; with B = 4096 buckets that is ~3 MB per
+bucket — one small object-store read per task, never a 12 GB
+broadcast. Exact-confirm hash deltas are ~2.4M URLs/bucket (~39 MB
+of int64 pairs, vs ~200 MB as URL strings), read only by tasks whose
+batch has bloom hits and cached across tasks by delta chain (the
+chain grows by one small file per round, so a warm worker reads only
+the newest delta).
 
 The index is a rebuildable cache over the committed ``seen`` table:
 the manifest is committed by the driver only after the round's store
@@ -60,17 +72,19 @@ from pyspark.sql.types import (
 
 from .bloom import _K_HASHES, _positions  # shared geometry: build == probe
 
+_FORMAT = 2  # v2: hash-pair deltas + murmur3 bucket routing
 _BUCKET_COL = "_si_bucket"
-_H64_COL = "_si_h64"
+_H1_COL = "_si_h1"
+_H2_COL = "_si_h2"
 
 # ---------------------------------------------------------------------------
 # per-worker caches (live in the reused Python worker processes; an
 # executor only ever caches the buckets it actually probed)
 # ---------------------------------------------------------------------------
 _BLOOM_CACHE: OrderedDict[str, np.ndarray] = OrderedDict()
-_URLSET_CACHE: OrderedDict[tuple, tuple[tuple, set]] = OrderedDict()
+_HASHSET_CACHE: OrderedDict[str, tuple[tuple, np.ndarray, np.ndarray]] = OrderedDict()
 _BLOOM_CACHE_CAP = int(os.environ.get("ATRA_SEEN_BLOOM_CACHE", "256"))
-_URLSET_CACHE_CAP = int(os.environ.get("ATRA_SEEN_URLSET_CACHE", "64"))
+_HASHSET_CACHE_CAP = int(os.environ.get("ATRA_SEEN_URLSET_CACHE", "64"))
 
 
 def _cache_put(cache: OrderedDict, cap: int, key, value) -> None:
@@ -91,33 +105,62 @@ def _load_bloom(path: str) -> np.ndarray:
     return bits
 
 
-def _load_urlset(bucket_dir: str, deltas: tuple[str, ...]) -> set:
-    """Exact URL set for one bucket = union of its delta parquets.
-    Cached per worker keyed by bucket dir; when the cached delta chain
-    is a PREFIX of the requested one only the new tail files are read
-    (the per-round warm path reads exactly one small file)."""
+def _lexsorted(h1: np.ndarray, h2: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    order = np.lexsort((h2, h1))
+    return h1[order], h2[order]
+
+
+def _load_hashset(bucket_dir: str, deltas: tuple[str, ...]) -> tuple[np.ndarray, np.ndarray]:
+    """Exact hash-pair set for one bucket = union of its delta
+    parquets, lexsorted by (h1, h2). Cached per worker keyed by bucket
+    dir; when the cached delta chain is a PREFIX of the requested one
+    only the new tail files are read (the per-round warm path reads
+    exactly one small file)."""
     import pyarrow.parquet as pq
 
-    cached = _URLSET_CACHE.get(bucket_dir)
-    urls: set
+    cached = _HASHSET_CACHE.get(bucket_dir)
     start = 0
     if cached is not None:
-        old_chain, urls = cached
+        old_chain, s1, s2 = cached
         if old_chain == deltas[: len(old_chain)]:
             start = len(old_chain)
         else:  # compaction replaced the chain -> rebuild from scratch
-            urls, start = set(), 0
+            s1 = s2 = None
+            start = 0
     else:
-        urls = set()
-    if start < len(deltas):
-        urls = set(urls)  # copy-on-extend so cached readers stay valid
+        s1 = s2 = None
+    if start < len(deltas) or s1 is None:
+        parts1 = [] if s1 is None else [s1]
+        parts2 = [] if s2 is None else [s2]
         for name in deltas[start:]:
-            t = pq.read_table(os.path.join(bucket_dir, name), columns=["url"])
-            urls.update(t.column("url").to_pylist())
-        _cache_put(_URLSET_CACHE, _URLSET_CACHE_CAP, bucket_dir, (tuple(deltas), urls))
+            t = pq.read_table(os.path.join(bucket_dir, name), columns=["h1", "h2"])
+            parts1.append(t.column("h1").to_numpy())
+            parts2.append(t.column("h2").to_numpy())
+        h1 = np.concatenate(parts1) if parts1 else np.empty(0, dtype=np.int64)
+        h2 = np.concatenate(parts2) if parts2 else np.empty(0, dtype=np.int64)
+        s1, s2 = _lexsorted(h1, h2)
+        _cache_put(_HASHSET_CACHE, _HASHSET_CACHE_CAP, bucket_dir, (tuple(deltas), s1, s2))
     else:
-        _URLSET_CACHE.move_to_end(bucket_dir)
-    return urls
+        _HASHSET_CACHE.move_to_end(bucket_dir)
+    return s1, s2
+
+
+def _pair_isin(c1: np.ndarray, c2: np.ndarray, s1: np.ndarray, s2: np.ndarray) -> np.ndarray:
+    """Vectorized membership of (c1, c2) pairs in the lexsorted seen
+    pairs (s1, s2). h1-collisions inside a bucket are ~nonexistent
+    (n^2/2^65 per bucket), so the >1-span fallback loop runs on at
+    most a handful of rows ever."""
+    if len(s1) == 0:
+        return np.zeros(len(c1), dtype=bool)
+    left = np.searchsorted(s1, c1, "left")
+    right = np.searchsorted(s1, c1, "right")
+    found = np.zeros(len(c1), dtype=bool)
+    one = (right - left) == 1
+    if one.any():
+        found[one] = s2[left[one]] == c2[one]
+    for i in np.nonzero((right - left) > 1)[0]:
+        found[i] = c2[i] in s2[left[i] : right[i]]
+    return found
 
 
 def _atomic_write(path: str, data: bytes) -> None:
@@ -125,6 +168,18 @@ def _atomic_write(path: str, data: bytes) -> None:
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)
+
+
+def _hash_cols(col):
+    """The index's key triple, all JVM-side: bucket routing uses
+    Spark's own hash-partitioning function (murmur3 via F.hash, the
+    same Pmod(Murmur3Hash(url), B) assignment groupBy(url) produces —
+    pinned by tests), bloom positions + exact confirm use two
+    independent xxhash64 values."""
+    return (
+        F.xxhash64(col).alias(_H1_COL),
+        F.xxhash64(col, F.lit(1)).alias(_H2_COL),
+    )
 
 
 class SeenIndex:
@@ -149,6 +204,11 @@ class SeenIndex:
                 f"seen-index bloom geometry mismatch: manifest m="
                 f"{self._manifest['bloom_bits']} vs requested {bloom_bits} "
                 "(bitmaps of different m are position-incompatible)"
+            )
+        if self._manifest and self._manifest.get("format") != _FORMAT:
+            raise ValueError(
+                f"seen-index on-disk format {self._manifest.get('format')} != "
+                f"{_FORMAT}: reset() and rebuild() from the seen table"
             )
         self._pending: dict[str, dict] | None = None
         self._pending_round: int | None = None
@@ -180,18 +240,18 @@ class SeenIndex:
         """Index one round's NEW urls (column ``url``). Distributed:
         one task per touched bucket reads that bucket's current bitmap,
         ORs in the new URLs' bits, writes an immutable ``bloom_r{N}``
-        bitmap + a ``urls_r{N}.parquet`` delta, and returns one tiny
-        summary row. Buckets with no new URLs are untouched (their
-        files are not rewritten). Returns the number of URLs staged."""
+        bitmap + a ``hashes_r{N}.parquet`` delta (two int64 hash
+        columns, never URL strings), and returns one tiny summary row.
+        Buckets with no new URLs are untouched (their files are not
+        rewritten). Returns the number of URLs staged."""
         m = self.bloom_bits
         root = self.root
         buckets_meta = (self._manifest or {}).get("buckets", {})
         cur_blooms = {int(b): v["bloom"] for b, v in buckets_meta.items()}
 
         hashed = df.select(
-            F.col("url"),
-            F.xxhash64("url").alias(_H64_COL),
-            F.pmod(F.xxhash64("url"), F.lit(self.num_buckets)).cast("int").alias(_BUCKET_COL),
+            *_hash_cols(F.col("url")),
+            F.pmod(F.hash("url"), F.lit(self.num_buckets)).cast("int").alias(_BUCKET_COL),
         )
 
         out_schema = StructType(
@@ -216,15 +276,21 @@ class SeenIndex:
                     bits = np.frombuffer(f.read(), dtype=np.uint8).copy()
             else:
                 bits = np.zeros(m // 8, dtype=np.uint8)
-            h = pdf[_H64_COL].to_numpy()
+            h = pdf[_H1_COL].to_numpy()
             for pos in _positions(h, m):
                 np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
             bloom_name = f"bloom_r{round_no:05d}.bin"
             _atomic_write(os.path.join(bdir, bloom_name), bits.tobytes())
-            delta_name = f"urls_r{round_no:05d}.parquet"
+            delta_name = f"hashes_r{round_no:05d}.parquet"
             tmp = os.path.join(bdir, f"{delta_name}.tmp.{uuid.uuid4().hex}")
             pq.write_table(
-                pa.table({"url": pa.array(pdf["url"], type=pa.string())}), tmp,
+                pa.table(
+                    {
+                        "h1": pa.array(pdf[_H1_COL].to_numpy(), type=pa.int64()),
+                        "h2": pa.array(pdf[_H2_COL].to_numpy(), type=pa.int64()),
+                    }
+                ),
+                tmp,
                 compression="zstd",
             )
             os.replace(tmp, os.path.join(bdir, delta_name))
@@ -254,6 +320,7 @@ class SeenIndex:
             return
         manifest = {
             "round": self._pending_round,
+            "format": _FORMAT,
             "bloom_bits": self.bloom_bits,
             "num_buckets": self.num_buckets,
             "buckets": self._pending,
@@ -289,9 +356,10 @@ class SeenIndex:
             bdir = os.path.join(self.root, f"bucket={int(b):05d}")
             deltas = ent.get("deltas", [])
             if len(deltas) > 1:
-                base_name = f"urls_base_r{rnd:05d}.parquet"
+                base_name = f"hashes_base_r{rnd:05d}.parquet"
                 tables = [
-                    pq.read_table(os.path.join(bdir, d), columns=["url"]) for d in deltas
+                    pq.read_table(os.path.join(bdir, d), columns=["h1", "h2"])
+                    for d in deltas
                 ]
                 import pyarrow as pa
 
@@ -321,20 +389,27 @@ class SeenIndex:
         os.replace(tmp, self._manifest_path())
 
     # -- probe ---------------------------------------------------------------
-    def prune_new(self, candidates: DataFrame, key: str = "url") -> DataFrame:
+    def prune_new(self, candidates: DataFrame, key: str = "url", aligned: bool = False) -> DataFrame:
         """candidates minus the indexed seen set — the engine's core
         anti-join, without ever shuffling the seen table.
 
-        Plan shape: repartition the (narrow) candidate relation by
-        url-hash bucket, then one ``mapInPandas`` pass where each task
+        Plan shape: one ``mapInPandas`` pass where each task
         bloom-probes against only ITS buckets' bitmaps; rows the bloom
         rejects are definitely new (bloom guarantee), rows it cannot
-        reject are confirmed exactly against that bucket's URL delta
-        chain. No broadcast, no driver residency, no seen-side shuffle:
-        per round the seen set costs one bitmap read per task plus
-        (only on bloom hits) the bucket's URL set, LRU-cached across
-        rounds per worker.
-        """
+        reject are confirmed against that bucket's 128-bit hash-pair
+        delta chain. No broadcast, no driver residency, no seen-side
+        shuffle: per round the seen set costs one bitmap read per task
+        plus (only on bloom hits) the bucket's hash pairs, LRU-cached
+        across tasks per worker.
+
+        ``aligned=True`` skips the bucket repartition: the caller
+        promises ``candidates`` is already hash-partitioned by ``key``
+        with ``num_buckets`` partitions (the natural output of
+        ``groupBy(key)`` when spark.sql.shuffle.partitions ==
+        num_buckets — the engine's candidate aggregation), so the
+        probe adds ZERO exchange. Misaligned input would still be
+        CORRECT (each task loads whatever buckets it sees), only
+        slower, but the engine pins alignment with a plan test."""
         manifest = self._manifest
         buckets_meta = {
             int(b): (v["bloom"], tuple(v.get("deltas", [])))
@@ -346,9 +421,11 @@ class SeenIndex:
 
         tagged = candidates.select(
             "*",
-            F.xxhash64(F.col(key)).alias(_H64_COL),
-            F.pmod(F.xxhash64(F.col(key)), F.lit(self.num_buckets)).cast("int").alias(_BUCKET_COL),
-        ).repartition(self.num_buckets, F.col(_BUCKET_COL))
+            *_hash_cols(F.col(key)),
+            F.pmod(F.hash(key), F.lit(self.num_buckets)).cast("int").alias(_BUCKET_COL),
+        )
+        if not aligned:
+            tagged = tagged.repartition(self.num_buckets, F.col(_BUCKET_COL))
 
         def _probe(batches):
             for pdf in batches:
@@ -356,7 +433,8 @@ class SeenIndex:
                     continue
                 keep = np.zeros(len(pdf), dtype=bool)
                 b_arr = pdf[_BUCKET_COL].to_numpy()
-                h_arr = pdf[_H64_COL].to_numpy()
+                h1_arr = pdf[_H1_COL].to_numpy()
+                h2_arr = pdf[_H2_COL].to_numpy()
                 for b in np.unique(b_arr):
                     sel = b_arr == b
                     meta = buckets_meta.get(int(b))
@@ -367,18 +445,15 @@ class SeenIndex:
                     bdir = os.path.join(root, f"bucket={int(b):05d}")
                     bits = _load_bloom(os.path.join(bdir, bloom_name))
                     m = len(bits) * 8
-                    h = h_arr[sel]
+                    h = h1_arr[sel]
                     maybe = np.ones(h.shape, dtype=bool)
                     for pos in _positions(h, m):
                         maybe &= (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
                     k = ~maybe  # bloom miss -> definitely new
                     if maybe.any() and deltas:
-                        urls = _load_urlset(bdir, deltas)
-                        vals = pdf[key].to_numpy()[sel]
-                        exact_new = np.fromiter(
-                            (u not in urls for u in vals), dtype=bool, count=len(vals)
-                        )
-                        k |= maybe & exact_new  # fp rescue: not actually seen
+                        s1, s2 = _load_hashset(bdir, deltas)
+                        in_seen = _pair_isin(h1_arr[sel], h2_arr[sel], s1, s2)
+                        k |= maybe & ~in_seen  # fp rescue: not actually seen
                     elif maybe.any():
                         k |= maybe  # bloom says maybe but no exact data -> new
                     keep[sel] = k

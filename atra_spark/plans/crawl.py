@@ -102,6 +102,17 @@ class CrawlEngine:
             num_buckets=num_buckets,
             bloom_bits=bloom_bits,
         )
+        # probe alignment: when num_buckets == spark.sql.shuffle
+        # .partitions, the candidate agg's output partitioning IS the
+        # index's bucket routing and the probe skips its repartition
+        # (one exchange for the whole frontier path). Misalignment
+        # (user changed the session conf) falls back to an explicit
+        # bucket repartition — correct either way.
+        try:
+            _shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            _shuffle_p = -1
+        self._probe_aligned = _shuffle_p == num_buckets
         all_pages = spark.read.parquet(pages_path)
         # real response metadata passes through when the input carries
         # it (result.rs:32-90); content_type feeds format sniffing
@@ -376,9 +387,13 @@ class CrawlEngine:
         # depth_on_website and increments distance_to_seed. "host" stays
         # the origin/politeness/partition key only.
         same_host = host_col(F.col("url")) == host_col(F.col("src"))
+        # bandwidth diet: the expand->agg->probe shuffle carries ONLY
+        # (url, 3 depth longs). host (PSL origin, a pure function of
+        # url) is recomputed after the seen-filter on the surviving
+        # new-URL set — orders of magnitude smaller than the exploded
+        # link set — instead of riding the exchange as a second string.
         expanded = links.select(
             "url",
-            "host",
             F.when(same_host, F.col("p_depth_on_website") + 1)
             .otherwise(F.lit(0))
             .cast("long")
@@ -397,8 +412,16 @@ class CrawlEngine:
         # bloom probe + exact confirm against the persistent SeenIndex.
         # The seen TABLE is not shuffled at all here — each task reads
         # only its bucket's bitmap (and, on bloom hits, that bucket's
-        # URL delta chain) from the store ----
-        new_urls = self.seen_index.prune_new(candidates)
+        # hash-pair delta chain) from the store. aligned=True: the
+        # candidate agg above already hash-partitions by url with
+        # P == num_buckets, which IS the index's bucket routing
+        # (pmod(hash(url), B)), so the probe adds ZERO exchange — the
+        # whole expand->dedup->seen-filter path is one shuffle ----
+        new_urls = self.seen_index.prune_new(
+            candidates, aligned=self._probe_aligned
+        ).withColumn("host", origin_udf(F.col("url"))).filter(
+            F.col("host").isNotNull()
+        )
 
         # ---- state transitions for this round (batch MERGE): one
         # branch over the committed results (fetched -> Processed,

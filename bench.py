@@ -91,8 +91,9 @@ def crawl_bench(spark, n_pages: int, cpus: int) -> tuple[float, int]:
         prefix="atra_bench_store",
         dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
     )
-    store = CheckpointStore(store_root, num_buckets=32)
-    eng = CrawlEngine(spark, store, config, paths["pages"], paths["robots"], num_buckets=32)
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    store = CheckpointStore(store_root, num_buckets=nb)
+    eng = CrawlEngine(spark, store, config, paths["pages"], paths["robots"], num_buckets=nb)
     try:
         t0 = time.monotonic()
         report = eng.run(seeds=seeds)
@@ -134,8 +135,9 @@ def mega_round_bench(spark, n_pages: int) -> tuple[float, int]:
         prefix="atra_mega_store",
         dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
     )
-    store = CheckpointStore(store_root, num_buckets=32)
-    eng = CrawlEngine(spark, store, config, paths["pages"], paths["robots"], num_buckets=32)
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    store = CheckpointStore(store_root, num_buckets=nb)
+    eng = CrawlEngine(spark, store, config, paths["pages"], paths["robots"], num_buckets=nb)
     try:
         eng.seed(urls)
         t0 = time.monotonic()

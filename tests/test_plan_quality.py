@@ -112,3 +112,61 @@ class TestBloomPrunePlan:
         # the bloom probe gates the anti-join input (ArrowEval on the
         # candidate side before the join)
         assert "EvalPython" in plan or "ArrowEval" in plan
+
+
+class TestAlignedFrontierPath:
+    """Round-3 frontier bandwidth diet: expand -> dedup-agg -> seen
+    probe must cost ONE exchange total, because the candidate agg's
+    hash partitioning on url IS the SeenIndex bucket routing."""
+
+    def test_groupby_partitioning_is_bucket_routing(self, spark):
+        """The alignment identity the aligned probe relies on:
+        groupBy(url) places each row in partition pmod(hash(url), P)
+        — Spark's hash-partitioning assignment equals F.hash (murmur3
+        seed 42) mod P. If a Spark upgrade ever changes either side,
+        this test fails before any bench regresses."""
+        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        df = spark.range(0, 2000).select(
+            F.concat(F.lit("https://h"), (F.col("id") % 23).cast("string"),
+                     F.lit("/p"), F.col("id").cast("string")).alias("url")
+        )
+        agg = df.groupBy("url").agg(F.count("*").alias("n"))
+        # AQE may coalesce partitions (merging whole buckets into one
+        # task, which the probe tolerates); what must NEVER happen is
+        # one bucket split across tasks
+        split_buckets = (
+            agg.select(
+                F.spark_partition_id().alias("pid"),
+                F.pmod(F.hash("url"), F.lit(p)).alias("bucket"),
+            )
+            .groupBy("bucket")
+            .agg(F.countDistinct("pid").alias("ntasks"))
+            .filter(F.col("ntasks") > 1)
+            .count()
+        )
+        assert split_buckets == 0
+
+    def test_agg_plus_aligned_probe_single_exchange(self, spark, tmp_path):
+        from atra_spark.operators.seen import aggregate_candidates
+        from atra_spark.operators.seen_index import SeenIndex
+
+        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        idx = SeenIndex(str(tmp_path / "si"), num_buckets=p, bloom_bits=1 << 14)
+        seen = spark.createDataFrame(
+            [(f"https://s{i}.example/p",) for i in range(50)], "url string"
+        )
+        idx.add_urls(seen, 0)
+        idx.commit()
+        exploded = spark.createDataFrame(
+            [(f"https://n{i}.example/q{j}", j % 3, j % 4, j)
+             for i in range(20) for j in range(5)],
+            "url string, depth_on_website long, distance_to_seed long, "
+            "total_distance_to_seed long",
+        )
+        out = idx.prune_new(aggregate_candidates(exploded), aligned=True)
+        plan = _plan(out, "simple")
+        assert plan.count("Exchange") == 1, plan
+        assert "MapInPandas" in plan
+        assert "SortAggregate" not in plan, "depth agg must stay HashAggregate"
+        # and it is still the exact anti-join
+        assert out.count() == 100
