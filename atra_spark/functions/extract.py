@@ -280,6 +280,28 @@ _ONCLICK_RE = re.compile(r"""location\.href\s*=\s*["']([^"']+)["']""")
 _LINKIFY_RE = re.compile(r"""https?://[^\s<>"')\]\x00-\x1f\x7f]+""")
 
 
+# fast-path recognizers for the _PageParser overrides below. A start
+# tag this STRICT pattern accepts is well-formed by construction
+# (clean name, properly quoted/unquoted attrs, closing '>'), so the
+# stdlib tolerant parser is guaranteed to (a) find the same end
+# position and (b) emit no text for it — which makes skipping the
+# stdlib per-attribute parse provably output-identical. Anything the
+# strict pattern rejects falls back to the stdlib path verbatim.
+_STRICT_START = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9:._-]*)"
+    r"(?:\s+[a-zA-Z_:][a-zA-Z0-9_:.-]*"
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s\"'`=<>]+))?"
+    r")*\s*(/?)>"
+)
+# one attribute inside a _STRICT_START match; tiles the attr region
+# exactly (same language as the outer pattern's attr group)
+_STRICT_ATTR = re.compile(
+    r"\s+([a-zA-Z_:][a-zA-Z0-9_:.-]*)"
+    r"(?:(\s*=\s*)(\"[^\"]*\"|'[^']*'|[^\s\"'`=<>]+))?"
+)
+_STRICT_END = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+
+
 class _PageParser(HTMLParser):
     """Single-pass HTML5 parser: text nodes in document order + raw links.
 
@@ -288,11 +310,27 @@ class _PageParser(HTMLParser):
     and tags excluded, script/style character data INCLUDED (html5ever
     represents script bodies as text nodes and scraper's ``.text()``
     yields them — language_detection.rs:131-137).
+
+    Performance: ``html.parser`` spends most of its time regex-parsing
+    the attributes of tags whose attributes nobody reads (~60-70 % of
+    extract_html CPU measured on the bench corpus). The
+    ``parse_starttag``/``parse_endtag``/``updatepos`` overrides below
+    short-circuit that work for strictly well-formed tags outside the
+    interesting set ({base, meta} + href tags; CDATA elements keep
+    their mode switch), delegating every non-trivial case to the
+    stdlib implementation unchanged. Output equivalence vs the pure
+    stdlib parser is pinned by tests/test_extract.py (golden pages +
+    randomized malformed-HTML fuzz).
     """
+
+    _FAST_EXEMPT = {"base", "meta"} | _HREF_TAGS
 
     def __init__(self, aggressive: bool) -> None:
         super().__init__(convert_charrefs=True)
         self.aggressive = aggressive
+        # aggressive mode reads src/action/onclick off ARBITRARY tags,
+        # so every start tag is "interesting" and the fast skip is off
+        self._fast = not aggressive
         self.text_parts: list[str] = []
         # (raw_url, method, anchor_nofollow) — the nofollow flag is
         # recorded here and enforced in extract_html only when
@@ -332,6 +370,64 @@ class _PageParser(HTMLParser):
 
     def handle_data(self, data: str) -> None:
         self.text_parts.append(data)
+
+    # -- stdlib fast paths (see class docstring) ------------------------
+    def updatepos(self, i: int, j: int) -> int:
+        # line/column bookkeeping feeds getpos() only, which nothing
+        # here calls — skipping it is pure overhead removal
+        return j
+
+    def parse_starttag(self, i: int) -> int:
+        if self._fast:
+            m = _STRICT_START.match(self.rawdata, i)
+            if m is not None:
+                tag = m.group(1).lower()
+                self.lasttag = tag
+                startend = bool(m.group(2))
+                if tag not in self._FAST_EXEMPT:
+                    if not startend and tag in self.CDATA_CONTENT_ELEMENTS:
+                        self.set_cdata_mode(tag)
+                    return m.end()
+                # interesting tag: parse its attrs with the strict
+                # tiling pattern (same language the outer match
+                # accepted, so the region is consumed exactly),
+                # replicating stdlib normalization: lowercase names,
+                # quote stripping, entity-decoded non-empty values
+                _unescape = _html_mod.unescape
+                attrs = []
+                k = i + 1 + len(m.group(1))
+                while True:
+                    am = _STRICT_ATTR.match(self.rawdata, k)
+                    if am is None:
+                        break
+                    name, eq, val = am.group(1, 2, 3)
+                    if not eq:
+                        val = None
+                    elif val[:1] in "\"'" and val[:1] == val[-1:]:
+                        val = val[1:-1]
+                    if val:
+                        val = _unescape(val)
+                    attrs.append((name.lower(), val))
+                    k = am.end()
+                if startend:
+                    self.handle_startendtag(tag, attrs)
+                else:
+                    self.handle_starttag(tag, attrs)
+                    if tag in self.CDATA_CONTENT_ELEMENTS:
+                        self.set_cdata_mode(tag)
+                return m.end()
+        return super().parse_starttag(i)
+
+    def parse_endtag(self, i: int) -> int:
+        # inside CDATA (script/style) the stdlib path owns the mode
+        # switch; outside it a strictly well-formed end tag triggers
+        # only the no-op handle_endtag, so its end offset is the only
+        # thing that matters
+        if self.cdata_elem is None:
+            m = _STRICT_END.match(self.rawdata, i)
+            if m is not None:
+                return m.end()
+        return super().parse_endtag(i)
 
 
 def extract_html(

@@ -272,3 +272,112 @@ class TestLangIdWidening:
         )
         got, _ = detect_lang(text)
         assert got == "por"
+
+
+class TestFastParserEquivalence:
+    """The _PageParser fast paths (strict-tag skip of stdlib attribute
+    parsing, see extract.py) must be OBSERVABLY IDENTICAL to the pure
+    stdlib parser: same text bytes, same raw link tuples, same base
+    href, same meta-nofollow — on real pages and on adversarial
+    malformed HTML."""
+
+    @staticmethod
+    def _run(parser_cls, html_text, aggressive=False):
+        p = parser_cls(aggressive=aggressive)
+        try:
+            p.feed(html_text)
+            p.close()
+        except Exception:
+            pass
+        return ("".join(p.text_parts), p.raw_links, p.base_href, p.meta_nofollow)
+
+    @staticmethod
+    def _ref_cls():
+        from html.parser import HTMLParser
+        from _markupbase import ParserBase
+
+        from atra_spark.functions.extract import _PageParser
+
+        class _RefParser(_PageParser):
+            updatepos = ParserBase.updatepos
+            parse_starttag = HTMLParser.parse_starttag
+            parse_endtag = HTMLParser.parse_endtag
+
+        return _RefParser
+
+    def _assert_equal(self, html_text, aggressive=False):
+        from atra_spark.functions.extract import _PageParser
+
+        fast = self._run(_PageParser, html_text, aggressive)
+        ref = self._run(self._ref_cls(), html_text, aggressive)
+        assert fast == ref
+
+    def test_reference_sample_pages(self):
+        import os
+
+        samples = "/root/reference/atra/testdata/samples"
+        if not os.path.isdir(samples):
+            import pytest
+
+            pytest.skip("reference samples not available")
+        for name in sorted(os.listdir(samples)):
+            if not name.endswith(".html"):
+                continue
+            with open(os.path.join(samples, name), "rb") as f:
+                text = f.read().decode("utf-8", "replace")
+            self._assert_equal(text)
+            self._assert_equal(text, aggressive=True)
+
+    def test_malformed_corpus(self):
+        nasty = [
+            "<p a=\"x>y\" b='1<2'>in-quote gt</p>text",
+            "<a href=foo<bar>txt</a>",
+            "<div unclosed",
+            "plain < not a tag > more",
+            "<p></>bogus</ comment></p>",
+            "<script>if (a<b && c>d) { x['</scr'+'ipt>']; }</script>after",
+            "<script>var s='</style>';</script>tail",
+            "<style>a>b{color:red}</style>t",
+            "<SCRIPT SRC=x>code</SCRIPT>",
+            "<a href='&amp;x=1&notareal;'>e&#65;nt</a>",
+            "<p foo bar=>empty</p>",
+            "<p foo==bar>double</p>",
+            "<p\tfoo\n=\r'v'>ws</p>",
+            "<!-- comment <a href=x> -->visible",
+            "<!-- unterminated comment <p>",
+            "<![CDATA[ raw <a href=x> ]]>",
+            "<!DOCTYPE html><?php echo '<a>'; ?>t",
+            "<br/><img/><a href=x/>y</a>",
+            "<a/href=x>weird</a>",
+            "<a href=\"x\"/>selfclose",
+            "<base href='/b/'><a href=rel>r</a>",
+            "<meta name=ROBOTS content='NOFOLLOW'><a href=x>d</a>",
+            "<p 'quoted'=v>odd attr</p>",
+            "<p a=ÿ b=ł>unicode vals</p>",
+            "<étag>not ascii start</étag>",
+            "<p></p" ,
+            "<a href='unterminated>t",
+            "text &#x48;&#101;llo &unknown; &gt <p>tail&",
+            "<div><span>deep</span crud></div>",
+            "<td nowrap>old school</td>",
+            "<input value=a=b>ambig</input>",
+        ]
+        for frag in nasty:
+            self._assert_equal(frag)
+            self._assert_equal(frag, aggressive=True)
+
+    def test_randomized_fuzz(self):
+        import random
+
+        rng = random.Random(20260817)
+        atoms = [
+            "<a href=", "<a href='", '<a href="', "'", '"', ">", "<", "/>", "</a>",
+            "<p>", "</p>", "<script>", "</script>", "<style>", "</style>",
+            "text ", "&amp;", "&#65;", "&bogus;", "=", " ", "\n", "x", "<!--",
+            "-->", "<!", "<?", "<base href=/b>", "<meta name=robots content=nofollow>",
+            "<img src=i>", "</", "\\", "`", "<div class=", "q>", "<A HREF=UP>",
+        ]
+        for _ in range(400):
+            frag = "".join(rng.choice(atoms) for _ in range(rng.randint(1, 40)))
+            self._assert_equal(frag)
+            self._assert_equal(frag, aggressive=True)
