@@ -300,6 +300,7 @@ _STRICT_ATTR = re.compile(
     r"(?:(\s*=\s*)(\"[^\"]*\"|'[^']*'|[^\s\"'`=<>]+))?"
 )
 _STRICT_END = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_AMP_WS = re.compile(r"[\s;]")  # stdlib goahead's trailing-& probe
 
 
 class _PageParser(HTMLParser):
@@ -376,6 +377,83 @@ class _PageParser(HTMLParser):
         # line/column bookkeeping feeds getpos() only, which nothing
         # here calls — skipping it is pure overhead removal
         return j
+
+    def goahead(self, end: int) -> None:
+        # flattened transcription of the stdlib loop for the only
+        # configuration this parser runs (convert_charrefs=True): the
+        # '&'-dispatch branches are unreachable (text segmentation
+        # happens on '<' alone, and in CDATA mode ``interesting`` only
+        # matches the closing tag), position bookkeeping is dropped,
+        # and unescape is skipped for segments without '&'. Construct
+        # parsing still delegates to parse_* (with their own fast
+        # paths), so behavior for every tag/comment/declaration is the
+        # stdlib's own.
+        if not (self._fast and self.convert_charrefs):
+            return super().goahead(end)
+        rawdata = self.rawdata
+        i, n = 0, len(rawdata)
+        handle_data = self.handle_data
+        unescape = _html_mod.unescape
+        while i < n:
+            if self.cdata_elem is None:
+                j = rawdata.find("<", i)
+                if j < 0:
+                    # a charref could be cut in half at the buffer end
+                    amppos = rawdata.rfind("&", max(i, n - 34))
+                    if amppos >= 0 and not _AMP_WS.search(rawdata, amppos):
+                        break  # wait till we get all the text
+                    j = n
+                if i < j:
+                    seg = rawdata[i:j]
+                    handle_data(unescape(seg) if "&" in seg else seg)
+            else:
+                m = self.interesting.search(rawdata, i)
+                if m is None:
+                    break
+                j = m.start()
+                if i < j:
+                    handle_data(rawdata[i:j])
+            i = j
+            if i == n:
+                break
+            nxt = rawdata[i + 1] if i + 1 < n else ""
+            if ("a" <= nxt <= "z") or ("A" <= nxt <= "Z"):
+                k = self.parse_starttag(i)
+            elif nxt == "/":
+                k = self.parse_endtag(i)
+            elif nxt == "!":
+                if rawdata.startswith("<!--", i):
+                    k = self.parse_comment(i)
+                else:
+                    k = self.parse_html_declaration(i)
+            elif nxt == "?":
+                k = self.parse_pi(i)
+            elif i + 1 < n:
+                handle_data("<")
+                k = i + 1
+            else:
+                break
+            if k < 0:
+                if not end:
+                    break
+                k = rawdata.find(">", i + 1)
+                if k < 0:
+                    k = rawdata.find("<", i + 1)
+                    if k < 0:
+                        k = i + 1
+                else:
+                    k += 1
+                if self.cdata_elem is None:
+                    seg = rawdata[i:k]
+                    handle_data(unescape(seg) if "&" in seg else seg)
+                else:
+                    handle_data(rawdata[i:k])
+            i = k
+        if end and i < n and not self.cdata_elem:
+            seg = rawdata[i:n]
+            handle_data(unescape(seg) if "&" in seg else seg)
+            i = n
+        self.rawdata = rawdata[i:]
 
     def parse_starttag(self, i: int) -> int:
         if self._fast:
