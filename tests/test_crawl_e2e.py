@@ -461,3 +461,43 @@ class TestPandasSchedulerPath:
         hs = store.read_snapshot(spark, "host_state")
         assert hs is not None and hs.count() > 0
         assert set(hs.columns) == {"host", "last_access", "crawl_delay_ms"}
+
+
+class TestFetchJoinFallback:
+    """Above ``broadcast_fetch_max_urls`` admitted URLs the engine
+    swaps the broadcast fetch join for a shuffled join (the broadcast
+    itself would be multi-GB at 10^8-URL rounds). Forcing the
+    threshold to 0 must produce the EXACT same crawl — same seen set
+    (kinds + depth triples), same per-round results — as the default
+    broadcast path on the same corpus."""
+
+    def test_shuffled_path_identical_crawl(
+        self, spark, fixture_set, fixture_paths, tmp_path_factory
+    ):
+        import dataclasses
+
+        runs = {}
+        for label, threshold in (("broadcast", 10_000_000), ("shuffled", 0)):
+            cfg = dataclasses.replace(
+                fixture_set.config, broadcast_fetch_max_urls=threshold
+            )
+            store = CheckpointStore(
+                str(tmp_path_factory.mktemp(f"store_{label}")), num_buckets=8
+            )
+            eng = CrawlEngine(
+                spark, store, cfg, fixture_paths["pages"],
+                fixture_paths["robots"], num_buckets=8,
+            )
+            eng.run(seeds=fixture_set.seeds)
+            seen = {
+                r["url"]: (r["kind"], r["depth_on_website"],
+                           r["distance_to_seed"], r["total_distance_to_seed"])
+                for r in store.read_snapshot(spark, "seen").collect()
+            }
+            results = {
+                (r["url"], r["fetched_round"]): (r["status"], r["fetched"], r["n_links"])
+                for r in store.read_union(spark, "results").collect()
+            }
+            runs[label] = (seen, results)
+        assert runs["broadcast"][0] == runs["shuffled"][0], "seen-set divergence"
+        assert runs["broadcast"][1] == runs["shuffled"][1], "results divergence"
