@@ -926,6 +926,39 @@ def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprints(spark.table("documents"))
 
 
+def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-passage candidates: pairs of docs
+    sharing >= 2 winnowing fingerprints (near-exact 8-token passages),
+    with a doc-frequency cap on boilerplate fingerprints. Oracle:
+    sql_duplicate_passages."""
+    from atra_spark.functions.textstats import duplicate_passage_pairs
+
+    _register(spark, sf_dir)
+    return duplicate_passage_pairs(spark.table("documents"))
+
+
+def sql_duplicate_passages(dialect: str) -> str:
+    """Twin of textstats.duplicate_passage_pairs: distinct (doc, fp)
+    from the rolling-fingerprint sketch, doc-frequency-capped at 64,
+    self-joined on fp, pairs with >= 2 shared fingerprints."""
+    base = sql_rolling_fp(dialect)
+    return f"""WITH fps AS (
+  SELECT DISTINCT id, fp FROM ({base}) base
+),
+ok AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64
+),
+pruned AS (
+  SELECT f.id, f.fp FROM fps f JOIN ok USING (fp)
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(count(DISTINCT a.fp) AS BIGINT) AS shared_fps
+FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.id < b.id
+GROUP BY a.id, b.id
+HAVING count(DISTINCT a.fp) >= 2
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads derived from the documents
     table (ASCII magic + UTF-8 text bytes), run through the REAL
@@ -1231,6 +1264,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "rolling_fingerprints": q_rolling_fingerprints,
+    "duplicate_passages": q_duplicate_passages,
     "repetition_metrics": q_repetition_metrics,
     "media_features": q_media_features,
     "sitemap_candidates": q_sitemap_candidates,
@@ -1253,6 +1287,7 @@ def _custom_oracles() -> dict[str, str]:
         "embedding_lsh_topk": sql_embedding_lsh_topk("duckdb"),
         "embedding_ivf_topk": sql_embedding_ivf_topk("duckdb"),
         "rolling_fingerprints": sql_rolling_fp("duckdb"),
+        "duplicate_passages": sql_duplicate_passages("duckdb"),
         "repetition_metrics": sql_repetition_metrics("duckdb"),
         "media_features": sql_media_features("duckdb"),
         "sitemap_candidates": sql_sitemap_candidates("duckdb"),

@@ -216,3 +216,54 @@ def rolling_fingerprints(
         .groupBy("id", "bucket")
         .agg(F.min("g").alias("fp"))
     )
+
+
+def duplicate_passage_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_shared: int = 2,
+    max_fp_docs: int = 64,
+) -> DataFrame:
+    """Cross-document duplicated-passage candidates: document pairs
+    sharing >= ``min_shared`` winnowing fingerprints (i.e. near-exact
+    ``window``-token passages appearing in both documents) — the
+    containment-detection pass a training-data pipeline runs to catch
+    copied boilerplate/passages that whole-document dedup (minhash,
+    simhash) misses.
+
+    100 TB plan: one shuffle keyed on the fingerprint value, map-side
+    combined; quadratic blowup from boilerplate fingerprints shared by
+    everything is bounded by ``max_fp_docs`` — fingerprints whose
+    document frequency exceeds it are dropped consistently and the
+    drop is logged (same hot-key guard as ngram_jaccard_pairs).
+    Returns (id_a, id_b, shared_fps) with id_a < id_b.
+    """
+    fps = (
+        rolling_fingerprints(df, text_col=text_col, id_col=id_col, window=window)
+        .select("id", "fp")
+        .distinct()
+    )
+    freq = fps.groupBy("fp").agg(F.count("*").alias("docfreq"))
+    hot = freq.filter(F.col("docfreq") > max_fp_docs).cache()
+    n_hot = hot.count()
+    if n_hot:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "duplicate_passage_pairs: dropping %d boilerplate fingerprints "
+            "with document frequency > %d (quadratic-blowup guard)",
+            n_hot,
+            max_fp_docs,
+        )
+        fps = fps.join(F.broadcast(hot.select("fp")), on="fp", how="left_anti")
+    a = fps.select("fp", F.col("id").alias("id_a"))
+    b = fps.select("fp", F.col("id").alias("id_b"))
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("fp").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -490,3 +490,30 @@ class TestMultimodal:
         groups = multimodal.media_exact_dedup(media).collect()
         dup = [g for g in groups if g["n_dups"] > 1]
         assert dup, "deterministic duplicates must collapse"
+
+
+class TestDuplicatePassages:
+    def test_shared_passages_found_and_boilerplate_capped(self, spark):
+        from atra_spark.functions.textstats import duplicate_passage_pairs
+
+        passage = "the quick brown fox jumps over the lazy dog again and again"
+        boiler = "all rights reserved terms of service apply to every page here"
+        rows = [
+            (1, f"alpha {passage} omega unique-one"),
+            (2, f"beta {passage} gamma unique-two"),
+            (3, "completely different text with no overlap whatsoever at all beyond"),
+        ] + [(100 + i, f"doc{i} {boiler} tail{i}") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        pairs = {
+            (r["id_a"], r["id_b"]): r["shared_fps"]
+            for r in duplicate_passage_pairs(df, min_shared=1).collect()
+        }
+        assert (1, 2) in pairs  # the shared passage is detected
+        assert not any(3 in p for p in pairs)
+        # boilerplate cap: with max_fp_docs below the boilerplate's
+        # document frequency, the 10 boilerplate docs pair up with each
+        # other only via their shared text — capped away entirely
+        capped = duplicate_passage_pairs(df, min_shared=1, max_fp_docs=5)
+        got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        assert (1, 2) in got
+        assert not any(a >= 100 and b >= 100 for a, b in got)
