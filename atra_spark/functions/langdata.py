@@ -201,6 +201,73 @@ _EXTRA_SAMPLES: dict[str, str] = {
         "على الصفحة دون أن تضيع القيم لأن هذا هو ما يهم عندما يكون كل "
         "شيء محفوظا"
     ),
+    "heb": (
+        "המערכת שומרת את הנתונים והטבלה אינה ריקה כי רשת של דפים נבנתה "
+        "בזהירות כדי שמספר המילים יישאר כטקסט ולא יאבד אבל הקישורים "
+        "נשארים בשרשרת אם הערך של דף משתנה מאוחר יותר ואתה יכול לראות "
+        "מי שם את הטקסט על הדף מבלי שהערכים יאבדו כי זה מה שחשוב כאשר "
+        "הכל שמור"
+    ),
+    "fas": (
+        "این سامانه داده ها را نگه می دارد و جدول خالی نیست زیرا شبکه ای "
+        "از صفحه ها با دقت ساخته شد تا شمار واژه ها به صورت متن بماند و "
+        "گم نشود اما پیوندها در زنجیره می مانند اگر ارزش یک صفحه بعدا "
+        "تغییر کند و می توانید ببینید چه کسی متن را روی صفحه گذاشت بدون "
+        "اینکه ارزش ها از دست بروند زیرا این همان چیزی است که اهمیت دارد"
+    ),
+    "hin": (
+        "यह प्रणाली आंकड़ों को सुरक्षित रखती है और तालिका खाली नहीं है "
+        "क्योंकि पृष्ठों का जाल सावधानी से बनाया गया ताकि शब्दों की संख्या "
+        "पाठ के रूप में बनी रहे और खो न जाए लेकिन कड़ियाँ श्रृंखला में "
+        "रहती हैं यदि किसी पृष्ठ का मूल्य बाद में बदल जाए और आप देख सकते "
+        "हैं कि किसने पाठ को पृष्ठ पर रखा बिना मूल्यों के खोए"
+    ),
+    "tha": (
+        "ระบบนี้เก็บข้อมูลและตารางไม่ว่างเปล่าเพราะเครือข่ายของหน้าถูกสร้าง"
+        "อย่างระมัดระวังเพื่อให้จำนวนคำยังคงเป็นข้อความและไม่สูญหายแต่ลิงก์"
+        "ยังอยู่ในห่วงโซ่ถ้าค่าของหน้าเปลี่ยนภายหลังและคุณสามารถเห็นว่าใคร"
+        "วางข้อความบนหน้าโดยไม่สูญเสียค่าเพราะนี่คือสิ่งที่สำคัญ"
+    ),
+    "vie": (
+        "hệ thống này lưu giữ dữ liệu và bảng không trống vì một mạng "
+        "lưới các trang được xây dựng cẩn thận để số lượng từ vẫn còn là "
+        "văn bản và không bị mất nhưng các liên kết vẫn ở trong chuỗi "
+        "nếu giá trị của một trang thay đổi sau này và bạn có thể thấy "
+        "ai đã đặt văn bản lên trang mà không mất các giá trị vì đó là "
+        "điều quan trọng khi mọi thứ được lưu giữ"
+    ),
+    "ind": (
+        "sistem ini menyimpan data dan tabel tidak kosong karena "
+        "jaringan halaman dibangun dengan hati hati supaya jumlah kata "
+        "tetap sebagai teks dan tidak hilang tetapi tautan tetap dalam "
+        "rantai jika nilai sebuah halaman berubah kemudian dan anda "
+        "dapat melihat siapa yang meletakkan teks pada halaman tanpa "
+        "kehilangan nilai karena itulah yang penting ketika semuanya "
+        "tersimpan"
+    ),
+    "zho": (
+        "这个系统保存数据而且表格不是空的因为页面的网络被仔细地建立起来"
+        "使得词的数量作为文本保留下来而不会丢失但是链接留在链条里如果"
+        "一个页面的值后来改变了你可以看到谁把文本放在页面上而值不会丢失"
+        "因为当一切都被保存时这才是重要的"
+    ),
+    "bul": (
+        "тази система пази данните и таблицата не е празна защото мрежа "
+        "от страници беше изградена внимателно така че броят на думите "
+        "да остане като текст и да не се изгуби но връзките остават във "
+        "веригата ако стойността на една страница се промени по-късно и "
+        "можете да видите кой е сложил текста на страницата без да се "
+        "изгубят стойностите защото това е важното когато всичко е "
+        "запазено"
+    ),
+    "nor": (
+        "systemet lagrer opplysningene og tabellen er ikke tom fordi et "
+        "nettverk av sider ble bygget med omhu slik at antallet ord blir "
+        "værende som tekst og ikke går tapt men lenkene blir i kjeden "
+        "hvis verdien av en side endres senere og du kan se hvem som "
+        "satte teksten på siden uten at verdiene går tapt for det er det "
+        "som teller når alt er lagret"
+    ),
 }
 
 LANGS = tuple(MARKERS)  # frozen fixture set (generator + JVM markers)

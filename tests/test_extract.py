@@ -248,19 +248,32 @@ class TestLangIdWidening:
         "ell": "οι σελίδες φυλάχτηκαν γιατί δεν θέλετε να χάσετε το κείμενο αλλά και τους συνδέσμους που είναι στο δίκτυο",
         "kor": "페이지 가 저장 되었습니다 왜냐하면 텍스트 를 잃고 싶지 않기 때문입니다",
         "ara": "تم حفظ الصفحات لأنك لا تريد أن تفقد النص ولكن أيضا الروابط التي في الشبكة",
+        "heb": "הדפים נשמרו כי אינך רוצה לאבד את הטקסט אבל גם את הקישורים שנמצאים ברשת",
+        "fas": "صفحه ها نگه داشته شدند زیرا نمی خواهید متن را از دست بدهید اما همچنین پیوندهایی که در شبکه هستند",
+        "hin": "पृष्ठ सुरक्षित किए गए क्योंकि आप पाठ को खोना नहीं चाहते लेकिन उन कड़ियों को भी जो जाल में हैं",
+        "tha": "หน้าถูกเก็บไว้เพราะคุณไม่ต้องการสูญเสียข้อความแต่รวมถึงลิงก์ที่อยู่ในเครือข่ายด้วย",
+        "vie": "các trang đã được lưu vì bạn không muốn mất văn bản nhưng cũng các liên kết đang ở trong mạng",
+        "ind": "halaman halaman disimpan karena anda tidak ingin kehilangan teks tetapi juga tautan yang ada di jaringan",
+        "zho": "页面被保存因为你不想失去文本但是也包括在网络里的链接",
+        "bul": "страниците бяха запазени защото не искате да изгубите текста но също и връзките които са в мрежата",
+        "nor": "sidene ble lagret fordi du ikke vil miste teksten men også lenkene som er i nettverket",
     }
+
+    # ideographic scripts have near-unique per-character trigrams, so the
+    # out-of-place confidence is structurally low even on a correct match
+    LOW_CONF = {"zho": 0.05}
 
     def test_profile_count(self):
         from atra_spark.functions.langdata import DETECT_LANGS, LANGS
 
         assert len(LANGS) == 7  # frozen fixture set untouched
-        assert len(DETECT_LANGS) == 21
+        assert len(DETECT_LANGS) == 30
 
     def test_held_out_sentences(self):
         for lang, text in self.HELD_OUT.items():
             got, conf = detect_lang(text)
             assert got == lang, f"{lang} -> {got}"
-            assert conf and conf > 0.3
+            assert conf and conf > self.LOW_CONF.get(lang, 0.3)
 
     def test_multilingual_mixed_document_dominant_lang(self):
         """A document that is mostly Portuguese with an English quote
