@@ -206,10 +206,12 @@ class SeenIndex:
                 "(bitmaps of different m are position-incompatible)"
             )
         if self._manifest and self._manifest.get("format") != _FORMAT:
-            raise ValueError(
-                f"seen-index on-disk format {self._manifest.get('format')} != "
-                f"{_FORMAT}: reset() and rebuild() from the seen table"
-            )
+            # on-disk format from an older engine version: the index is
+            # a rebuildable CACHE over the committed seen table, so
+            # auto-migrate by dropping it — committed_round becomes
+            # None, which the engine's resume path already treats as
+            # "rebuild from the seen snapshot" (plans/crawl.py)
+            self.reset()
         self._pending: dict[str, dict] | None = None
         self._pending_round: int | None = None
 

@@ -168,3 +168,29 @@ class TestSeenIndexPlanShape:
         blob = json.dumps(idx._manifest)
         assert len(blob) < 8192
         assert "bloom_r" in blob and ".parquet" in blob
+
+
+class TestFormatMigration:
+    def test_old_format_dir_auto_resets_for_rebuild(self, spark, tmp_path):
+        """An index directory written by an older engine version (format
+        != current) must not crash resume: the constructor drops the
+        stale cache so committed_round is None and the engine's resume
+        path rebuilds from the committed seen table."""
+        import json
+        import os
+
+        root = str(tmp_path / "si")
+        idx = SeenIndex(root, num_buckets=4, bloom_bits=1 << 12)
+        idx.add_urls(_urls_df(spark, SEEN[:20]), 0)
+        idx.commit()
+        # simulate the older on-disk format
+        with open(os.path.join(root, "manifest.json")) as f:
+            m = json.load(f)
+        m["format"] = 1
+        with open(os.path.join(root, "manifest.json"), "w") as f:
+            json.dump(m, f)
+        idx2 = SeenIndex(root, num_buckets=4, bloom_bits=1 << 12)
+        assert idx2.committed_round is None  # engine will rebuild()
+        idx2.rebuild(_urls_df(spark, SEEN[:20]), 0)
+        got = sorted(r["url"] for r in idx2.prune_new(_cands_df(spark, SEEN[:40])).collect())
+        assert got == sorted(SEEN[20:40])
