@@ -64,6 +64,14 @@ class CrawlConfig:
     # join — at 10^8-URL rounds the broadcast itself is multi-GB.
     broadcast_fetch_max_urls: int = 10_000_000
 
+    # robots-join strategy: broadcast the parsed robots relation while
+    # it holds at most this many hosts; above it (10^7-10^8 hosts with
+    # disallow arrays is a multi-GB relation) fall back to a
+    # co-partitioned join on host — the downstream politeness window
+    # partitions by host anyway, so the shuffled shape reuses the
+    # exchange instead of shipping the relation to every executor.
+    broadcast_robots_max_hosts: int = 10_000_000
+
     def budget_for(self, host: str) -> Budget:
         return self.per_host_budget.get(host, self.default_budget)
 

@@ -246,18 +246,31 @@ def duplicate_passage_pairs(
         .distinct()
     )
     freq = fps.groupBy("fp").agg(F.count("*").alias("docfreq"))
-    hot = freq.filter(F.col("docfreq") > max_fp_docs).cache()
-    n_hot = hot.count()
-    if n_hot:
+    hot_cond = F.col("docfreq") > max_fp_docs
+    # boilerplate fingerprints are rare by construction (shared by >
+    # max_fp_docs documents), so the common case collects the small
+    # literal set to the driver — no cache to leak across calls in a
+    # long-lived session (ADVICE r3), no extra join in the plan. A
+    # pathological corpus with more hot fps than the literal cap falls
+    # back to a broadcast anti-join (freq recomputed lazily — one extra
+    # map-side-combined aggregation, still never cached).
+    _HOT_LITERAL_CAP = 10_000
+    hot_head = freq.filter(hot_cond).select("fp").limit(_HOT_LITERAL_CAP + 1).collect()
+    if hot_head:
         import logging
 
         logging.getLogger(__name__).warning(
-            "duplicate_passage_pairs: dropping %d boilerplate fingerprints "
+            "duplicate_passage_pairs: dropping %s boilerplate fingerprints "
             "with document frequency > %d (quadratic-blowup guard)",
-            n_hot,
+            len(hot_head) if len(hot_head) <= _HOT_LITERAL_CAP else f">{_HOT_LITERAL_CAP}",
             max_fp_docs,
         )
-        fps = fps.join(F.broadcast(hot.select("fp")), on="fp", how="left_anti")
+        if len(hot_head) <= _HOT_LITERAL_CAP:
+            fps = fps.filter(~F.col("fp").isin([r["fp"] for r in hot_head]))
+        else:
+            fps = fps.join(
+                F.broadcast(freq.filter(hot_cond).select("fp")), on="fp", how="left_anti"
+            )
     a = fps.select("fp", F.col("id").alias("id_a"))
     b = fps.select("fp", F.col("id").alias("id_b"))
     return (

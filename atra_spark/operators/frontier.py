@@ -57,6 +57,33 @@ def filter_state(
     )
 
 
+def filter_state_indexed(
+    frontier: DataFrame, seen_index, allow_recrawl: bool = False, aligned: bool = False
+) -> DataFrame:
+    """``filter_state`` served by the bucketed ``SeenIndex`` instead of
+    the composed seen TABLE — the engine's default path. Semantics are
+    identical (equivalence pytest-pinned); economics differ: the table
+    path folds + shuffles O(|seen|) every round, the index path pays a
+    per-bucket point lookup only for the buckets the frontier touches
+    (the reference's own dequeue state check, polling.rs:180-204 — a
+    RocksDB point read, never a table scan)."""
+    from ..schemas import KIND_PROCESSED_AND_STORED
+
+    if not allow_recrawl:
+        return seen_index.filter_by_state(
+            frontier, (KIND_DISCOVERED,), aligned=aligned
+        )
+    out = seen_index.filter_by_state(
+        frontier,
+        (KIND_DISCOVERED, KIND_PROCESSED_AND_STORED),
+        aligned=aligned,
+        with_kind=True,
+    )
+    return out.withColumn(
+        "is_recrawl", F.col("kind") == KIND_PROCESSED_AND_STORED
+    ).drop("kind")
+
+
 def filter_recrawl_cooldown(
     df: DataFrame,
     host_state: DataFrame | None,
@@ -198,14 +225,25 @@ def parse_robots(robots: DataFrame) -> DataFrame:
     )
 
 
-def filter_robots(df: DataFrame, robots_parsed: DataFrame) -> DataFrame:
-    """Admission robots check (crawler.rs:664-667): broadcast join the
-    per-host parsed rules, JVM-side higher-order prefix test (no Python
-    in the admission hot path). Hosts with no robots row are fully
-    allowed (NoRobots)."""
+def filter_robots(
+    df: DataFrame, robots_parsed: DataFrame, broadcast: bool = True
+) -> DataFrame:
+    """Admission robots check (crawler.rs:664-667): join the per-host
+    parsed rules, JVM-side higher-order prefix test (no Python in the
+    admission hot path). Hosts with no robots row are fully allowed
+    (NoRobots).
+
+    ``broadcast=False`` is the scale fallback (the engine flips it when
+    the robots relation exceeds ``broadcast_robots_max_hosts``): a
+    co-partitioned join on host instead of shipping a multi-GB parsed
+    relation to every executor — same threshold discipline as the
+    fetch join (plans/crawl.py broadcast_fetch_max_urls)."""
     from ..functions.jvm_url import robots_allowed_col
 
-    joined = df.join(F.broadcast(robots_parsed.select("host", "disallow")), on="host", how="left")
+    rel = robots_parsed.select("host", "disallow")
+    if broadcast:
+        rel = F.broadcast(rel)
+    joined = df.join(rel, on="host", how="left")
     return joined.filter(
         robots_allowed_col(F.col("url"), F.col("disallow"))
     ).drop("disallow")

@@ -49,12 +49,22 @@ def _delay_col(default_delay_ms: int):
     return F.coalesce(F.col("crawl_delay_ms"), F.lit(default_delay_ms))
 
 
-def _with_delay(frontier: DataFrame, robots_parsed: DataFrame | None, default_delay_ms: int) -> DataFrame:
+def _with_delay(
+    frontier: DataFrame,
+    robots_parsed: DataFrame | None,
+    default_delay_ms: int,
+    broadcast: bool = True,
+) -> DataFrame:
     if robots_parsed is None:
         return frontier.withColumn("crawl_delay_ms", F.lit(default_delay_ms).cast("long"))
-    j = frontier.join(
-        F.broadcast(robots_parsed.select("host", "crawl_delay_ms")), on="host", how="left"
-    )
+    rel = robots_parsed.select("host", "crawl_delay_ms")
+    if broadcast:
+        # small-relation fast path: ship the per-host delays everywhere
+        rel = F.broadcast(rel)
+    # else: co-partitioned join on host — the window/groupBy below
+    # partitions by host anyway, so the shuffled join shape reuses that
+    # exchange instead of broadcasting a 10^7-host relation
+    j = frontier.join(rel, on="host", how="left")
     return j.withColumn("crawl_delay_ms", _delay_col(default_delay_ms).cast("long"))
 
 
@@ -63,6 +73,7 @@ def schedule_hosts(
     robots_parsed: DataFrame | None,
     default_delay_ms: int = 1000,
     round_budget_ms: int = 10_000,
+    broadcast_robots: bool = True,
 ) -> DataFrame:
     """The applyInPandas scheduler: one pandas group per host.
 
@@ -71,7 +82,7 @@ def schedule_hosts(
     = admission_index * delay (the interval tick the reference waits on
     at crawler.rs:417).
     """
-    with_delay = _with_delay(frontier, robots_parsed, default_delay_ms)
+    with_delay = _with_delay(frontier, robots_parsed, default_delay_ms, broadcast_robots)
     cols = [f.name for f in SCHEDULED_SCHEMA.fields]
 
     def _sched(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -95,6 +106,7 @@ def admit_window(
     robots_parsed: DataFrame | None,
     default_delay_ms: int = 1000,
     round_budget_ms: int = 10_000,
+    broadcast_robots: bool = True,
 ) -> DataFrame:
     """JVM-side equivalent of ``schedule_hosts`` (SURVEY.md §2.6
     "politeness budget window function"): row_number over
@@ -103,7 +115,7 @@ def admit_window(
     Stays entirely in whole-stage codegen; used as the default engine
     path. Deferred rows carry admission_index -1.
     """
-    with_delay = _with_delay(frontier, robots_parsed, default_delay_ms)
+    with_delay = _with_delay(frontier, robots_parsed, default_delay_ms, broadcast_robots)
     k = F.greatest(
         F.lit(1), (F.lit(round_budget_ms) / F.greatest(F.lit(1), F.col("crawl_delay_ms"))).cast("long")
     )

@@ -91,6 +91,14 @@ def compose_seen(base: DataFrame | None, deltas: list[tuple[int, DataFrame]]) ->
       overwritten keeps its own stored lsk
     - ``is_seed`` is sticky-true across all operands
 
+    Precondition (declared, ADVICE r3): delta rows written by the
+    engine always carry fully-populated non-kind fields, so the target
+    row's fields can be taken verbatim. ``merge_seen``'s per-field
+    ``coalesce(pick(c), u_c, c)`` would additionally let an Unset
+    operand fill a NULL field on the existing row — a corner no engine
+    writer produces; external writers of the seen table must populate
+    every field or fold with ``merge_seen`` instead.
+
     ONE shuffle (the url window); per-round write cost is the delta
     only, never |seen| — the round-2 full-snapshot rewrite is gone.
     """
@@ -141,6 +149,31 @@ def compose_seen(base: DataFrame | None, deltas: list[tuple[int, DataFrame]]) ->
         (F.col("_any_seed") == 1).alias("is_seed"),
         "ts",
         *[F.col(c).cast("long").alias(c) for c in DEPTH_COLS],
+    )
+
+
+def compose_host_state(base: DataFrame | None, deltas: list[tuple[int, DataFrame]]) -> DataFrame:
+    """Merge-on-read composition for the ``host_state`` table
+    (recrawl_management/mod.rs:27-70): the folded state per host is the
+    MAX of last_access and crawl_delay_ms across base + deltas — an
+    algebraic aggregate, so the fold is one map-side-combined groupBy,
+    never a window. Each round commits only its touched hosts
+    (O(round hosts) writes, the same economics the seen table got in
+    round 3); compaction burns the fold into a new base."""
+    parts = []
+    if base is not None:
+        parts.append(base)
+    parts.extend(df for _, df in sorted(deltas, key=lambda t: t[0]))
+    if not parts:
+        raise ValueError("compose_host_state needs a base or at least one delta")
+    allrows = parts[0]
+    for p in parts[1:]:
+        allrows = allrows.unionByName(p)
+    if len(parts) == 1:
+        return allrows
+    return allrows.groupBy("host").agg(
+        F.max("last_access").alias("last_access"),
+        F.max("crawl_delay_ms").alias("crawl_delay_ms"),
     )
 
 

@@ -1,10 +1,12 @@
-"""Persistent per-bucket seen-set membership index (bloom + hash deltas).
+"""Persistent per-bucket seen-set membership + link-state index.
 
-The reference answers "have I seen this URL?" with RocksDB point
-lookups: an in-block bloom check first, then the exact key lookup
-(``key_may_exist_cf``, atra/src/recrawl_management/mod.rs:62; exact
-get in link_state/db.rs). This module is that storage engine mapped
-onto Spark's execution model:
+The reference answers "have I seen this URL?" and "what state is it
+in?" with RocksDB point lookups: an in-block bloom check first, then
+the exact key lookup (``key_may_exist_cf``,
+atra/src/recrawl_management/mod.rs:62; exact get + merge-operator fold
+in link_state/db.rs, the dequeue state check at
+queue/.../polling.rs:180-204). This module is that storage engine
+mapped onto Spark's execution model:
 
 - the URL universe is split into ``num_buckets`` buckets by
   ``pmod(hash(url), B)`` — Spark's OWN hash-partitioning assignment
@@ -15,20 +17,30 @@ onto Spark's execution model:
   sit in exactly one task, and AQE partition coalescing only merges
   whole buckets, never splits one;
 - each bucket owns an immutable bloom bitmap file (rewritten only in
-  rounds that add URLs to that bucket) and a chain of per-round hash
-  delta parquet files (RocksDB memtable-flush/SST economics: appends
-  only, periodic compaction, never a full-index rewrite). Deltas
-  store TWO independent 64-bit hashes per URL — ``xxhash64(url)`` and
-  ``xxhash64(url, 1)`` — 16 bytes/URL instead of the URL string, and
-  the exact confirm is a lexsorted-numpy pair lookup instead of a
-  Python string-set probe. The 128-bit composite makes a false
-  "seen" verdict a 2^-128-scale event (expected colliding pairs at
-  10^10 URLs: n^2/2^129 ~= 1.5e-19) — exact for any real corpus,
-  while the probe's working set shrinks ~6x vs string sets;
-- membership probing runs ``mapInPandas``: each task loads ONLY its
+  rounds that add URLs to that bucket) and a chain of per-round delta
+  parquet files (RocksDB memtable-flush/SST economics: appends only,
+  periodic compaction, never a full-index rewrite). Deltas store TWO
+  independent 64-bit hashes per URL — ``xxhash64(url)`` and
+  ``xxhash64(url, 1)`` — plus the URL's link-state ``kind`` byte:
+  17 bytes/URL instead of the URL string. The exact confirm is a
+  lexsorted-numpy pair lookup; within a chain the NEWEST occurrence
+  of a pair wins, which makes the chain the merge-operator fold of
+  the reference's state transitions (raw.rs:249-306: the newer
+  operand's kind wins). The 128-bit composite makes a false "seen"
+  verdict a 2^-128-scale event (expected colliding pairs at 10^10
+  URLs: n^2/2^129 ~= 1.5e-19) — exact for any real corpus;
+- membership probing (``prune_new``) and state lookup
+  (``filter_by_state``) run ``mapInPandas``: each task loads ONLY its
   buckets' bitmaps (and, only for rows the bloom cannot reject, that
-  bucket's hash-pair chain) from shared storage, with a per-worker
-  LRU cache across tasks.
+  bucket's delta chain) from shared storage, with a per-worker LRU
+  cache across tasks.
+
+Serving the dequeue state check from this index is what removes the
+last per-round O(|seen|) read from the engine: the seen TABLE is now
+read only at compaction / recovery / analytics time, while the
+admission path pays (bitmap + chain) reads for exactly the buckets
+the frontier touches — cost tracking |frontier|, not |seen|, the
+reference's own point-lookup economics.
 
 Nothing is broadcast and the driver never holds a bitmap: executor
 residency is bounded by (buckets per task) x bitmap size + the LRU
@@ -36,11 +48,11 @@ cap, not by the whole index. Sizing at 10^10 URLs / 1% fp: the
 optimal bloom needs m = -n*ln(0.01)/ln(2)^2 ~= 9.6 bits per URL ->
 ~12 GB of bitmaps TOTAL; with B = 4096 buckets that is ~3 MB per
 bucket — one small object-store read per task, never a 12 GB
-broadcast. Exact-confirm hash deltas are ~2.4M URLs/bucket (~39 MB
-of int64 pairs, vs ~200 MB as URL strings), read only by tasks whose
-batch has bloom hits and cached across tasks by delta chain (the
-chain grows by one small file per round, so a warm worker reads only
-the newest delta).
+broadcast. Exact-confirm deltas are ~2.4M URLs/bucket (~41 MB of
+hash-pair+kind rows, vs ~200 MB as URL strings), read only by tasks
+whose batch has bloom hits and cached across tasks by delta chain
+(the chain grows by one small file per round, so a warm worker reads
+only the newest delta).
 
 The index is a rebuildable cache over the committed ``seen`` table:
 the manifest is committed by the driver only after the round's store
@@ -71,18 +83,20 @@ from pyspark.sql.types import (
 )
 
 from .bloom import _K_HASHES, _positions  # shared geometry: build == probe
+from ..schemas import KIND_DISCOVERED
 
-_FORMAT = 2  # v2: hash-pair deltas + murmur3 bucket routing
+_FORMAT = 3  # v3: deltas carry the link-state kind (state lookups served here)
 _BUCKET_COL = "_si_bucket"
 _H1_COL = "_si_h1"
 _H2_COL = "_si_h2"
+_KIND_COL = "_si_kind"
 
 # ---------------------------------------------------------------------------
 # per-worker caches (live in the reused Python worker processes; an
 # executor only ever caches the buckets it actually probed)
 # ---------------------------------------------------------------------------
 _BLOOM_CACHE: OrderedDict[str, np.ndarray] = OrderedDict()
-_HASHSET_CACHE: OrderedDict[str, tuple[tuple, np.ndarray, np.ndarray]] = OrderedDict()
+_HASHSET_CACHE: OrderedDict[str, tuple[tuple, np.ndarray, np.ndarray, np.ndarray]] = OrderedDict()
 _BLOOM_CACHE_CAP = int(os.environ.get("ATRA_SEEN_BLOOM_CACHE", "256"))
 _HASHSET_CACHE_CAP = int(os.environ.get("ATRA_SEEN_URLSET_CACHE", "64"))
 
@@ -105,62 +119,104 @@ def _load_bloom(path: str) -> np.ndarray:
     return bits
 
 
-def _lexsorted(h1: np.ndarray, h2: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _dedup_last(
+    h1: np.ndarray, h2: np.ndarray, kinds: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Lexsort by (h1, h2) and keep the LAST occurrence of each pair.
+    np.lexsort is stable, so equal pairs retain input order — with the
+    input concatenated in chain order, "last" is the newest state: the
+    RocksDB merge-operator fold (newer operand's kind wins,
+    raw.rs:249-306) as one vectorized pass."""
     order = np.lexsort((h2, h1))
-    return h1[order], h2[order]
+    h1s, h2s, ks = h1[order], h2[order], kinds[order]
+    if len(h1s):
+        keep = np.ones(len(h1s), dtype=bool)
+        keep[:-1] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        h1s, h2s, ks = h1s[keep], h2s[keep], ks[keep]
+    return h1s, h2s, ks
 
 
-def _load_hashset(bucket_dir: str, deltas: tuple[str, ...]) -> tuple[np.ndarray, np.ndarray]:
-    """Exact hash-pair set for one bucket = union of its delta
-    parquets, lexsorted by (h1, h2). Cached per worker keyed by bucket
-    dir; when the cached delta chain is a PREFIX of the requested one
-    only the new tail files are read (the per-round warm path reads
-    exactly one small file)."""
+def _load_hashset(
+    bucket_dir: str, deltas: tuple[str, ...]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact (hash-pair -> latest kind) set for one bucket = fold of its
+    delta parquets in chain order, lexsorted by (h1, h2) with one row
+    per pair. Cached per worker keyed by bucket dir; when the cached
+    delta chain is a PREFIX of the requested one only the new tail
+    files are read (the per-round warm path reads exactly one small
+    file; the re-dedup is an in-memory numpy sort of the bucket)."""
     import pyarrow.parquet as pq
 
     cached = _HASHSET_CACHE.get(bucket_dir)
     start = 0
     if cached is not None:
-        old_chain, s1, s2 = cached
+        old_chain, s1, s2, sk = cached
         if old_chain == deltas[: len(old_chain)]:
             start = len(old_chain)
         else:  # compaction replaced the chain -> rebuild from scratch
-            s1 = s2 = None
+            s1 = s2 = sk = None
             start = 0
     else:
-        s1 = s2 = None
+        s1 = s2 = sk = None
     if start < len(deltas) or s1 is None:
+        # cached (already-deduped) rows first, then tail files in chain
+        # order: the stable keep-last dedup makes newer kinds win
         parts1 = [] if s1 is None else [s1]
         parts2 = [] if s2 is None else [s2]
+        partsk = [] if sk is None else [sk]
         for name in deltas[start:]:
-            t = pq.read_table(os.path.join(bucket_dir, name), columns=["h1", "h2"])
+            t = pq.read_table(
+                os.path.join(bucket_dir, name), columns=["h1", "h2", "kind"]
+            )
             parts1.append(t.column("h1").to_numpy())
             parts2.append(t.column("h2").to_numpy())
+            partsk.append(t.column("kind").to_numpy())
         h1 = np.concatenate(parts1) if parts1 else np.empty(0, dtype=np.int64)
         h2 = np.concatenate(parts2) if parts2 else np.empty(0, dtype=np.int64)
-        s1, s2 = _lexsorted(h1, h2)
-        _cache_put(_HASHSET_CACHE, _HASHSET_CACHE_CAP, bucket_dir, (tuple(deltas), s1, s2))
+        ks = np.concatenate(partsk) if partsk else np.empty(0, dtype=np.int32)
+        s1, s2, sk = _dedup_last(h1, h2, ks)
+        _cache_put(
+            _HASHSET_CACHE, _HASHSET_CACHE_CAP, bucket_dir, (tuple(deltas), s1, s2, sk)
+        )
     else:
         _HASHSET_CACHE.move_to_end(bucket_dir)
-    return s1, s2
+    return s1, s2, sk
 
 
-def _pair_isin(c1: np.ndarray, c2: np.ndarray, s1: np.ndarray, s2: np.ndarray) -> np.ndarray:
-    """Vectorized membership of (c1, c2) pairs in the lexsorted seen
-    pairs (s1, s2). h1-collisions inside a bucket are ~nonexistent
+def _pair_lookup(
+    c1: np.ndarray, c2: np.ndarray, s1: np.ndarray, s2: np.ndarray, sk: np.ndarray
+) -> np.ndarray:
+    """Vectorized (c1, c2) -> latest kind (or -1 when absent) against
+    the deduped lexsorted seen pairs. After dedup each pair occurs at
+    most once; h1-collisions inside a bucket are ~nonexistent
     (n^2/2^65 per bucket), so the >1-span fallback loop runs on at
     most a handful of rows ever."""
+    out = np.full(len(c1), -1, dtype=np.int32)
     if len(s1) == 0:
-        return np.zeros(len(c1), dtype=bool)
+        return out
     left = np.searchsorted(s1, c1, "left")
     right = np.searchsorted(s1, c1, "right")
-    found = np.zeros(len(c1), dtype=bool)
     one = (right - left) == 1
     if one.any():
-        found[one] = s2[left[one]] == c2[one]
+        pos = left[one]
+        hit = s2[pos] == c2[one]
+        idx = np.nonzero(one)[0][hit]
+        out[idx] = sk[pos[hit]].astype(np.int32)
     for i in np.nonzero((right - left) > 1)[0]:
-        found[i] = c2[i] in s2[left[i] : right[i]]
-    return found
+        span = np.arange(left[i], right[i])
+        m = np.nonzero(s2[span] == c2[i])[0]
+        if len(m):
+            out[i] = int(sk[span[m[0]]])
+    return out
+
+
+def _pair_isin(
+    c1: np.ndarray, c2: np.ndarray, s1: np.ndarray, s2: np.ndarray
+) -> np.ndarray:
+    """Membership of (c1, c2) pairs in the lexsorted seen pairs."""
+    if len(s1) == 0:
+        return np.zeros(len(c1), dtype=bool)
+    return _pair_lookup(c1, c2, s1, s2, np.zeros(len(s1), dtype=np.int32)) >= 0
 
 
 def _atomic_write(path: str, data: bytes) -> None:
@@ -183,14 +239,15 @@ def _hash_cols(col):
 
 
 class SeenIndex:
-    """Bucketed membership index under ``root`` (one dir per bucket).
+    """Bucketed membership + state index under ``root`` (one dir per
+    bucket).
 
     Lifecycle per round: ``add_urls`` (distributed Spark job; executors
     write bloom + delta files for their buckets) -> the engine commits
     the round's store tables -> ``commit`` (driver writes the tiny
-    manifest atomically). ``prune_new`` serves probes from the last
-    committed manifest only, so a crashed round can never drop a
-    candidate that was indexed but not committed.
+    manifest atomically). Probes serve the last committed manifest
+    only, so a crashed round can never drop a candidate that was
+    indexed but not committed.
     """
 
     def __init__(self, root: str, num_buckets: int = 32, bloom_bits: int = 1 << 20) -> None:
@@ -199,12 +256,10 @@ class SeenIndex:
         self.bloom_bits = bloom_bits
         os.makedirs(root, exist_ok=True)
         self._manifest = self._load_manifest()
-        if self._manifest and self._manifest["bloom_bits"] != bloom_bits:
-            raise ValueError(
-                f"seen-index bloom geometry mismatch: manifest m="
-                f"{self._manifest['bloom_bits']} vs requested {bloom_bits} "
-                "(bitmaps of different m are position-incompatible)"
-            )
+        # ordering matters: the format check runs FIRST so a stale
+        # on-disk format auto-migrates even when its geometry also
+        # differs (an old manifest must never reach the geometry
+        # checks below)
         if self._manifest and self._manifest.get("format") != _FORMAT:
             # on-disk format from an older engine version: the index is
             # a rebuildable CACHE over the committed seen table, so
@@ -212,6 +267,20 @@ class SeenIndex:
             # None, which the engine's resume path already treats as
             # "rebuild from the seen snapshot" (plans/crawl.py)
             self.reset()
+        if self._manifest and self._manifest.get("num_buckets") != num_buckets:
+            # a different bucket count re-routes every URL: probing old
+            # bucket files under the new routing would miss seen URLs
+            # (silent re-crawls). Like a format change, drop the cache
+            # and let resume rebuild under the requested geometry
+            # (bench/tools legitimately derive B from the session's
+            # shuffle-partition count, which varies across runs).
+            self.reset()
+        if self._manifest and self._manifest["bloom_bits"] != bloom_bits:
+            raise ValueError(
+                f"seen-index bloom geometry mismatch: manifest m="
+                f"{self._manifest['bloom_bits']} vs requested {bloom_bits} "
+                "(bitmaps of different m are position-incompatible)"
+            )
         self._pending: dict[str, dict] | None = None
         self._pending_round: int | None = None
 
@@ -239,20 +308,27 @@ class SeenIndex:
 
     # -- build / maintain --------------------------------------------------
     def add_urls(self, df: DataFrame, round_no: int) -> int:
-        """Index one round's NEW urls (column ``url``). Distributed:
-        one task per touched bucket reads that bucket's current bitmap,
-        ORs in the new URLs' bits, writes an immutable ``bloom_r{N}``
-        bitmap + a ``hashes_r{N}.parquet`` delta (two int64 hash
-        columns, never URL strings), and returns one tiny summary row.
-        Buckets with no new URLs are untouched (their files are not
-        rewritten). Returns the number of URLs staged."""
+        """Index one round's state rows (columns ``url`` [+ ``kind``];
+        a missing kind column means Discovered — pure membership use).
+        Distributed: one task per touched bucket reads that bucket's
+        current bitmap, ORs in the new URLs' bits, writes an immutable
+        ``bloom_r{N}`` bitmap + a ``hashes_r{N}.parquet`` delta (two
+        int64 hash columns + kind, never URL strings), and returns one
+        tiny summary row. A URL already indexed may appear again with a
+        new kind: the chain fold makes the newest kind win (the merge-
+        operator semantics). Buckets with no rows are untouched (their
+        files are not rewritten). Returns the number of URLs staged."""
         m = self.bloom_bits
         root = self.root
         buckets_meta = (self._manifest or {}).get("buckets", {})
         cur_blooms = {int(b): v["bloom"] for b, v in buckets_meta.items()}
 
+        kind_col = (
+            F.col("kind").cast("int") if "kind" in df.columns else F.lit(KIND_DISCOVERED)
+        )
         hashed = df.select(
             *_hash_cols(F.col("url")),
+            kind_col.alias(_KIND_COL),
             F.pmod(F.hash("url"), F.lit(self.num_buckets)).cast("int").alias(_BUCKET_COL),
         )
 
@@ -290,6 +366,9 @@ class SeenIndex:
                     {
                         "h1": pa.array(pdf[_H1_COL].to_numpy(), type=pa.int64()),
                         "h2": pa.array(pdf[_H2_COL].to_numpy(), type=pa.int64()),
+                        "kind": pa.array(
+                            pdf[_KIND_COL].to_numpy().astype(np.int32), type=pa.int32()
+                        ),
                     }
                 ),
                 tmp,
@@ -337,20 +416,22 @@ class SeenIndex:
 
     def rebuild(self, seen_urls: DataFrame, round_no: int) -> None:
         """Recovery: drop and re-index from the committed seen table
-        (resume rebuilds the cache exactly like the round-2 engine
-        rebuilt its driver blooms)."""
+        (columns url [+ kind] — pass the composed seen state so the
+        index serves the latest kinds)."""
         self.reset()
         self.add_urls(seen_urls, round_no)
         self.commit()
 
     def compact(self, spark_unused=None, keep_blooms: int = 2) -> None:
-        """Merge each bucket's delta chain into one file and GC stale
-        bloom bitmaps (driver-side file ops per bucket; at cluster
-        scale this becomes a per-bucket executor task, same as
-        ``add_urls``). Probe caches key on the chain, so a compacted
-        chain simply misses once and reloads one file."""
+        """Fold each bucket's delta chain into one deduped file (latest
+        kind per pair — the chain fold burned in) and GC stale bloom
+        bitmaps (driver-side file ops per bucket; at cluster scale this
+        becomes a per-bucket executor task, same as ``add_urls``).
+        Probe caches key on the chain, so a compacted chain simply
+        misses once and reloads one file."""
         if not self._manifest:
             return
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         rnd = self._manifest["round"]
@@ -359,14 +440,29 @@ class SeenIndex:
             deltas = ent.get("deltas", [])
             if len(deltas) > 1:
                 base_name = f"hashes_base_r{rnd:05d}.parquet"
-                tables = [
-                    pq.read_table(os.path.join(bdir, d), columns=["h1", "h2"])
-                    for d in deltas
-                ]
-                import pyarrow as pa
-
+                parts1, parts2, partsk = [], [], []
+                for d in deltas:
+                    t = pq.read_table(
+                        os.path.join(bdir, d), columns=["h1", "h2", "kind"]
+                    )
+                    parts1.append(t.column("h1").to_numpy())
+                    parts2.append(t.column("h2").to_numpy())
+                    partsk.append(t.column("kind").to_numpy())
+                s1, s2, sk = _dedup_last(
+                    np.concatenate(parts1), np.concatenate(parts2), np.concatenate(partsk)
+                )
                 tmp = os.path.join(bdir, f"{base_name}.tmp.{uuid.uuid4().hex}")
-                pq.write_table(pa.concat_tables(tables), tmp, compression="zstd")
+                pq.write_table(
+                    pa.table(
+                        {
+                            "h1": pa.array(s1, type=pa.int64()),
+                            "h2": pa.array(s2, type=pa.int64()),
+                            "kind": pa.array(sk.astype(np.int32), type=pa.int32()),
+                        }
+                    ),
+                    tmp,
+                    compression="zstd",
+                )
                 os.replace(tmp, os.path.join(bdir, base_name))
                 for d in deltas:
                     if d != base_name:
@@ -391,6 +487,22 @@ class SeenIndex:
         os.replace(tmp, self._manifest_path())
 
     # -- probe ---------------------------------------------------------------
+    def _buckets_meta(self) -> dict[int, tuple[str, tuple[str, ...]]]:
+        return {
+            int(b): (v["bloom"], tuple(v.get("deltas", [])))
+            for b, v in ((self._manifest or {}).get("buckets", {})).items()
+        }
+
+    def _tagged(self, df: DataFrame, key: str, aligned: bool) -> DataFrame:
+        tagged = df.select(
+            "*",
+            *_hash_cols(F.col(key)),
+            F.pmod(F.hash(key), F.lit(self.num_buckets)).cast("int").alias(_BUCKET_COL),
+        )
+        if not aligned:
+            tagged = tagged.repartition(self.num_buckets, F.col(_BUCKET_COL))
+        return tagged
+
     def prune_new(self, candidates: DataFrame, key: str = "url", aligned: bool = False) -> DataFrame:
         """candidates minus the indexed seen set — the engine's core
         anti-join, without ever shuffling the seen table.
@@ -412,22 +524,11 @@ class SeenIndex:
         probe adds ZERO exchange. Misaligned input would still be
         CORRECT (each task loads whatever buckets it sees), only
         slower, but the engine pins alignment with a plan test."""
-        manifest = self._manifest
-        buckets_meta = {
-            int(b): (v["bloom"], tuple(v.get("deltas", [])))
-            for b, v in ((manifest or {}).get("buckets", {})).items()
-        }
+        buckets_meta = self._buckets_meta()
         root = self.root
         out_schema = candidates.schema
         out_cols = candidates.columns
-
-        tagged = candidates.select(
-            "*",
-            *_hash_cols(F.col(key)),
-            F.pmod(F.hash(key), F.lit(self.num_buckets)).cast("int").alias(_BUCKET_COL),
-        )
-        if not aligned:
-            tagged = tagged.repartition(self.num_buckets, F.col(_BUCKET_COL))
+        tagged = self._tagged(candidates, key, aligned)
 
         def _probe(batches):
             for pdf in batches:
@@ -453,7 +554,7 @@ class SeenIndex:
                         maybe &= (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
                     k = ~maybe  # bloom miss -> definitely new
                     if maybe.any() and deltas:
-                        s1, s2 = _load_hashset(bdir, deltas)
+                        s1, s2, _sk = _load_hashset(bdir, deltas)
                         in_seen = _pair_isin(h1_arr[sel], h2_arr[sel], s1, s2)
                         k |= maybe & ~in_seen  # fp rescue: not actually seen
                     elif maybe.any():
@@ -463,3 +564,79 @@ class SeenIndex:
                     yield pdf.loc[keep, out_cols]
 
         return tagged.mapInPandas(_probe, out_schema)
+
+    def filter_by_state(
+        self,
+        df: DataFrame,
+        keep_kinds: tuple[int, ...] | None,
+        key: str = "url",
+        aligned: bool = False,
+        with_kind: bool = False,
+    ) -> DataFrame:
+        """Rows of ``df`` whose indexed link-state kind is in
+        ``keep_kinds`` — the reference's per-dequeued-URL state point
+        lookup (polling.rs:180-204) as one bucket-routed mapInPandas
+        pass. Rows whose URL is not in the index are dropped (they have
+        no link state — matches the table path's inner/semi join).
+
+        ``keep_kinds=None`` keeps EVERY input row and is only useful
+        with ``with_kind=True`` (a pure state lookup: kind is null for
+        unindexed URLs). ``with_kind=True`` appends the latest ``kind``
+        as an int column.
+
+        Same economics as ``prune_new``: no seen-table scan, no
+        broadcast; each task reads only the bitmaps + chains of the
+        buckets its rows hash to, LRU-cached across tasks — per-round
+        read cost tracks the probe side (the frontier), never |seen|.
+        """
+        buckets_meta = self._buckets_meta()
+        root = self.root
+        out_cols = df.columns
+        fields = list(df.schema.fields)
+        if with_kind:
+            fields = fields + [StructField("kind", IntegerType(), True)]
+        out_schema = StructType(fields)
+        keep_arr = None if keep_kinds is None else np.asarray(sorted(keep_kinds), dtype=np.int32)
+        tagged = self._tagged(df, key, aligned)
+
+        def _lookup(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                kinds = np.full(len(pdf), -1, dtype=np.int32)
+                b_arr = pdf[_BUCKET_COL].to_numpy()
+                h1_arr = pdf[_H1_COL].to_numpy()
+                h2_arr = pdf[_H2_COL].to_numpy()
+                for b in np.unique(b_arr):
+                    sel = b_arr == b
+                    meta = buckets_meta.get(int(b))
+                    if meta is None:  # bucket never indexed -> no state
+                        continue
+                    bloom_name, deltas = meta
+                    bdir = os.path.join(root, f"bucket={int(b):05d}")
+                    bits = _load_bloom(os.path.join(bdir, bloom_name))
+                    m = len(bits) * 8
+                    h = h1_arr[sel]
+                    maybe = np.ones(h.shape, dtype=bool)
+                    for pos in _positions(h, m):
+                        maybe &= (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+                    if maybe.any() and deltas:
+                        s1, s2, sk = _load_hashset(bdir, deltas)
+                        got = _pair_lookup(h1_arr[sel], h2_arr[sel], s1, s2, sk)
+                        idx = np.nonzero(sel)[0]
+                        kinds[idx] = np.where(maybe, got, -1)
+                if keep_arr is None:
+                    keep = np.ones(len(pdf), dtype=bool)
+                else:
+                    keep = np.isin(kinds, keep_arr)
+                if not keep.any():
+                    continue
+                sub = pdf.loc[keep, out_cols]
+                if with_kind:
+                    ks = kinds[keep]
+                    karr = pd.array(ks, dtype="Int32")
+                    karr[ks < 0] = pd.NA
+                    sub = sub.assign(kind=karr)
+                yield sub
+
+        return tagged.mapInPandas(_lookup, out_schema)

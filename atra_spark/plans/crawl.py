@@ -47,7 +47,7 @@ from ..operators.frontier import (
     filter_budget,
     filter_recrawl_cooldown,
     filter_robots,
-    filter_state,
+    filter_state_indexed,
     parse_robots,
 )
 from ..operators.politeness import admit_window, schedule_hosts
@@ -123,9 +123,15 @@ class CrawlEngine:
         if robots_path:
             robots_df = spark.read.parquet(robots_path)
             self.robots_parsed = parse_robots(robots_df).cache()
-            self.robots_parsed.count()  # materialize once (robots LRU analog)
+            n_robots = self.robots_parsed.count()  # materialize once (robots LRU analog)
+            # broadcast only while the parsed relation is small; at
+            # 10^7-10^8 hosts the disallow arrays make it multi-GB, so
+            # fall back to a co-partitioned join on host (the same
+            # threshold discipline as broadcast_fetch_max_urls)
+            self._robots_broadcast = n_robots <= config.broadcast_robots_max_hosts
         else:
             self.robots_parsed = None
+            self._robots_broadcast = True
 
     # ------------------------------------------------------------------
     def seed(self, seeds: list[str]) -> None:
@@ -171,7 +177,7 @@ class CrawlEngine:
         self.store.write_snapshot("seen", seen, 0, bucket_by="host")
         self.store.write_snapshot("edges", edges, 0)
         self.seen_index.reset()
-        self.seen_index.add_urls(seen.select("url"), 0)
+        self.seen_index.add_urls(seen.select("url", "kind"), 0)
         self.seen_index.commit()
 
     # ------------------------------------------------------------------
@@ -200,15 +206,17 @@ class CrawlEngine:
                 print(f"[phase] {name}: {now - _last[0]:.2f}s", flush=True)
                 _last[0] = now
         frontier = self.store.read_snapshot(spark, "frontier")
-        seen = self.store.read_snapshot(spark, "seen")
-        assert frontier is not None and seen is not None, "seed() first"
-        seen = seen.cache()
+        assert frontier is not None, "seed() first"
         n_polled = self.store.count_rows("frontier") or 0
 
         # ---- admission pipeline (cheap-first, crawler.rs:653-704) ----
+        # the state check is served by the bucketed SeenIndex (point-
+        # lookup economics): the composed seen TABLE is never read in
+        # the round loop — only at compaction / recovery / analytics
+        # time — so per-round read cost tracks |frontier|, not |seen|
         recrawl_on = cfg.recrawl_interval_s is not None
         eligible = filter_age(frontier, cfg.max_queue_age)
-        eligible = filter_state(eligible, seen, allow_recrawl=recrawl_on)
+        eligible = filter_state_indexed(eligible, self.seen_index, allow_recrawl=recrawl_on)
         cooldown_deferred = None
         if recrawl_on:
             host_state_prev = self.store.read_snapshot(spark, "host_state")
@@ -218,7 +226,9 @@ class CrawlEngine:
         eligible = filter_blacklist(eligible, cfg.blacklist)
         eligible = filter_budget(eligible, cfg)
         if cfg.respect_robots_txt and self.robots_parsed is not None:
-            eligible = filter_robots(eligible, self.robots_parsed)
+            eligible = filter_robots(
+                eligible, self.robots_parsed, broadcast=self._robots_broadcast
+            )
 
         scheduler = schedule_hosts if cfg.use_pandas_scheduler else admit_window
         sched = scheduler(
@@ -226,6 +236,7 @@ class CrawlEngine:
             self.robots_parsed,
             default_delay_ms=cfg.delay_ms,
             round_budget_ms=cfg.round_budget_ms,
+            broadcast_robots=self._robots_broadcast,
         ).cache()
 
         admitted = sched.filter(F.col("admitted"))
@@ -492,7 +503,10 @@ class CrawlEngine:
         }
         # host_state (recrawl_management/mod.rs:27-70) is ALWAYS
         # maintained — the recrawl-cooldown admission predicate consults
-        # it. Merge-upsert: latest access per host across rounds.
+        # it. Merge-on-read: commit ONLY this round's touched hosts as
+        # a delta (O(round hosts) write, never a full-table
+        # read+rewrite); reads fold max-by-host via compose_host_state
+        # and compaction below burns the fold into a new base.
         host_state_now = admitted.groupBy("host").agg(
             F.max("scheduled_offset_ms").alias("last_offset_ms"),
             F.max("crawl_delay_ms").alias("crawl_delay_ms"),
@@ -503,20 +517,8 @@ class CrawlEngine:
             ).alias("last_access"),
             "crawl_delay_ms",
         )
-        host_state_prev_w = self.store.read_snapshot(spark, "host_state")
-        if host_state_prev_w is not None:
-            host_state_next = (
-                host_state_prev_w.unionByName(host_state_now)
-                .groupBy("host")
-                .agg(
-                    F.max("last_access").alias("last_access"),
-                    F.max("crawl_delay_ms").alias("crawl_delay_ms"),
-                )
-            )
-        else:
-            host_state_next = host_state_now
-        jobs["host_state"] = lambda: st.write_snapshot(
-            "host_state", host_state_next, rnd + 1, bucket_by="host"
+        jobs["host_state"] = lambda: st.write_delta(
+            "host_state", host_state_now, rnd + 1, bucket_by="host"
         )
         if cfg.audit_tables:
             jobs["edges"] = lambda: st.write_snapshot("edges", edges, rnd + 1)
@@ -567,13 +569,15 @@ class CrawlEngine:
             )
         )
         jobs["metrics"] = lambda: st.write_snapshot("metrics", metrics, rnd)
-        # incremental seen-index maintenance indexes this round's new
-        # URLs from the committed frontier snapshot — independent of
-        # the other commit writes, so it rides the concurrent pool
-        # (footer pruning makes the no-new-urls case nearly free). The
-        # index manifest is only published AFTER the pool succeeds.
+        # incremental seen-index maintenance indexes this round's full
+        # state delta — the newly discovered URLs (Discovered) AND the
+        # fetch transitions (Processed/InternalError), both read from
+        # committed snapshots — so the index can serve the next round's
+        # dequeue state check without touching the seen table. Rides
+        # the concurrent pool; the index manifest is only published
+        # AFTER the pool succeeds.
         jobs["seen_index"] = lambda: self.seen_index.add_urls(
-            new_from_snapshot.select("url"), rnd + 1
+            updates.select("url", "kind"), rnd + 1
         )
         with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
             futs = {k: pool.submit(fn) for k, fn in jobs.items()}
@@ -583,6 +587,7 @@ class CrawlEngine:
         if self.config.seen_compact_every and (rnd + 1) % self.config.seen_compact_every == 0:
             self.seen_index.compact()
             st.compact_table(spark, "seen", bucket_by="host")
+            st.compact_table(spark, "host_state", bucket_by="host")
         _phase("commit_pool")
 
         # driver-side stats from the tiny metrics snapshot (no Spark job)
@@ -595,8 +600,7 @@ class CrawlEngine:
             )
         }
 
-        for df in (sched, seen):
-            df.unpersist()
+        sched.unpersist()
 
         return RoundStats(
             rnd,
@@ -627,7 +631,7 @@ class CrawlEngine:
                 # table, exactly like the round-2 bloom rebuild
                 seen = self.store.read_snapshot(self.spark, "seen")
                 if seen is not None:
-                    self.seen_index.rebuild(seen.select("url"), start)
+                    self.seen_index.rebuild(seen.select("url", "kind"), start)
         report = CrawlReport()
         limit = max_rounds if max_rounds is not None else self.config.max_rounds
         refilled = False

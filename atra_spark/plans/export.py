@@ -129,6 +129,46 @@ def warc_records(
         yield _warc_headers(fields) + chunk + b"\r\n\r\n"
 
 
+def iter_warc_records(data: bytes):
+    """Content-length-driven WARC reader — the ``WarcCursor`` analog
+    (warc/src/reader.rs:380-470): parse the version line + header
+    fields up to the blank CRLF line, read EXACTLY Content-Length body
+    bytes, then expect the CRLF CRLF record tail (writer.rs BODY_TAIL).
+    Because the body is consumed by length, byte sequences inside it
+    that look like a record start ("WARC/1.1\\r\\n") are data, not a
+    new record — the property the reference's reader test pins with
+    its embedded-"WARC/1.1" body (writer.rs:219-221, reader.rs:509).
+
+    Yields (headers: dict[str, str], body: bytes) per record; raises
+    ValueError on grammar violations (the NotAHeader analog)."""
+    pos = 0
+    version = WARC_VERSION.encode() + b"\r\n"
+    while pos < len(data):
+        if not data.startswith(version, pos):
+            raise ValueError(
+                f"not a header at byte {pos}: {data[pos:pos + 16]!r}"
+            )
+        pos += len(version)
+        headers: dict[str, str] = {}
+        while True:
+            end = data.index(b"\r\n", pos)
+            line = data[pos:end]
+            pos = end + 2
+            if not line:
+                break  # blank line terminates warc-fields
+            k, _, v = line.decode("utf-8").partition(":")
+            headers[k.strip()] = v.strip()
+        n = int(headers["Content-Length"])
+        body = data[pos : pos + n]
+        if len(body) != n:
+            raise ValueError("truncated body")
+        pos += n
+        if data[pos : pos + 4] != b"\r\n\r\n":
+            raise ValueError(f"missing record tail at byte {pos}")
+        pos += 4
+        yield headers, body
+
+
 class _RotatingWarcWriter:
     """Size-rotated .warc file family for one Spark partition
     (worker_warc_writer.forward_if_filesize analog)."""

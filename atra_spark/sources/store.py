@@ -46,9 +46,9 @@ class CheckpointStore:
         self.num_buckets = num_buckets
         os.makedirs(root, exist_ok=True)
         # merge-on-read combiners: table -> fn(base_df|None, [(round, df)]) -> df
-        from ..operators.seen import compose_seen
+        from ..operators.seen import compose_host_state, compose_seen
 
-        self._combiners = {"seen": compose_seen}
+        self._combiners = {"seen": compose_seen, "host_state": compose_host_state}
 
     def register_combiner(self, table: str, fn) -> None:
         self._combiners[table] = fn
@@ -131,7 +131,17 @@ class CheckpointStore:
         latest round (Iceberg rewrite-data-files maintenance). Later
         reads see a pure base; older rounds stay time-travelable."""
         snaps = self._load_manifest(table)["snapshots"]
-        if not snaps or not any(s.get("kind") == "delta" for s in snaps):
+        if not snaps:
+            return None
+        # only compact when there are deltas NEWER than the last base:
+        # stale delta entries below an existing base are already folded
+        # into it, and re-compacting would read and overwrite the same
+        # parquet path (self-overwrite corruption)
+        bases = [s for s in snaps if s.get("kind") != "delta"]
+        last_base_round = bases[-1]["round"] if bases else -(1 << 62)
+        if not any(
+            s.get("kind") == "delta" and s["round"] > last_base_round for s in snaps
+        ):
             return None
         latest = snaps[-1]["round"]
         merged = self.read_snapshot(spark, table, latest)

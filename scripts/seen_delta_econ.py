@@ -1,12 +1,21 @@
-"""Measure the seen-table commit economics on a growing crawl.
+"""Measure the seen-table commit AND read economics on a growing crawl.
 
 VERDICT r2 "What's wrong" #2 asked for proof that the merge-on-read
 redesign decoupled per-round seen-commit cost from |seen|: this
 script runs a multi-round crawl on the bench corpus and times, per
 round, (a) the DELTA commit the engine performs (O(|updates|)) and
 (b) what the round-2 engine would have paid — composing the full seen
-state and rewriting it as a base snapshot (O(|seen|)). It prints one
-JSON line per round plus a summary correlation.
+state and rewriting it as a base snapshot (O(|seen|)).
+
+VERDICT r3 "What's wrong" #1 asked for the READ side too: the engine
+now serves the dequeue state check from the bucketed SeenIndex
+(point-lookup economics), never reading the composed seen table in
+the round loop. Per round this script also times (c) the engine's
+index-served state check on the current frontier and (d) the r3
+counterfactual — filter_state against the composed seen TABLE — so
+the output shows (d) growing with |seen| while (c) tracks |frontier|.
+
+It prints one JSON line per round plus a summary correlation.
 
 Run: python scripts/seen_delta_econ.py [n_pages] (default 50000)
 Env: ATRA_ECON_CORES (default 16).
@@ -100,12 +109,28 @@ def main() -> None:
                     import pyarrow.dataset as pads
 
                     delta_rows = pads.dataset(s["path"], format="parquet").count_rows()
+            # READ-side economics: the engine's index-served state
+            # check vs the r3 counterfactual (composed-table join),
+            # both on the NEXT round's frontier
+            from atra_spark.operators.frontier import filter_state, filter_state_indexed
+
+            frontier_df = store.read_snapshot(spark, "frontier", committed)
+            frontier_rows = frontier_df.count()
+            t0 = time.monotonic()
+            filter_state_indexed(frontier_df, eng.seen_index).count()
+            index_read_sec = round(time.monotonic() - t0, 2)
+            t0 = time.monotonic()
+            filter_state(frontier_df, store.read_snapshot(spark, "seen", committed)).count()
+            table_read_sec = round(time.monotonic() - t0, 2)
             row = {
                 "round": committed,
                 "seen_total": seen_total,
+                "frontier_rows": frontier_rows,
                 "delta_rows": delta_rows,
                 "delta_write_sec": timings.get(committed, {}).get("delta_sec"),
                 "full_rewrite_sec": full_rewrite_sec,
+                "state_read_index_sec": index_read_sec,
+                "state_read_table_sec": table_read_sec,
             }
             rows.append(row)
             print(json.dumps(row), flush=True)
@@ -119,13 +144,23 @@ def main() -> None:
         growth = last["seen_total"] / max(first["seen_total"], 1)
         delta_growth = (last["delta_write_sec"] or 0) / max(first["delta_write_sec"] or 1e-9, 1e-9)
         rewrite_growth = last["full_rewrite_sec"] / max(first["full_rewrite_sec"], 1e-9)
+        idx_read_growth = last["state_read_index_sec"] / max(
+            first["state_read_index_sec"], 1e-9
+        )
+        tbl_read_growth = last["state_read_table_sec"] / max(
+            first["state_read_table_sec"], 1e-9
+        )
+        frontier_growth = last["frontier_rows"] / max(first["frontier_rows"], 1)
         print(
             json.dumps(
                 {
                     "summary": {
                         "seen_growth_x": round(growth, 2),
+                        "frontier_growth_x": round(frontier_growth, 2),
                         "delta_write_growth_x": round(delta_growth, 2),
                         "full_rewrite_growth_x": round(rewrite_growth, 2),
+                        "state_read_index_growth_x": round(idx_read_growth, 2),
+                        "state_read_table_growth_x": round(tbl_read_growth, 2),
                         "rounds": len(rows),
                     }
                 }

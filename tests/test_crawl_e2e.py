@@ -416,7 +416,7 @@ class TestRecrawl:
         store.write_snapshot("frontier", frontier, 0, bucket_by="host")
         store.write_snapshot("seen", seen, 0, bucket_by="host")
         store.write_snapshot("host_state", host_state, 0, bucket_by="host")
-        eng.seen_index.rebuild(seen.select("url"), 0)
+        eng.seen_index.rebuild(seen.select("url", "kind"), 0)
         stats = eng.run_round(0)
         assert stats.admitted == 0 and stats.fetched_ok == 0
         nxt = store.read_snapshot(spark, "frontier").collect()
@@ -501,3 +501,44 @@ class TestFetchJoinFallback:
             runs[label] = (seen, results)
         assert runs["broadcast"][0] == runs["shuffled"][0], "seen-set divergence"
         assert runs["broadcast"][1] == runs["shuffled"][1], "results divergence"
+
+
+class TestRobotsJoinFallback:
+    """Above ``broadcast_robots_max_hosts`` parsed-robots rows the
+    engine swaps every robots broadcast join (admission filter + delay
+    lookup) for a co-partitioned join on host (at 10^7-10^8 hosts the
+    parsed relation with disallow arrays is multi-GB). Forcing the
+    threshold to 0 must produce the EXACT same crawl as the default
+    broadcast path on the same corpus."""
+
+    def test_copartitioned_path_identical_crawl(
+        self, spark, fixture_set, fixture_paths, tmp_path_factory
+    ):
+        import dataclasses
+
+        runs = {}
+        for label, threshold in (("broadcast", 10_000_000), ("shuffled", 0)):
+            cfg = dataclasses.replace(
+                fixture_set.config, broadcast_robots_max_hosts=threshold
+            )
+            store = CheckpointStore(
+                str(tmp_path_factory.mktemp(f"rstore_{label}")), num_buckets=8
+            )
+            eng = CrawlEngine(
+                spark, store, cfg, fixture_paths["pages"],
+                fixture_paths["robots"], num_buckets=8,
+            )
+            assert eng._robots_broadcast == (threshold > 0)
+            eng.run(seeds=fixture_set.seeds)
+            seen = {
+                r["url"]: (r["kind"], r["depth_on_website"],
+                           r["distance_to_seed"], r["total_distance_to_seed"])
+                for r in store.read_snapshot(spark, "seen").collect()
+            }
+            order = sorted(
+                (r["round"], r["host"], r["admission_index"], r["url"])
+                for r in store.read_union(spark, "order").collect()
+            )
+            runs[label] = (seen, order)
+        assert runs["broadcast"][0] == runs["shuffled"][0], "seen-set divergence"
+        assert runs["broadcast"][1] == runs["shuffled"][1], "ordering divergence"

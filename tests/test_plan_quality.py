@@ -9,6 +9,7 @@ two-phase (salted) shape.
 
 import contextlib
 import io
+from contextlib import contextmanager
 import re
 
 import pytest
@@ -170,3 +171,79 @@ class TestAlignedFrontierPath:
         assert "SortAggregate" not in plan, "depth agg must stay HashAggregate"
         # and it is still the exact anti-join
         assert out.count() == 100
+
+
+class TestRobotsJoinShapes:
+    """The robots join must be a broadcast hash join below the
+    threshold and a non-broadcast (co-partitioned) join above it
+    (VERDICT r3 #3) — both for the admission filter and the delay
+    lookup."""
+
+    def _robots(self, spark):
+        rows = [(f"h{i}.example", 500, ["/private"]) for i in range(8)]
+        return spark.createDataFrame(
+            rows, "host string, crawl_delay_ms long, disallow array<string>"
+        )
+
+    def _frontier(self, spark):
+        rows = [
+            (f"https://h{i % 8}.example/p{j}", f"h{i % 8}.example", False, 0, False,
+             0, 0, 0, 0)
+            for i in range(8)
+            for j in range(5)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "url string, host string, is_seed boolean, age int, host_was_in_use boolean, "
+            "depth_on_website long, distance_to_seed long, total_distance_to_seed long, "
+            "enqueue_round int",
+        )
+
+    def _plan(self, df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    @contextmanager
+    def _no_auto_broadcast(self, spark):
+        """The fixture relations are tiny, so Spark's auto-broadcast
+        would mask the explicit non-broadcast shape under test."""
+        key = "spark.sql.autoBroadcastJoinThreshold"
+        old = spark.conf.get(key)
+        spark.conf.set(key, "-1")
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    def test_filter_robots_both_shapes(self, spark):
+        from atra_spark.operators.frontier import filter_robots
+
+        f, r = self._frontier(spark), self._robots(spark)
+        with self._no_auto_broadcast(spark):
+            assert "BroadcastHashJoin" in self._plan(filter_robots(f, r, broadcast=True))
+            shuffled = self._plan(filter_robots(f, r, broadcast=False))
+            assert "BroadcastHashJoin" not in shuffled
+            assert "Join" in shuffled
+        # identical answers either way
+        a = sorted(x["url"] for x in filter_robots(f, r, broadcast=True).collect())
+        b = sorted(x["url"] for x in filter_robots(f, r, broadcast=False).collect())
+        assert a == b and a
+
+    def test_admit_window_both_shapes(self, spark):
+        from atra_spark.operators.politeness import admit_window
+
+        f, r = self._frontier(spark), self._robots(spark)
+        with self._no_auto_broadcast(spark):
+            assert "BroadcastHashJoin" in self._plan(
+                admit_window(f, r, broadcast_robots=True)
+            )
+            shuffled = self._plan(admit_window(f, r, broadcast_robots=False))
+            assert "BroadcastHashJoin" not in shuffled
+        a = sorted(
+            (x["url"], x["admitted"], x["admission_index"])
+            for x in admit_window(f, r, broadcast_robots=True).collect()
+        )
+        b = sorted(
+            (x["url"], x["admitted"], x["admission_index"])
+            for x in admit_window(f, r, broadcast_robots=False).collect()
+        )
+        assert a == b and a

@@ -433,3 +433,131 @@ class TestXxh128Digest:
         from atra_spark.plans.export import _labeled_digest
 
         assert _labeled_digest(b"payload").startswith("XXH128:")
+
+
+class TestWarcReferenceFixtures:
+    """Assertions transcribed from the reference warc crate's own
+    in-source tests (VERDICT r3 #8) — the behaviors its writer state
+    machine + cursor guarantee, pinned against OUR writer/reader:
+
+    - record grammar ``header CRLF block CRLF CRLF`` with version
+      "WARC/1.1" (warc/src/writer.rs:24-30 doc grammar + BODY_TAIL,
+      header.rs:35 WARC_VERSION)
+    - header serialization: every field line CRLF-terminated, fields
+      closed by one blank CRLF line (header.rs write_to:381-402)
+    - the two-record fixture of writer.rs test::build_test_warc
+      (:218-230): bodies A1 (36 bytes) and A2 (64 bytes), where A2
+      embeds "\\n\\r\\n\\rWARC/1.1\\r\\n" — reader.rs test::can_read
+      (:509-551) requires a content-length-driven reader to recover
+      BOTH bodies byte-identically and reach EOS without mistaking
+      the embedded version string for a record start
+    """
+
+    # writer.rs:218-221, byte-exact
+    A1 = b"Hallo Welt,\n\n das hier ist ein test!"
+    A2 = b"Ich bin auch eine testfile \n\r\n\rWARC/1.1\r\n Aber das macht nichts!"
+
+    def _build_test_warc(self) -> bytes:
+        from atra_spark.plans.export import warc_records
+
+        recs = []
+        for url, body in (
+            ("https://amazon.example/", self.A1),
+            ("https://ebay.example/", self.A2),
+        ):
+            recs.extend(warc_records(url, TS, body))
+        return b"".join(recs)
+
+    def test_reference_body_lengths(self):
+        # the reference pins A1/A2 as fixed-size arrays [u8; 36]/[u8; 64]
+        assert len(self.A1) == 36 and len(self.A2) == 64
+
+    def test_can_read_two_records_with_embedded_version_string(self):
+        """reader.rs test::can_read: both entries come back complete,
+        in order, and the cursor reaches EOS."""
+        from atra_spark.plans.export import iter_warc_records
+
+        blob = self._build_test_warc()
+        got = list(iter_warc_records(blob))  # raises = NotAHeader analog
+        assert len(got) == 2, "embedded WARC/1.1 must not split record 2"
+        # bodies are http-header-block + payload; payload recovered
+        # byte-identically after the blank line
+        for (headers, body), want in zip(got, (self.A1, self.A2)):
+            assert body.endswith(want)
+            assert int(headers["Content-Length"]) == len(body)
+            assert headers["WARC-Type"] == "response"
+
+    def test_record_grammar(self):
+        """writer.rs:24-30: warc-record = header CRLF block CRLF CRLF;
+        version = "WARC/1.1" CRLF; warc-fields = *named-field CRLF."""
+        from atra_spark.plans.export import warc_records
+
+        (rec,) = list(warc_records("https://google.example/", TS, b"x" * 123))
+        assert rec.startswith(b"WARC/1.1\r\n")
+        head, sep, rest = rec.partition(b"\r\n\r\n")
+        assert sep, "header must terminate with a blank CRLF line"
+        for line in head.split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            assert k and v.strip(), f"malformed named-field {line!r}"
+        assert rec.endswith(b"\r\n\r\n"), "BODY_TAIL after every block"
+        # content_length field drives the body span exactly
+        # (create_test_header passes the body length, parser.rs:243)
+        import re as _re
+
+        m = _re.search(rb"Content-Length: (\d+)", head)
+        body = rest[: int(m.group(1))]
+        assert body.endswith(b"x" * 123)
+        assert rest[int(m.group(1)):] == b"\r\n\r\n"
+
+    def test_header_field_inventory_matches_reference(self):
+        """parser.rs test::create_test_header (:220-267) populates the
+        reference's response-record field set; our response records
+        must carry the same WARC-standard core fields."""
+        from atra_spark.plans.export import iter_warc_records
+
+        blob = self._build_test_warc()
+        headers, _ = next(iter_warc_records(blob))
+        for field in (
+            "WARC-Type",
+            "WARC-Record-ID",
+            "WARC-Date",
+            "WARC-Target-URI",
+            "Content-Type",
+            "WARC-Block-Digest",
+            "WARC-Payload-Digest",
+            "Content-Length",
+        ):
+            assert field in headers, f"missing {field}"
+        # record id grammar: <urn:uuid:...> (uuid::Urn, parser.rs:226)
+        assert headers["WARC-Record-ID"].startswith("<urn:uuid:")
+        assert headers["WARC-Record-ID"].endswith(">")
+
+    def test_not_a_header_raises(self):
+        """reader.rs WarcCursorReadError::NotAHeader: garbage where a
+        header must start is an error, not a silent skip."""
+        from atra_spark.plans.export import iter_warc_records
+
+        blob = self._build_test_warc()
+        with pytest.raises(ValueError, match="not a header"):
+            list(iter_warc_records(b"lol\r\n\r\n" + blob))
+        # truncated tail is an error too (state machine can't close)
+        with pytest.raises(ValueError):
+            list(iter_warc_records(blob[:-2]))
+
+    def test_segmented_roundtrip_reassembles(self, spark):
+        """Segmentation invariant (warc_ext/write.rs segmentation +
+        reader cursor): continuation chain re-concatenates to the
+        exact original body."""
+        from atra_spark.plans.export import iter_warc_records, warc_records
+
+        payload = bytes(range(256)) * 40  # 10240 bytes, binary
+        recs = list(
+            warc_records("https://seg.example/", TS, payload, max_segment=4096)
+        )
+        assert len(recs) > 1
+        got = list(iter_warc_records(b"".join(recs)))
+        assert got[0][0]["WARC-Type"] == "response"
+        assert all(h["WARC-Type"] == "continuation" for h, _ in got[1:])
+        reassembled = b"".join(b for _, b in got)
+        assert reassembled.endswith(payload)
+        assert got[-1][0]["WARC-Segment-Total-Length"] == str(len(reassembled))

@@ -194,3 +194,176 @@ class TestFormatMigration:
         idx2.rebuild(_urls_df(spark, SEEN[:20]), 0)
         got = sorted(r["url"] for r in idx2.prune_new(_cands_df(spark, SEEN[:40])).collect())
         assert got == sorted(SEEN[20:40])
+
+
+class TestStateLookup:
+    """v3: the index serves the dequeue link-state check
+    (polling.rs:180-204) — ``filter_by_state`` must agree with the
+    seen-TABLE join path (``operators.frontier.filter_state``) on a
+    randomized multi-round state history, including re-marked URLs
+    (latest kind wins, the RocksDB merge-operator fold)."""
+
+    def _history(self, spark, tmp_path):
+        """3 rounds of state transitions over 120 URLs; returns
+        (index, final_state dict url->kind)."""
+        import random
+
+        from atra_spark.schemas import (
+            KIND_DISCOVERED,
+            KIND_INTERNAL_ERROR,
+            KIND_PROCESSED_AND_STORED,
+        )
+
+        rng = random.Random(7)
+        urls = [f"https://h{i % 9}.example/p{i}" for i in range(120)]
+        idx = SeenIndex(str(tmp_path / "si_state"), num_buckets=8, bloom_bits=1 << 14)
+        state: dict[str, int] = {}
+        for rnd in range(3):
+            rows = []
+            for u in urls:
+                if rnd == 0 or rng.random() < 0.4:
+                    k = rng.choice(
+                        [KIND_DISCOVERED, KIND_PROCESSED_AND_STORED, KIND_INTERNAL_ERROR]
+                    )
+                    rows.append((u, k))
+                    state[u] = k
+            idx.add_urls(
+                spark.createDataFrame(rows, "url string, kind int"), rnd
+            )
+            idx.commit()
+        return idx, state, urls
+
+    def test_lookup_matches_table_join(self, spark, tmp_path):
+        from atra_spark.operators.frontier import filter_state, filter_state_indexed
+        from atra_spark.schemas import KIND_DISCOVERED
+
+        idx, state, urls = self._history(spark, tmp_path)
+        probe_urls = urls[::2] + [f"https://unknown{i}.example/x" for i in range(20)]
+        frontier = _cands_df(spark, probe_urls)
+        seen_tbl = spark.createDataFrame(
+            [(u, k) for u, k in state.items()], "url string, kind int"
+        )
+        got = sorted(
+            r["url"] for r in filter_state_indexed(frontier, idx, allow_recrawl=False).collect()
+        )
+        want = sorted(r["url"] for r in filter_state(frontier, seen_tbl).collect())
+        assert got == want
+        assert got  # non-degenerate: some DISCOVERED rows exist
+
+    def test_lookup_recrawl_tags_match_table_join(self, spark, tmp_path):
+        from atra_spark.operators.frontier import filter_state, filter_state_indexed
+
+        idx, state, urls = self._history(spark, tmp_path)
+        frontier = _cands_df(spark, urls)
+        seen_tbl = spark.createDataFrame(
+            [(u, k) for u, k in state.items()], "url string, kind int"
+        )
+        got = {
+            (r["url"], r["is_recrawl"])
+            for r in filter_state_indexed(frontier, idx, allow_recrawl=True).collect()
+        }
+        want = {
+            (r["url"], r["is_recrawl"])
+            for r in filter_state(frontier, seen_tbl, allow_recrawl=True).collect()
+        }
+        assert got == want
+        assert any(t for _, t in got)  # some recrawl rows exist
+
+    def test_latest_kind_wins_after_compaction(self, spark, tmp_path):
+        """Re-marking a URL in a later round must override, and
+        compaction must preserve the folded (latest) kind."""
+        from atra_spark.schemas import KIND_DISCOVERED, KIND_PROCESSED_AND_STORED
+
+        idx = SeenIndex(str(tmp_path / "si_fold"), num_buckets=4, bloom_bits=1 << 12)
+        idx.add_urls(
+            spark.createDataFrame(
+                [(u, KIND_DISCOVERED) for u in SEEN[:30]], "url string, kind int"
+            ),
+            0,
+        )
+        idx.commit()
+        idx.add_urls(
+            spark.createDataFrame(
+                [(u, KIND_PROCESSED_AND_STORED) for u in SEEN[:15]], "url string, kind int"
+            ),
+            1,
+        )
+        idx.commit()
+        frontier = _cands_df(spark, SEEN[:30])
+        before = sorted(
+            r["url"]
+            for r in idx.filter_by_state(frontier, (KIND_DISCOVERED,)).collect()
+        )
+        assert before == sorted(SEEN[15:30])
+        idx.compact()
+        after = sorted(
+            r["url"]
+            for r in idx.filter_by_state(frontier, (KIND_DISCOVERED,)).collect()
+        )
+        assert after == before
+        # pure lookup mode returns every row with a nullable kind
+        all_rows = idx.filter_by_state(
+            _cands_df(spark, SEEN[:30] + NEW[:5]), None, with_kind=True
+        ).collect()
+        assert len(all_rows) == 35
+        kinds = {r["url"]: r["kind"] for r in all_rows}
+        assert kinds[SEEN[0]] == KIND_PROCESSED_AND_STORED
+        assert kinds[SEEN[20]] == KIND_DISCOVERED
+        assert all(kinds[u] is None for u in NEW[:5])
+
+    def test_state_probe_plan_no_seen_join(self, spark, tmp_path):
+        """The state lookup keeps prune_new's plan economics: no
+        broadcast, no join against a seen relation, one exchange into
+        one mapInPandas."""
+        idx = SeenIndex(str(tmp_path / "si_plan"), num_buckets=8, bloom_bits=1 << 14)
+        idx.add_urls(_urls_df(spark, SEEN), 0)
+        idx.commit()
+        plan = (
+            idx.filter_by_state(_cands_df(spark, SEEN[:50]), (0,))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastExchange" not in plan
+        assert "Join" not in plan
+        assert plan.count("Exchange") == 1
+        assert "MapInPandas" in plan
+
+
+class TestBucketGeometryMigration:
+    def test_num_buckets_mismatch_resets_for_rebuild(self, spark, tmp_path):
+        """Reopening an index with a different bucket count must not
+        serve stale routing (seen URLs would probe as new and be
+        re-crawled): the constructor drops the cache so the engine's
+        resume path rebuilds under the requested geometry."""
+        root = str(tmp_path / "si_nb")
+        idx = SeenIndex(root, num_buckets=4, bloom_bits=1 << 12)
+        idx.add_urls(_urls_df(spark, SEEN[:20]), 0)
+        idx.commit()
+        idx2 = SeenIndex(root, num_buckets=8, bloom_bits=1 << 12)
+        assert idx2.committed_round is None  # engine will rebuild()
+        idx2.rebuild(_urls_df(spark, SEEN[:20]), 0)
+        got = sorted(r["url"] for r in idx2.prune_new(_cands_df(spark, SEEN[:40])).collect())
+        assert got == sorted(SEEN[20:40])
+
+    def test_old_format_with_different_bloom_bits_resets_not_raises(
+        self, spark, tmp_path
+    ):
+        """The format check must run BEFORE the bloom-geometry check: a
+        stale-format manifest whose bloom_bits also differ auto-migrates
+        instead of raising (ADVICE r3)."""
+        import json as _json
+        import os as _os
+
+        root = str(tmp_path / "si_fmt_bits")
+        idx = SeenIndex(root, num_buckets=4, bloom_bits=1 << 12)
+        idx.add_urls(_urls_df(spark, SEEN[:10]), 0)
+        idx.commit()
+        with open(_os.path.join(root, "manifest.json")) as f:
+            m = _json.load(f)
+        m["format"] = 1
+        m["bloom_bits"] = 1 << 10  # both stale format AND different m
+        with open(_os.path.join(root, "manifest.json"), "w") as f:
+            _json.dump(m, f)
+        idx2 = SeenIndex(root, num_buckets=4, bloom_bits=1 << 12)  # no raise
+        assert idx2.committed_round is None

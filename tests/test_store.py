@@ -187,3 +187,168 @@ class TestSeenDeltas:
         got2 = {r["url"]: (r["kind"], r["last_significant_kind"], r["is_seed"])
                 for r in store.read_snapshot(spark, "seen").collect()}
         assert got2 == got
+
+    def test_repeat_compaction_is_noop_not_self_overwrite(self, spark, tmp_path):
+        """A second compact_table call with no NEW deltas must be a
+        no-op (ADVICE r3): stale delta entries below the latest base
+        must not re-trigger a read-and-overwrite of the same parquet
+        path (self-overwrite corruption)."""
+        from datetime import datetime, timezone
+
+        from atra_spark.sources.store import CheckpointStore
+
+        ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+        store = CheckpointStore(str(tmp_path / "st2"), num_buckets=4)
+        base = spark.createDataFrame(
+            self._rows([("https://a/", 0, 254, True)], ts0), self.SCHEMA
+        )
+        store.write_snapshot("seen", base, 0, bucket_by="host")
+        upd = spark.createDataFrame(
+            self._rows([("https://b/", 0, 254, False)], ts0), self.SCHEMA
+        )
+        store.write_delta("seen", upd, 1, bucket_by="host")
+        assert store.compact_table(spark, "seen", bucket_by="host") is not None
+        # second call: latest snapshot is already a base -> no-op
+        assert store.compact_table(spark, "seen", bucket_by="host") is None
+        got = {r["url"] for r in store.read_snapshot(spark, "seen").collect()}
+        assert got == {"https://a/", "https://b/"}
+        # a NEW delta after compaction re-enables compaction
+        upd2 = spark.createDataFrame(
+            self._rows([("https://c/", 0, 254, False)], ts0), self.SCHEMA
+        )
+        store.write_delta("seen", upd2, 2, bucket_by="host")
+        assert store.compact_table(spark, "seen", bucket_by="host") is not None
+        got2 = {r["url"] for r in store.read_snapshot(spark, "seen").collect()}
+        assert got2 == {"https://a/", "https://b/", "https://c/"}
+
+    def test_post_compaction_read_is_window_free(self, spark, tmp_path):
+        """Compose-chain guardrail (VERDICT r3 #9): after compaction
+        the latest read must be a plain base scan — no window fold in
+        the plan — so the merge-on-read economics can't silently
+        regress."""
+        from datetime import datetime, timezone
+
+        from atra_spark.sources.store import CheckpointStore
+
+        ts0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+        store = CheckpointStore(str(tmp_path / "st3"), num_buckets=4)
+        base = spark.createDataFrame(
+            self._rows([("https://a/", 0, 254, True)], ts0), self.SCHEMA
+        )
+        store.write_snapshot("seen", base, 0, bucket_by="host")
+        store.write_delta(
+            "seen",
+            spark.createDataFrame(
+                self._rows([("https://b/", 0, 254, False)], ts0), self.SCHEMA
+            ),
+            1,
+            bucket_by="host",
+        )
+        before = (
+            store.read_snapshot(spark, "seen")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" in before  # the delta chain composes via the window fold
+        store.compact_table(spark, "seen", bucket_by="host")
+        after = (
+            store.read_snapshot(spark, "seen")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in after and "Union" not in after
+
+
+class TestRoundLoopSeenEconomics:
+    """VERDICT r3 'What's wrong' #1 regression gates: the round loop
+    must never read the composed seen TABLE (the state check is served
+    by the bucketed SeenIndex), and the uncompacted delta chain must
+    stay bounded by seen_compact_every."""
+
+    def _engine(self, spark, tmp_path, compact_every=2, max_rounds=6):
+        from atra_spark.config import CrawlConfig
+        from atra_spark.plans.crawl import CrawlEngine
+        from atra_spark.sources.fixtures import ensure_fixtures
+        from atra_spark.sources.store import CheckpointStore
+        from atra_spark.urlkit import NORMAL, UNBOUNDED_DISTANCE, Budget
+
+        paths = ensure_fixtures(
+            str(tmp_path / "fix"), n_pages=120, n_hosts=6,
+            body_paragraphs=2, links_range=(3, 6),
+        )
+        cfg = CrawlConfig(
+            default_budget=Budget(
+                kind=NORMAL, depth_on_website=0, distance_to_seed=UNBOUNDED_DISTANCE
+            ),
+            delay_ms=1,
+            round_budget_ms=60_000,
+            max_rounds=max_rounds,
+            seen_compact_every=compact_every,
+            audit_tables=False,
+        )
+        store = CheckpointStore(str(tmp_path / "store"), num_buckets=4)
+        eng = CrawlEngine(spark, store, cfg, paths["pages"], paths["robots"], num_buckets=4)
+        return eng, store, paths
+
+    def test_run_round_never_reads_seen_table(self, spark, tmp_path):
+        # compaction disabled: the every-k-rounds compact_table call is
+        # the one legitimate (amortized) composed-seen read; the round
+        # loop itself must do zero
+        eng, store, paths = self._engine(spark, tmp_path, compact_every=0)
+        reads: list[str] = []
+        orig = store.read_snapshot
+
+        def spying_read(spark_, table, round_no=None):
+            reads.append(table)
+            return orig(spark_, table, round_no)
+
+        store.read_snapshot = spying_read
+        import duckdb
+
+        seeds = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT min(url) FROM read_parquet('{paths['pages']}') "
+                "GROUP BY regexp_extract(url, '://([^/]+)', 1)"
+            ).fetchall()
+        ]
+        eng.seed(seeds)
+        reads.clear()
+        eng.run_round(0)
+        eng.run_round(1)
+        assert "seen" not in reads, (
+            "round loop read the composed seen table — the state check "
+            f"must be served by the SeenIndex (reads: {reads})"
+        )
+
+    def test_uncompacted_delta_chain_stays_bounded(self, spark, tmp_path):
+        compact_every = 2
+        eng, store, paths = self._engine(spark, tmp_path, compact_every=compact_every)
+        import duckdb
+
+        seeds = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT min(url) FROM read_parquet('{paths['pages']}') "
+                "GROUP BY regexp_extract(url, '://([^/]+)', 1)"
+            ).fetchall()
+        ]
+        eng.seed(seeds)
+        for rnd in range(4):
+            eng.run_round(rnd)
+            snaps = store._load_manifest("seen")["snapshots"]
+            bases = [s for s in snaps if s.get("kind") != "delta"]
+            last_base = bases[-1]["round"] if bases else -1
+            open_deltas = [
+                s for s in snaps if s.get("kind") == "delta" and s["round"] > last_base
+            ]
+            assert len(open_deltas) <= compact_every, (
+                f"round {rnd}: {len(open_deltas)} uncompacted deltas > "
+                f"seen_compact_every={compact_every}"
+            )
+        # and the engine's crawl answers survive: composed state equals
+        # what the SeenIndex served (every fetched URL marked processed)
+        seen = store.read_snapshot(spark, "seen")
+        from pyspark.sql import functions as F
+        from atra_spark.schemas import KIND_PROCESSED_AND_STORED
+
+        n_processed = seen.filter(F.col("kind") == KIND_PROCESSED_AND_STORED).count()
+        assert n_processed > 0
