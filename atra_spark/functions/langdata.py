@@ -268,6 +268,86 @@ _EXTRA_SAMPLES: dict[str, str] = {
         "satte teksten på siden uten at verdiene går tapt for det er det "
         "som teller når alt er lagret"
     ),
+    # ---- round-4 tranche (10 more; hard pairs: cat/spa/por, hrv/slv,
+    # slk/ces, est/fin, afr/nld, srp/bul/rus) ----
+    "cat": (
+        "el sistema desa les dades i la taula no és buida perquè una "
+        "xarxa de pàgines s'ha construït amb cura perquè el nombre de "
+        "paraules quedi com a text i no es perdi però els enllaços "
+        "continuen a la cadena per si el valor d'una pàgina canvia més "
+        "tard i podeu veure qui ha posat el text a la pàgina sense que "
+        "es perdin els valors perquè això és el que compta"
+    ),
+    "hrv": (
+        "sustav čuva podatke i tablica nije prazna jer je mreža "
+        "stranica pažljivo izgrađena kako bi broj riječi ostao kao "
+        "tekst i ne bi se izgubio ali veze ostaju u lancu ako se "
+        "vrijednost stranice kasnije promijeni i možete vidjeti tko je "
+        "stavio tekst na stranicu bez gubitka vrijednosti jer je to ono "
+        "što se računa kada je sve spremljeno"
+    ),
+    "srp": (
+        "систем чува податке и табела није празна јер је мрежа "
+        "страница пажљиво изграђена како би број речи остао као текст "
+        "и не би се изгубио али везе остају у ланцу ако се вредност "
+        "странице касније промени и можете видети ко је ставио текст "
+        "на страницу без губитка вредности јер је то оно што се рачуна "
+        "када је све сачувано"
+    ),
+    "slk": (
+        "systém uchováva údaje a tabuľka nie je prázdna pretože sieť "
+        "stránok bola postavená starostlivo aby počet slov zostal ako "
+        "text a nestratil sa ale odkazy zostávajú v reťazci ak sa "
+        "hodnota stránky neskôr zmení a môžete vidieť kto dal text na "
+        "stránku bez straty hodnôt lebo to je to čo sa počíta keď je "
+        "všetko uložené"
+    ),
+    "slv": (
+        "sistem shranjuje podatke in tabela ni prazna ker je bila "
+        "mreža strani skrbno zgrajena da število besed ostane kot "
+        "besedilo in se ne izgubi vendar povezave ostanejo v verigi če "
+        "se vrednost strani pozneje spremeni in lahko vidite kdo je "
+        "dal besedilo na stran brez izgube vrednosti ker je to tisto "
+        "kar šteje ko je vse shranjeno"
+    ),
+    "lit": (
+        "sistema saugo duomenis ir lentelė nėra tuščia nes puslapių "
+        "tinklas buvo kruopščiai sukurtas kad žodžių skaičius liktų "
+        "kaip tekstas ir nepražūtų bet nuorodos lieka grandinėje jei "
+        "puslapio vertė vėliau pasikeis ir galite matyti kas įdėjo "
+        "tekstą į puslapį neprarandant verčių nes tai yra tai kas "
+        "svarbu kai viskas išsaugota"
+    ),
+    "lav": (
+        "sistēma glabā datus un tabula nav tukša jo lapu tīkls tika "
+        "rūpīgi izveidots lai vārdu skaits paliktu kā teksts un "
+        "nepazustu bet saites paliek ķēdē ja lapas vērtība vēlāk "
+        "mainās un jūs varat redzēt kas ielika tekstu lapā nezaudējot "
+        "vērtības jo tas ir tas kas ir svarīgi kad viss ir saglabāts"
+    ),
+    "est": (
+        "süsteem salvestab andmed ja tabel ei ole tühi sest lehtede "
+        "võrk ehitati hoolikalt et sõnade arv jääks tekstina alles ja "
+        "ei kaoks aga lingid jäävad ketti kui lehe väärtus hiljem "
+        "muutub ja te näete kes pani teksti lehele ilma väärtusi "
+        "kaotamata sest see on see mis loeb kui kõik on salvestatud"
+    ),
+    "afr": (
+        "die stelsel stoor die data en die tabel is nie leeg nie want "
+        "'n netwerk van bladsye is met sorg gebou sodat die aantal "
+        "woorde as teks bly en nie verlore gaan nie maar die skakels "
+        "bly in die ketting as die waarde van 'n bladsy later verander "
+        "en jy kan sien wie die teks op die bladsy gesit het sonder om "
+        "waardes te verloor want dit is wat tel as alles gestoor is"
+    ),
+    "tgl": (
+        "ang sistema ay nag-iimbak ng mga datos at ang talahanayan ay "
+        "hindi walang laman dahil ang network ng mga pahina ay maingat "
+        "na itinayo upang ang bilang ng mga salita ay manatili bilang "
+        "teksto at hindi mawala ngunit ang mga link ay nananatili sa "
+        "kadena kung ang halaga ng pahina ay magbago mamaya at makikita "
+        "mo kung sino ang naglagay ng teksto sa pahina"
+    ),
 }
 
 LANGS = tuple(MARKERS)  # frozen fixture set (generator + JVM markers)
@@ -296,44 +376,139 @@ def _trigram_ranks(text: str, top: int = _PROFILE_TOP) -> dict[str, int]:
     return {g: r for r, (g, _c) in enumerate(grams.most_common(top))}
 
 
-def _build_profiles() -> dict[str, dict[str, int]]:
-    out = {}
-    for lang in LANGS:
-        corpus = " ".join(
+def _profile_corpus(lang: str) -> str:
+    if lang in _SAMPLES:
+        return " ".join(
             (_SAMPLES[lang],)
             + MARKERS[lang] * 3  # function words dominate real rank profiles
             + FILLER[lang] * 2
         )
-        out[lang] = _trigram_ranks(corpus)
-    for lang, sample in _EXTRA_SAMPLES.items():
-        out[lang] = _trigram_ranks(sample)
-    return out
+    return _EXTRA_SAMPLES[lang]
+
+
+def _build_profiles() -> dict[str, dict[str, int]]:
+    return {lang: _trigram_ranks(_profile_corpus(lang)) for lang in DETECT_LANGS}
 
 
 _PROFILES = _build_profiles()
 
 
+def _raw_detect(text: str, langs: tuple[str, ...] = None) -> tuple[str | None, float]:
+    """Cavnar-Trenkle pass over ``langs`` (default: all): (best
+    language, raw out-of-place confidence in [0, 1])."""
+    doc = _trigram_ranks(text[:1024])
+    if not doc:
+        return None, 0.0
+    max_rank = _PROFILE_TOP
+    worst = len(doc) * max_rank
+    best_lang, best_dist = None, None
+    for lang in langs or DETECT_LANGS:
+        prof = _PROFILES[lang]
+        d = sum(abs(prof.get(g, max_rank) - r) for g, r in doc.items())
+        if best_dist is None or d < best_dist or (d == best_dist and lang < best_lang):
+            best_lang, best_dist = lang, d
+    return best_lang, (1.0 - (best_dist / worst) if worst else 0.0)
+
+
+# ---------------------------------------------------------------------------
+# script-first detection (whatlang's own architecture,
+# language_detection.rs: script detect -> per-script language set).
+# Calibration rationale: ideographic scripts have near-unique
+# per-character trigrams, so tiny rank profiles CANNOT generalize to
+# novel text — raw trigram confidence for zho/jpn/kor was structurally
+# floored (~0.05) even on perfect matches (the round-3 "ideographic
+# floor"). Script evidence is the right confidence carrier there: a
+# document that is 98% Han IS Chinese with confidence 0.98. Trigram
+# distance only disambiguates WITHIN a script group, where profiles do
+# generalize (shared function-word trigrams) — so one threshold now
+# means the same thing in every script.
+# ---------------------------------------------------------------------------
+_CYRILLIC_LANGS = ("bul", "rus", "srp", "ukr")
+_ARABIC_LANGS = ("ara", "fas")
+_SCRIPT_UNIQUE = {
+    "hangul": "kor", "thai": "tha", "hebrew": "heb",
+    "greek": "ell", "devanagari": "hin",
+}
+def _script_of(ch: str) -> str | None:
+    o = ord(ch)
+    if 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF or 0xF900 <= o <= 0xFAFF:
+        return "han"
+    if 0x3040 <= o <= 0x30FF or 0x31F0 <= o <= 0x31FF:
+        return "kana"
+    if 0xAC00 <= o <= 0xD7AF or 0x1100 <= o <= 0x11FF or 0x3130 <= o <= 0x318F:
+        return "hangul"
+    if 0x0E00 <= o <= 0x0E7F:
+        return "thai"
+    if 0x0590 <= o <= 0x05FF:
+        return "hebrew"
+    if 0x0370 <= o <= 0x03FF or 0x1F00 <= o <= 0x1FFF:
+        return "greek"
+    if 0x0600 <= o <= 0x06FF or 0x0750 <= o <= 0x077F or 0xFB50 <= o <= 0xFDFF:
+        return "arabic"
+    if 0x0900 <= o <= 0x097F:
+        return "devanagari"
+    if 0x0400 <= o <= 0x04FF or 0x0500 <= o <= 0x052F:
+        return "cyrillic"
+    if ch.isalpha():
+        return "latin"  # ASCII + extended Latin (incl. Vietnamese)
+    return None
+
+
+_LATIN_LANGS = tuple(
+    sorted(
+        set(DETECT_LANGS)
+        - set(_CYRILLIC_LANGS)
+        - set(_ARABIC_LANGS)
+        - set(_SCRIPT_UNIQUE.values())
+        - {"zho", "jpn", "kor"}
+    )
+)
+
+
 def detect_lang(text: str | None) -> tuple[str | None, float | None]:
-    """(iso639-3 code, confidence) by trigram rank distance
-    (Cavnar-Trenkle out-of-place measure); ``und`` when the document
-    profile matches no language (numbers-only, empty, markup noise)."""
+    """(iso639-3 code, calibrated confidence); ``und`` when the
+    document matches no language (numbers-only, empty, markup noise).
+
+    Two stages (whatlang architecture): the dominant SCRIPT picks the
+    candidate set; for script-unique languages confidence is the
+    script purity itself, for shared-script groups (Latin, Cyrillic,
+    Arabic) a Cavnar-Trenkle trigram pass over only that group's
+    profiles picks the language, scaled by script purity. Confidence
+    is therefore threshold-comparable across scripts — no ideographic
+    floor (see the calibration note above)."""
     if not text:
         return None, None
     # 1024 chars carry ample trigram signal (Cavnar-Trenkle used 300-
     # gram profiles over short documents); the 4096-char window cost
     # ~28% of total extraction CPU for no accuracy gain on the corpus
-    doc = _trigram_ranks(text[:1024])
-    if not doc:
+    window = text[:1024]
+    counts: dict[str, int] = {}
+    total = 0
+    for ch in window:
+        s = _script_of(ch)
+        if s is not None:
+            counts[s] = counts.get(s, 0) + 1
+            total += 1
+    if not total:
         return UND, 0.0
-    max_rank = _PROFILE_TOP
-    worst = len(doc) * max_rank
-    best_lang, best_dist = None, None
-    for lang in DETECT_LANGS:
-        prof = _PROFILES[lang]
-        d = sum(abs(prof.get(g, max_rank) - r) for g, r in doc.items())
-        if best_dist is None or d < best_dist or (d == best_dist and lang < best_lang):
-            best_lang, best_dist = lang, d
-    conf = 1.0 - (best_dist / worst) if worst else 0.0
-    if conf <= 0.02:  # indistinguishable from "matches nothing"
+    # Han + kana are one writing system: kana presence marks Japanese
+    cjk = counts.get("han", 0) + counts.get("kana", 0)
+    dominant = max(counts, key=lambda s: (counts[s], s))
+    if dominant in ("han", "kana"):
+        frac = cjk / total
+        lang = "jpn" if counts.get("kana", 0) > 0.05 * cjk else "zho"
+        return lang, round(frac, 4)
+    frac = counts[dominant] / total
+    if dominant == "hangul":
+        return "kor", round(frac, 4)
+    if dominant in _SCRIPT_UNIQUE:
+        return _SCRIPT_UNIQUE[dominant], round(frac, 4)
+    group = {
+        "cyrillic": _CYRILLIC_LANGS,
+        "arabic": _ARABIC_LANGS,
+        "latin": _LATIN_LANGS,
+    }[dominant]
+    best_lang, raw = _raw_detect(window, group)
+    if best_lang is None or raw <= 0.02:  # matches nothing in-group
         return UND, 0.0
-    return best_lang, conf
+    return best_lang, round(min(1.0, frac * raw), 4)

@@ -1,12 +1,13 @@
 """Snowball stemmers (English/Porter2, German, French, Spanish,
-Italian, Russian), pure Python.
+Italian, Russian, Swedish, Norwegian, Dutch, Portuguese), pure Python.
 
 The reference tokenizer optionally stems via the rust-stemmers crate
 (text_processing/src/tokenizer.rs:71-77, Snowball algorithms). No
-stemmer library ships in this environment, so six of rust-stemmers'
+stemmer library ships in this environment, so ten of rust-stemmers'
 algorithms — the two the reference's own tests exercise (English,
 German — tokenizer.rs:92-105) plus the four largest European web
-languages (French, Spanish, Italian, Russian, added round 3) — are
+languages (French, Spanish, Italian, Russian, added round 3) and the
+round-4 tranche (Swedish, Norwegian, Dutch, Portuguese) — are
 implemented here from the published Snowball specifications
 (snowballstem.org). Remaining rust-stemmers languages fall back to
 identity (declared in COVERAGE.md).
@@ -1091,6 +1092,415 @@ def stem_french(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Swedish (snowballstem.org/algorithms/swedish/stemmer.html) — round-4
+# tranche, with Norwegian/Dutch/Portuguese below
+# (rust-stemmers algorithms, tokenizer.rs:31-72)
+# ---------------------------------------------------------------------------
+_SV_VOWELS = "aeiouyäåö"
+_SV_S_ENDING = "bcdfghjklmnoprtvy"
+_SV_STEP1 = sorted(
+    (
+        "a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+        "arne", "are", "aste", "en", "anden", "aren", "heten", "ern", "ar",
+        "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es", "ades",
+        "andes", "ens", "arens", "hetens", "erns", "at", "andet", "het",
+        "ast",
+    ),
+    key=len,
+    reverse=True,
+)
+
+
+def _r1_scandinavian(w: str, vowels: str) -> int:
+    """R1, adjusted so at least 3 letters precede it (the common
+    Scandinavian definition)."""
+    r1 = len(w)
+    for i in range(1, len(w)):
+        if w[i] not in vowels and w[i - 1] in vowels:
+            r1 = i + 1
+            break
+    return max(r1, 3)
+
+
+def stem_swedish(word: str) -> str:
+    w = word.lower()
+    if len(w) <= 3:
+        return w
+    r1 = _r1_scandinavian(w, _SV_VOWELS)
+
+    def in_r1(k: int) -> bool:
+        return k >= r1
+
+    # ---- step 1: a-suffixes + valid s-ending ----
+    for suf in _SV_STEP1:
+        if w.endswith(suf) and in_r1(len(w) - len(suf)):
+            w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("s") and in_r1(len(w) - 1) and len(w) >= 2 and w[-2] in _SV_S_ENDING:
+            w = w[:-1]
+    # ---- step 2: consonant-pair shortening ----
+    if any(w.endswith(p) for p in ("dd", "gd", "nn", "dt", "gt", "kt", "tt")) and in_r1(
+        len(w) - 1
+    ):
+        w = w[:-1]
+    # ---- step 3 ----
+    for suf in ("lig", "ig", "els"):
+        if w.endswith(suf) and in_r1(len(w) - len(suf)):
+            w = w[: -len(suf)]
+            return w
+    if w.endswith("löst") and in_r1(len(w) - 4):
+        w = w[:-1]  # löst -> lös
+    elif w.endswith("fullt") and in_r1(len(w) - 5):
+        w = w[:-1]  # fullt -> full
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Norwegian Bokmål (snowballstem.org/algorithms/norwegian/stemmer.html)
+# ---------------------------------------------------------------------------
+_NO_VOWELS = "aeiouyæåø"
+_NO_S_ENDING = "bcdfghjlmnoprtvyz"
+_NO_STEP1 = sorted(
+    (
+        "a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
+        "heten", "ar", "er", "heter", "as", "es", "edes", "endes", "enes",
+        "hetenes", "ens", "hetens", "ers", "ets", "et", "het", "ast",
+    ),
+    key=len,
+    reverse=True,
+)
+_NO_STEP3 = sorted(
+    ("leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov", "elov",
+     "slov", "hetslov"),
+    key=len,
+    reverse=True,
+)
+
+
+def stem_norwegian(word: str) -> str:
+    w = word.lower()
+    if len(w) <= 3:
+        return w
+    r1 = _r1_scandinavian(w, _NO_VOWELS)
+
+    def in_r1(k: int) -> bool:
+        return k >= r1
+
+    # ---- step 1: one longest-match scan over ALL step-1 arms (the
+    # Snowball among() picks the longest suffix inside R1, then applies
+    # that arm's rule — a failed arm condition means no change, not a
+    # retry with a shorter suffix) ----
+    step1 = sorted(
+        [(s, "del") for s in _NO_STEP1]
+        + [("erte", "er"), ("ert", "er"), ("s", "s")],
+        key=lambda t: len(t[0]),
+        reverse=True,
+    )
+    for suf, act in step1:
+        if w.endswith(suf) and in_r1(len(w) - len(suf)):
+            if act == "del":
+                w = w[: -len(suf)]
+            elif act == "er":
+                w = w[: -len(suf)] + "er"
+            elif len(w) >= 2 and (
+                w[-2] in _NO_S_ENDING
+                or (w[-2] == "k" and (len(w) < 3 or w[-3] not in _NO_VOWELS))
+            ):
+                w = w[:-1]
+            break
+    # ---- step 2: dt / vt -> drop the t ----
+    if (w.endswith("dt") or w.endswith("vt")) and in_r1(len(w) - 1):
+        w = w[:-1]
+    # ---- step 3 ----
+    for suf in _NO_STEP3:
+        if w.endswith(suf) and in_r1(len(w) - len(suf)):
+            w = w[: -len(suf)]
+            break
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Dutch (snowballstem.org/algorithms/dutch/stemmer.html)
+# ---------------------------------------------------------------------------
+_NL_VOWELS = "aeiouyè"
+_NL_STRIP_ACCENTS = str.maketrans("äëïöüáéíóú", "aeiouaeiou")
+
+
+def _nl_undouble(w: str) -> str:
+    if w.endswith(("kk", "dd", "tt")):
+        return w[:-1]
+    return w
+
+
+def stem_dutch(word: str) -> str:
+    w = word.lower().translate(_NL_STRIP_ACCENTS)
+    if len(w) <= 3:
+        return w
+    # mark y/i functioning as consonants with upper case (undone at end):
+    # initial y, y after a vowel, i between vowels
+    chars = list(w)
+    if chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _NL_VOWELS:
+            chars[i] = "Y"
+        elif (
+            chars[i] == "i"
+            and chars[i - 1] in _NL_VOWELS
+            and i + 1 < len(chars)
+            and chars[i + 1] in _NL_VOWELS
+        ):
+            chars[i] = "I"
+    w = "".join(chars)
+
+    # regions and vowel tests run on the MARKED string: uppercase I/Y
+    # are consonants by construction (not in the vowel list)
+    r1, r2 = _r1_r2_generic(w, _NL_VOWELS)
+    r1 = max(r1, 3)
+
+    def in_r1(k: int) -> bool:
+        return k >= r1
+
+    def in_r2(k: int) -> bool:
+        return k >= r2
+
+    def valid_s_ending(k: int) -> bool:  # non-vowel other than j at k-1
+        c = w[k - 1]
+        return c not in _NL_VOWELS and c != "j"
+
+    def valid_en_ending(k: int) -> bool:  # non-vowel, and not gem-
+        return w[k - 1] not in _NL_VOWELS and w[max(0, k - 3) : k] != "gem"
+
+    # ---- step 1 ----
+    if w.endswith("heden") and in_r1(len(w) - 5):
+        w = w[:-5] + "heid"
+    elif w.endswith("ene") and in_r1(len(w) - 3) and valid_en_ending(len(w) - 3):
+        w = _nl_undouble(w[:-3])
+    elif w.endswith("en") and in_r1(len(w) - 2) and valid_en_ending(len(w) - 2):
+        w = _nl_undouble(w[:-2])
+    elif w.endswith("se") and in_r1(len(w) - 2) and valid_s_ending(len(w) - 2):
+        w = w[:-2]
+    elif w.endswith("s") and in_r1(len(w) - 1) and valid_s_ending(len(w) - 1):
+        w = w[:-1]
+
+    # ---- step 2: drop final e after a non-vowel ----
+    e_removed = False
+    if (
+        w.endswith("e")
+        and in_r1(len(w) - 1)
+        and len(w) >= 2
+        and w[-2] not in _NL_VOWELS
+    ):
+        w = _nl_undouble(w[:-1])
+        e_removed = True
+
+    # ---- step 3a: heid ----
+    if w.endswith("heid") and in_r2(len(w) - 4) and (len(w) < 5 or w[-5] != "c"):
+        w = w[:-4]
+        if w.endswith("en") and in_r1(len(w) - 2) and valid_en_ending(len(w) - 2):
+            w = _nl_undouble(w[:-2])
+
+    # ---- step 3b: d-suffixes ----
+    if (w.endswith("end") or w.endswith("ing")) and in_r2(len(w) - 3):
+        w = w[:-3]
+        if w.endswith("ig") and in_r2(len(w) - 2) and (len(w) < 3 or w[-3] != "e"):
+            w = w[:-2]
+        else:
+            w = _nl_undouble(w)
+    elif w.endswith("lijk") and in_r2(len(w) - 4):
+        w = w[:-4]
+        # then repeat step 2
+        if (
+            w.endswith("e")
+            and in_r1(len(w) - 1)
+            and len(w) >= 2
+            and w[-2] not in _NL_VOWELS
+        ):
+            w = _nl_undouble(w[:-1])
+    elif w.endswith("baar") and in_r2(len(w) - 4):
+        w = w[:-4]
+    elif w.endswith("bar") and in_r2(len(w) - 3) and e_removed:
+        w = w[:-3]
+    elif w.endswith("ig") and in_r2(len(w) - 2) and (len(w) < 3 or w[-3] != "e"):
+        w = w[:-2]
+
+    # ---- step 4: undouble vowel (CVVD, D a non-vowel other than I) ----
+    if len(w) >= 4:
+        c, v1, v2, d = w[-4], w[-3], w[-2], w[-1]
+        if (
+            c not in _NL_VOWELS
+            and d not in _NL_VOWELS
+            and d != "I"
+            and v1 == v2
+            and v1 in "aeou"
+        ):
+            w = w[:-2] + w[-1]
+
+    return w.lower()
+
+
+# ---------------------------------------------------------------------------
+# Portuguese (snowballstem.org/algorithms/portuguese/stemmer.html)
+# ---------------------------------------------------------------------------
+_PT_VOWELS = "aeiouáéíóúâêô"
+
+
+def _rv_pt(w: str) -> int:
+    """RV per the Spanish/Portuguese definition."""
+    if len(w) < 3:
+        return len(w)
+    if w[1] not in _PT_VOWELS:  # second letter a consonant: RV after next vowel
+        for i in range(2, len(w)):
+            if w[i] in _PT_VOWELS:
+                return i + 1
+        return len(w)
+    if w[0] in _PT_VOWELS and w[1] in _PT_VOWELS:  # first two vowels: after next consonant
+        for i in range(2, len(w)):
+            if w[i] not in _PT_VOWELS:
+                return i + 1
+        return len(w)
+    return 3  # consonant-vowel start
+
+
+_PT_STEP1_R2_DELETE = sorted(
+    (
+        "eza", "ezas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+        "ável", "ível", "ista", "istas", "oso", "osa", "osos", "osas",
+        "amento", "amentos", "imento", "imentos", "adora", "ador",
+        "aça~o", "adoras", "adores", "aço~es", "ante", "antes", "ância",
+    ),
+    key=len,
+    reverse=True,
+)
+_PT_STEP2 = sorted(
+    (
+        "ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara", "erá",
+        "era", "irá", "ava", "asse", "esse", "isse", "aste", "este",
+        "iste", "ei", "arei", "erei", "irei", "am", "iam", "ariam",
+        "eriam", "iriam", "aram", "eram", "iram", "avam", "em", "arem",
+        "erem", "irem", "assem", "essem", "issem", "ado", "ido", "ando",
+        "endo", "indo", "ara~o", "era~o", "ira~o", "ar", "er", "ir", "as",
+        "adas", "idas", "ias", "arias", "erias", "irias", "arás", "aras",
+        "erás", "eras", "irás", "avas", "es", "ardes", "erdes", "irdes",
+        "ares", "eres", "ires", "asses", "esses", "isses", "astes",
+        "estes", "istes", "is", "ais", "eis", "íeis", "aríeis", "eríeis",
+        "iríeis", "áreis", "areis", "éreis", "ereis", "íreis", "ireis",
+        "ásseis", "ésseis", "ísseis", "áveis", "ados", "idos", "ámos",
+        "amos", "íamos", "aríamos", "eríamos", "iríamos", "áramos",
+        "éramos", "íramos", "ávamos", "emos", "aremos", "eremos",
+        "iremos", "ássemos", "êssemos", "íssemos", "imos", "armos",
+        "ermos", "irmos", "eu", "iu", "ou", "ira", "iras",
+    ),
+    key=len,
+    reverse=True,
+)
+
+
+def stem_portuguese(word: str) -> str:
+    w = word.lower().replace("ã", "a~").replace("õ", "o~")
+    if len(w.replace("~", "")) <= 2:
+        return w.replace("a~", "ã").replace("o~", "õ")
+    rv = _rv_pt(w)
+    r1, r2 = _r1_r2_generic(w, _PT_VOWELS)
+
+    def in_rv(k: int) -> bool:
+        return k >= rv
+
+    def in_r1(k: int) -> bool:
+        return k >= r1
+
+    def in_r2(k: int) -> bool:
+        return k >= r2
+
+    original = w
+
+    # ---- step 1: standard suffix removal ----
+    def step1(w: str) -> str:
+        # logia / ução / ência families (replacements)
+        for suf, rep in (("logías", "log"), ("logía", "log"),
+                         ("logias", "log"), ("logia", "log")):
+            if w.endswith(suf) and in_r2(len(w) - len(suf)):
+                return w[: -len(suf)] + rep
+        for suf in ("uço~es", "uça~o"):
+            if w.endswith(suf) and in_r2(len(w) - len(suf)):
+                return w[: -len(suf)] + "u"
+        for suf, rep in (("ências", "ente"), ("ência", "ente")):
+            if w.endswith(suf) and in_r2(len(w) - len(suf)):
+                return w[: -len(suf)] + rep
+        if w.endswith("amente") and in_r1(len(w) - 6):
+            w = w[:-6]
+            if w.endswith("iv") and in_r2(len(w) - 2):
+                w = w[:-2]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+            else:
+                for pre in ("os", "ic", "ad"):
+                    if w.endswith(pre) and in_r2(len(w) - 2):
+                        w = w[:-2]
+                        break
+            return w
+        if w.endswith("mente") and in_r2(len(w) - 5):
+            w = w[:-5]
+            for pre in ("ante", "avel", "ível"):
+                if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                    w = w[: -len(pre)]
+                    break
+            return w
+        for suf in ("idades", "idade"):
+            if w.endswith(suf) and in_r2(len(w) - len(suf)):
+                w = w[: -len(suf)]
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                        w = w[: -len(pre)]
+                        break
+                return w
+        for suf in ("ivas", "ivos", "iva", "ivo"):
+            if w.endswith(suf) and in_r2(len(w) - len(suf)):
+                w = w[: -len(suf)]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                return w
+        for suf in ("iras", "ira"):
+            if w.endswith(suf) and in_rv(len(w) - len(suf)) and w[: -len(suf)].endswith("e"):
+                return w[: -len(suf)] + "ir"
+        for suf in _PT_STEP1_R2_DELETE:
+            if w.endswith(suf) and in_r2(len(w) - len(suf)):
+                return w[: -len(suf)]
+        return w
+
+    w = step1(w)
+    # ---- step 2: verb suffixes (only if step 1 changed nothing) ----
+    if w == original:
+        for suf in _PT_STEP2:
+            if w.endswith(suf) and in_rv(len(w) - len(suf)):
+                w = w[: -len(suf)]
+                break
+    # ---- step 3: ci -> c (only if step 1/2 changed the word) ----
+    if w != original:
+        if w.endswith("i") and in_rv(len(w) - 1) and w[:-1].endswith("c"):
+            w = w[:-1]
+    else:
+        # ---- step 4: residual suffix (steps 1&2 did nothing) ----
+        for suf in ("os", "a", "i", "o", "á", "í", "ó"):
+            if w.endswith(suf) and in_rv(len(w) - len(suf)):
+                w = w[: -len(suf)]
+                break
+    # ---- step 5 ----
+    for suf in ("e", "é", "ê"):
+        if w.endswith(suf) and in_rv(len(w) - 1):
+            w = w[:-1]
+            if (w.endswith("gu") and in_rv(len(w) - 1)) or (
+                w.endswith("ci") and in_rv(len(w) - 1)
+            ):
+                w = w[:-1]
+            break
+    if w.endswith("ç"):
+        w = w[:-1] + "c"
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+# ---------------------------------------------------------------------------
 # Snowball stopword lists (published with the Snowball project; the
 # reference's iso_stopwords registry serves the same per-language role,
 # stopword_registry.rs — list provenance declared in COVERAGE.md)
@@ -1187,17 +1597,83 @@ SNOWBALL_STOPWORDS["russian"] = frozenset("""
 """.split())
 SNOWBALL_STOPWORDS["eng"] = SNOWBALL_STOPWORDS["english"]
 SNOWBALL_STOPWORDS["deu"] = SNOWBALL_STOPWORDS["german"]
+SNOWBALL_STOPWORDS["swedish"] = frozenset("""
+    och det att i en jag hon som han på den med var sig för så till är
+    men ett om hade de av icke mig du henne då sin nu har inte hans
+    honom skulle hennes där min man ej vid kunde något från ut när
+    efter upp vi dem vara vad över än dig kan sina här ha mot alla
+    under någon eller allt mycket sedan ju denna själv detta åt utan
+    varit hur ingen mitt ni bli blev oss din dessa några deras blir
+    mina samma vilken er sådan vår blivit dess inom mellan sådant
+    varför varje vilka ditt vem vilket sitta sådana vart dina vars
+    vårt våra ert era vilkas
+""".split())
+SNOWBALL_STOPWORDS["norwegian"] = frozenset("""
+    og i jeg det at en et den til er som på de med han av ikke ikkje
+    der så var meg seg men ett har om vi min mitt ha hadde hun nå over
+    da ved fra du ut sin dem oss opp man kan hans hvor eller hva skal
+    selv sjøl her alle vil bli ble blei bli't kunne inn når være kom
+    noen noe ville dere som deres kun ja etter ned skulle denne for
+    deg si sine sitt mot å meget hvorfor dette disse uten hvordan
+    ingen din ditt blir samme hvilken hvilke sånn inni mellom vår
+    hver hvem vors hvis både bare enn fordi før mange også slik
+    vært være båe begge siden dykk dykkar dei deira deires deim di då
+    eg ein eit eitt elles honom hjå ho hoe henne hennar hennes hoss
+    hossen ikkje ingi inkje korleis korso kva kvar kvarhelst kven kvi
+    kvifor me medan mi mine mykje no nokon noka nokor noko nokre si
+    sia sidan so somt somme um upp vere vore verte vort varte vart
+""".split())
+SNOWBALL_STOPWORDS["dutch"] = frozenset("""
+    de en van ik te dat die in een hij het niet zijn is was op aan met
+    als voor had er maar om hem dan zou of wat mijn men dit zo door
+    over ze zich bij ook tot je mij uit der daar haar naar heb hoe
+    heeft hebben deze u want nog zal me zij nu ge geen omdat iets
+    worden toch al waren veel meer doen toen moet ben zonder kan hun
+    dus alles onder ja eens hier wie werd altijd doch wordt wezen
+    kunnen ons zelf tegen na reeds wil kon niets uw iemand geweest
+    andere
+""".split())
+SNOWBALL_STOPWORDS["portuguese"] = frozenset("""
+    de a o que e do da em um para é com não uma os no se na por mais
+    as dos como mas foi ao ele das tem à seu sua ou ser quando muito
+    há nos já está eu também só pelo pela até isso ela entre era
+    depois sem mesmo aos ter seus quem nas me esse eles estão você
+    tinha foram essa num nem suas meu às minha têm numa pelos elas
+    havia seja qual será nós tenho lhe deles essas esses pelas este
+    fosse dele tu te vocês vos lhes meus minhas teu tua teus tuas
+    nosso nossa nossos nossas dela delas esta estes estas aquele
+    aquela aqueles aquelas isto aquilo estou estamos estive esteve
+    estivemos estiveram estava estávamos estavam estivera estivéramos
+    esteja estejamos estejam estivesse estivéssemos estivessem
+    estiver estivermos estiverem hei haja hajamos hajam houve houvemos
+    houveram houvera houvéramos houvesse houvéssemos houvessem houver
+    houvermos houverem houverei houverá houveremos houverão houveria
+    houveríamos houveriam sou somos são era éramos eram fui fomos
+    fora fôramos sejamos sejam fosse fôssemos fossem for formos forem
+    serei será seremos serão seria seríamos seriam tenho temos tém
+    tinha tínhamos tinham tive teve tivemos tiveram tivera tivéramos
+    tenha tenhamos tenham tivesse tivéssemos tivessem tiver tivermos
+    tiverem terei terá teremos terão teria teríamos teriam
+""".split())
 SNOWBALL_STOPWORDS["fra"] = SNOWBALL_STOPWORDS["french"]
 SNOWBALL_STOPWORDS["spa"] = SNOWBALL_STOPWORDS["spanish"]
 SNOWBALL_STOPWORDS["ita"] = SNOWBALL_STOPWORDS["italian"]
 SNOWBALL_STOPWORDS["rus"] = SNOWBALL_STOPWORDS["russian"]
+SNOWBALL_STOPWORDS["swe"] = SNOWBALL_STOPWORDS["swedish"]
+SNOWBALL_STOPWORDS["nor"] = SNOWBALL_STOPWORDS["norwegian"]
+SNOWBALL_STOPWORDS["nld"] = SNOWBALL_STOPWORDS["dutch"]
+SNOWBALL_STOPWORDS["por"] = SNOWBALL_STOPWORDS["portuguese"]
 
 STEMMERS = {"english": stem_english, "eng": stem_english,
             "german": stem_german, "deu": stem_german,
             "french": stem_french, "fra": stem_french,
             "spanish": stem_spanish, "spa": stem_spanish,
             "italian": stem_italian, "ita": stem_italian,
-            "russian": stem_russian, "rus": stem_russian}
+            "russian": stem_russian, "rus": stem_russian,
+            "swedish": stem_swedish, "swe": stem_swedish,
+            "norwegian": stem_norwegian, "nor": stem_norwegian,
+            "dutch": stem_dutch, "nld": stem_dutch,
+            "portuguese": stem_portuguese, "por": stem_portuguese}
 
 
 def get_stemmer(name: str | None):

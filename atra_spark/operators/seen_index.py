@@ -108,14 +108,14 @@ def _cache_put(cache: OrderedDict, cap: int, key, value) -> None:
         cache.popitem(last=False)
 
 
-def _load_bloom(path: str) -> np.ndarray:
-    bits = _BLOOM_CACHE.get(path)
+def _load_bloom(storage, bucket: int, name: str) -> np.ndarray:
+    key = storage.key(bucket, name)
+    bits = _BLOOM_CACHE.get(key)
     if bits is None:
-        with open(path, "rb") as f:
-            bits = np.frombuffer(f.read(), dtype=np.uint8)
-        _cache_put(_BLOOM_CACHE, _BLOOM_CACHE_CAP, path, bits)
+        bits = np.frombuffer(storage.read_bytes(bucket, name), dtype=np.uint8)
+        _cache_put(_BLOOM_CACHE, _BLOOM_CACHE_CAP, key, bits)
     else:
-        _BLOOM_CACHE.move_to_end(path)
+        _BLOOM_CACHE.move_to_end(key)
     return bits
 
 
@@ -137,17 +137,16 @@ def _dedup_last(
 
 
 def _load_hashset(
-    bucket_dir: str, deltas: tuple[str, ...]
+    storage, bucket: int, deltas: tuple[str, ...]
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Exact (hash-pair -> latest kind) set for one bucket = fold of its
     delta parquets in chain order, lexsorted by (h1, h2) with one row
-    per pair. Cached per worker keyed by bucket dir; when the cached
-    delta chain is a PREFIX of the requested one only the new tail
-    files are read (the per-round warm path reads exactly one small
-    file; the re-dedup is an in-memory numpy sort of the bucket)."""
-    import pyarrow.parquet as pq
-
-    cached = _HASHSET_CACHE.get(bucket_dir)
+    per pair. Cached per worker keyed by bucket; when the cached delta
+    chain is a PREFIX of the requested one only the new tail files are
+    read (the per-round warm path reads exactly one small file; the
+    re-dedup is an in-memory numpy sort of the bucket)."""
+    key = storage.key(bucket)
+    cached = _HASHSET_CACHE.get(key)
     start = 0
     if cached is not None:
         old_chain, s1, s2, sk = cached
@@ -165,21 +164,19 @@ def _load_hashset(
         parts2 = [] if s2 is None else [s2]
         partsk = [] if sk is None else [sk]
         for name in deltas[start:]:
-            t = pq.read_table(
-                os.path.join(bucket_dir, name), columns=["h1", "h2", "kind"]
-            )
-            parts1.append(t.column("h1").to_numpy())
-            parts2.append(t.column("h2").to_numpy())
-            partsk.append(t.column("kind").to_numpy())
+            h1a, h2a, ka = storage.read_pairs(bucket, name)
+            parts1.append(h1a)
+            parts2.append(h2a)
+            partsk.append(ka)
         h1 = np.concatenate(parts1) if parts1 else np.empty(0, dtype=np.int64)
         h2 = np.concatenate(parts2) if parts2 else np.empty(0, dtype=np.int64)
         ks = np.concatenate(partsk) if partsk else np.empty(0, dtype=np.int32)
         s1, s2, sk = _dedup_last(h1, h2, ks)
         _cache_put(
-            _HASHSET_CACHE, _HASHSET_CACHE_CAP, bucket_dir, (tuple(deltas), s1, s2, sk)
+            _HASHSET_CACHE, _HASHSET_CACHE_CAP, key, (tuple(deltas), s1, s2, sk)
         )
     else:
-        _HASHSET_CACHE.move_to_end(bucket_dir)
+        _HASHSET_CACHE.move_to_end(key)
     return s1, s2, sk
 
 
@@ -226,6 +223,87 @@ def _atomic_write(path: str, data: bytes) -> None:
     os.replace(tmp, path)
 
 
+class LocalBucketStorage:
+    """Bucket-object I/O seam for the SeenIndex (VERDICT r3 #5).
+
+    Every byte the index reads or writes — bloom bitmaps and hash-pair
+    delta parquets, one directory per bucket — goes through this
+    object, on the driver AND inside executor tasks (it is a plain
+    picklable value: just the root path). The local-filesystem
+    implementation below is what local[n] and shared-fs clusters use;
+    an object-store implementation (S3/GCS/ABFS paths, conditional-put
+    for the atomic publishes) implements the same five methods and
+    slots in via ``SeenIndex(..., storage=...)`` without touching any
+    index logic. Cache keys are storage-scoped so two indexes never
+    alias each other's worker-side LRU entries."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    def _path(self, bucket: int, name: str) -> str:
+        return os.path.join(self.root, f"bucket={bucket:05d}", name)
+
+    def key(self, bucket: int, name: str = "") -> str:
+        """Stable cache key for a bucket object (or the bucket itself)."""
+        return self._path(bucket, name)
+
+    def read_bytes(self, bucket: int, name: str) -> bytes:
+        with open(self._path(bucket, name), "rb") as f:
+            return f.read()
+
+    def write_bytes(self, bucket: int, name: str, data: bytes) -> None:
+        path = self._path(bucket, name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        _atomic_write(path, data)
+
+    def read_pairs(
+        self, bucket: int, name: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(self._path(bucket, name), columns=["h1", "h2", "kind"])
+        return (
+            t.column("h1").to_numpy(),
+            t.column("h2").to_numpy(),
+            t.column("kind").to_numpy(),
+        )
+
+    def write_pairs(
+        self, bucket: int, name: str, h1: np.ndarray, h2: np.ndarray, kind: np.ndarray
+    ) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = self._path(bucket, name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        pq.write_table(
+            pa.table(
+                {
+                    "h1": pa.array(h1, type=pa.int64()),
+                    "h2": pa.array(h2, type=pa.int64()),
+                    "kind": pa.array(kind.astype(np.int32), type=pa.int32()),
+                }
+            ),
+            tmp,
+            compression="zstd",
+        )
+        os.replace(tmp, path)
+
+    def list_bucket(self, bucket: int) -> list[str]:
+        d = os.path.dirname(self._path(bucket, "x"))
+        try:
+            return sorted(os.listdir(d))
+        except FileNotFoundError:
+            return []
+
+    def remove(self, bucket: int, name: str) -> None:
+        try:
+            os.remove(self._path(bucket, name))
+        except FileNotFoundError:
+            pass
+
+
 def _hash_cols(col):
     """The index's key triple, all JVM-side: bucket routing uses
     Spark's own hash-partitioning function (murmur3 via F.hash, the
@@ -250,8 +328,15 @@ class SeenIndex:
     indexed but not committed.
     """
 
-    def __init__(self, root: str, num_buckets: int = 32, bloom_bits: int = 1 << 20) -> None:
+    def __init__(
+        self,
+        root: str,
+        num_buckets: int = 32,
+        bloom_bits: int = 1 << 20,
+        storage: LocalBucketStorage | None = None,
+    ) -> None:
         self.root = root
+        self.storage = storage if storage is not None else LocalBucketStorage(root)
         self.num_buckets = num_buckets
         self.bloom_bits = bloom_bits
         os.makedirs(root, exist_ok=True)
@@ -319,7 +404,7 @@ class SeenIndex:
         operator semantics). Buckets with no rows are untouched (their
         files are not rewritten). Returns the number of URLs staged."""
         m = self.bloom_bits
-        root = self.root
+        storage = self.storage
         buckets_meta = (self._manifest or {}).get("buckets", {})
         cur_blooms = {int(b): v["bloom"] for b, v in buckets_meta.items()}
 
@@ -342,39 +427,27 @@ class SeenIndex:
         )
 
         def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
             b = int(pdf[_BUCKET_COL].iloc[0])
-            bdir = os.path.join(root, f"bucket={b:05d}")
-            os.makedirs(bdir, exist_ok=True)
             prev = cur_blooms.get(b)
             if prev is not None:
-                with open(os.path.join(bdir, prev), "rb") as f:
-                    bits = np.frombuffer(f.read(), dtype=np.uint8).copy()
+                bits = np.frombuffer(
+                    storage.read_bytes(b, prev), dtype=np.uint8
+                ).copy()
             else:
                 bits = np.zeros(m // 8, dtype=np.uint8)
             h = pdf[_H1_COL].to_numpy()
             for pos in _positions(h, m):
                 np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
             bloom_name = f"bloom_r{round_no:05d}.bin"
-            _atomic_write(os.path.join(bdir, bloom_name), bits.tobytes())
+            storage.write_bytes(b, bloom_name, bits.tobytes())
             delta_name = f"hashes_r{round_no:05d}.parquet"
-            tmp = os.path.join(bdir, f"{delta_name}.tmp.{uuid.uuid4().hex}")
-            pq.write_table(
-                pa.table(
-                    {
-                        "h1": pa.array(pdf[_H1_COL].to_numpy(), type=pa.int64()),
-                        "h2": pa.array(pdf[_H2_COL].to_numpy(), type=pa.int64()),
-                        "kind": pa.array(
-                            pdf[_KIND_COL].to_numpy().astype(np.int32), type=pa.int32()
-                        ),
-                    }
-                ),
-                tmp,
-                compression="zstd",
+            storage.write_pairs(
+                b,
+                delta_name,
+                pdf[_H1_COL].to_numpy(),
+                pdf[_H2_COL].to_numpy(),
+                pdf[_KIND_COL].to_numpy(),
             )
-            os.replace(tmp, os.path.join(bdir, delta_name))
             return pd.DataFrame(
                 {"bucket": [b], "n": [len(pdf)],
                  "bloom_file": [bloom_name], "delta_file": [delta_name]}
@@ -422,65 +495,81 @@ class SeenIndex:
         self.add_urls(seen_urls, round_no)
         self.commit()
 
-    def compact(self, spark_unused=None, keep_blooms: int = 2) -> None:
+    @staticmethod
+    def _compact_bucket(
+        storage, bucket: int, deltas: list[str], base_name: str,
+        keep_bloom_names: set[str], keep_blooms: int,
+    ) -> None:
+        """Fold ONE bucket's delta chain into a deduped base file and
+        GC its superseded bloom bitmaps — runs on the driver (local
+        path) or inside an executor task (distributed path), all I/O
+        through the storage seam."""
+        if len(deltas) > 1:
+            parts1, parts2, partsk = [], [], []
+            for d in deltas:
+                h1a, h2a, ka = storage.read_pairs(bucket, d)
+                parts1.append(h1a)
+                parts2.append(h2a)
+                partsk.append(ka)
+            s1, s2, sk = _dedup_last(
+                np.concatenate(parts1), np.concatenate(parts2), np.concatenate(partsk)
+            )
+            storage.write_pairs(bucket, base_name, s1, s2, sk)
+            for d in deltas:
+                if d != base_name:
+                    storage.remove(bucket, d)
+        # GC superseded bloom bitmaps (keep the newest few)
+        blooms = sorted(
+            f for f in storage.list_bucket(bucket)
+            if f.startswith("bloom_r") and f.endswith(".bin")
+        )
+        for f_old in blooms[:-keep_blooms]:
+            if f_old not in keep_bloom_names:
+                storage.remove(bucket, f_old)
+
+    def compact(self, spark=None, keep_blooms: int = 2) -> None:
         """Fold each bucket's delta chain into one deduped file (latest
         kind per pair — the chain fold burned in) and GC stale bloom
-        bitmaps (driver-side file ops per bucket; at cluster scale this
-        becomes a per-bucket executor task, same as ``add_urls``).
-        Probe caches key on the chain, so a compacted chain simply
-        misses once and reloads one file."""
+        bitmaps. With a SparkSession the fold runs as ONE DISTRIBUTED
+        job, one task per bucket (the same per-bucket task shape as
+        ``add_urls`` — the cluster path: nothing bucket-sized touches
+        the driver); without one it loops buckets driver-side (fine on
+        local/shared fs). Probe caches key on the chain, so a
+        compacted chain simply misses once and reloads one file."""
         if not self._manifest:
             return
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
+        storage = self.storage
         rnd = self._manifest["round"]
+        work = []  # (bucket, deltas, base_name, live bloom)
         for b, ent in self._manifest["buckets"].items():
-            bdir = os.path.join(self.root, f"bucket={int(b):05d}")
-            deltas = ent.get("deltas", [])
-            if len(deltas) > 1:
-                base_name = f"hashes_base_r{rnd:05d}.parquet"
-                parts1, parts2, partsk = [], [], []
-                for d in deltas:
-                    t = pq.read_table(
-                        os.path.join(bdir, d), columns=["h1", "h2", "kind"]
-                    )
-                    parts1.append(t.column("h1").to_numpy())
-                    parts2.append(t.column("h2").to_numpy())
-                    partsk.append(t.column("kind").to_numpy())
-                s1, s2, sk = _dedup_last(
-                    np.concatenate(parts1), np.concatenate(parts2), np.concatenate(partsk)
-                )
-                tmp = os.path.join(bdir, f"{base_name}.tmp.{uuid.uuid4().hex}")
-                pq.write_table(
-                    pa.table(
-                        {
-                            "h1": pa.array(s1, type=pa.int64()),
-                            "h2": pa.array(s2, type=pa.int64()),
-                            "kind": pa.array(sk.astype(np.int32), type=pa.int32()),
-                        }
-                    ),
-                    tmp,
-                    compression="zstd",
-                )
-                os.replace(tmp, os.path.join(bdir, base_name))
-                for d in deltas:
-                    if d != base_name:
-                        try:
-                            os.remove(os.path.join(bdir, d))
-                        except FileNotFoundError:
-                            pass
-                ent["deltas"] = [base_name]
-            # GC superseded bloom bitmaps (keep the newest few)
-            blooms = sorted(
-                f for f in os.listdir(bdir) if f.startswith("bloom_r") and f.endswith(".bin")
+            work.append(
+                (int(b), list(ent.get("deltas", [])),
+                 f"hashes_base_r{rnd:05d}.parquet", ent["bloom"])
             )
-            for f_old in blooms[:-keep_blooms]:
-                if f_old != ent["bloom"]:
-                    try:
-                        os.remove(os.path.join(bdir, f_old))
-                    except FileNotFoundError:
-                        pass
+        if spark is not None and work:
+            kb = keep_blooms
+            compact_one = SeenIndex._compact_bucket
+
+            def _task(pdf: pd.DataFrame) -> pd.DataFrame:
+                for row in pdf.itertuples(index=False):
+                    compact_one(
+                        storage, int(row.bucket), json.loads(row.deltas),
+                        row.base_name, {row.bloom}, kb,
+                    )
+                return pdf[["bucket"]]
+
+            spark.createDataFrame(
+                [(b, json.dumps(ds), bn, bl) for b, ds, bn, bl in work],
+                "bucket int, deltas string, base_name string, bloom string",
+            ).repartition(len(work), F.col("bucket")).groupBy("bucket").applyInPandas(
+                _task, StructType([StructField("bucket", IntegerType())])
+            ).count()
+        else:
+            for b, ds, bn, bl in work:
+                SeenIndex._compact_bucket(storage, b, ds, bn, {bl}, keep_blooms)
+        for b, ds, bn, _bl in work:
+            if len(ds) > 1:
+                self._manifest["buckets"][str(b)]["deltas"] = [bn]
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(self._manifest, f)
@@ -525,7 +614,7 @@ class SeenIndex:
         CORRECT (each task loads whatever buckets it sees), only
         slower, but the engine pins alignment with a plan test."""
         buckets_meta = self._buckets_meta()
-        root = self.root
+        storage = self.storage
         out_schema = candidates.schema
         out_cols = candidates.columns
         tagged = self._tagged(candidates, key, aligned)
@@ -545,8 +634,7 @@ class SeenIndex:
                         keep[sel] = True
                         continue
                     bloom_name, deltas = meta
-                    bdir = os.path.join(root, f"bucket={int(b):05d}")
-                    bits = _load_bloom(os.path.join(bdir, bloom_name))
+                    bits = _load_bloom(storage, int(b), bloom_name)
                     m = len(bits) * 8
                     h = h1_arr[sel]
                     maybe = np.ones(h.shape, dtype=bool)
@@ -554,7 +642,7 @@ class SeenIndex:
                         maybe &= (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
                     k = ~maybe  # bloom miss -> definitely new
                     if maybe.any() and deltas:
-                        s1, s2, _sk = _load_hashset(bdir, deltas)
+                        s1, s2, _sk = _load_hashset(storage, int(b), deltas)
                         in_seen = _pair_isin(h1_arr[sel], h2_arr[sel], s1, s2)
                         k |= maybe & ~in_seen  # fp rescue: not actually seen
                     elif maybe.any():
@@ -590,7 +678,7 @@ class SeenIndex:
         read cost tracks the probe side (the frontier), never |seen|.
         """
         buckets_meta = self._buckets_meta()
-        root = self.root
+        storage = self.storage
         out_cols = df.columns
         fields = list(df.schema.fields)
         if with_kind:
@@ -613,15 +701,14 @@ class SeenIndex:
                     if meta is None:  # bucket never indexed -> no state
                         continue
                     bloom_name, deltas = meta
-                    bdir = os.path.join(root, f"bucket={int(b):05d}")
-                    bits = _load_bloom(os.path.join(bdir, bloom_name))
+                    bits = _load_bloom(storage, int(b), bloom_name)
                     m = len(bits) * 8
                     h = h1_arr[sel]
                     maybe = np.ones(h.shape, dtype=bool)
                     for pos in _positions(h, m):
                         maybe &= (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
                     if maybe.any() and deltas:
-                        s1, s2, sk = _load_hashset(bdir, deltas)
+                        s1, s2, sk = _load_hashset(storage, int(b), deltas)
                         got = _pair_lookup(h1_arr[sel], h2_arr[sel], s1, s2, sk)
                         idx = np.nonzero(sel)[0]
                         kinds[idx] = np.where(maybe, got, -1)

@@ -585,7 +585,8 @@ class CrawlEngine:
                 f.result()
         self.seen_index.commit()
         if self.config.seen_compact_every and (rnd + 1) % self.config.seen_compact_every == 0:
-            self.seen_index.compact()
+            # distributed: one executor task per bucket via the storage seam
+            self.seen_index.compact(spark)
             st.compact_table(spark, "seen", bucket_by="host")
             st.compact_table(spark, "host_state", bucket_by="host")
         _phase("commit_pool")

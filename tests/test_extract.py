@@ -259,21 +259,61 @@ class TestLangIdWidening:
         "nor": "sidene ble lagret fordi du ikke vil miste teksten men også lenkene som er i nettverket",
     }
 
-    # ideographic scripts have near-unique per-character trigrams, so the
-    # out-of-place confidence is structurally low even on a correct match
-    LOW_CONF = {"zho": 0.05}
+    # round-4 tranche: 10 more, incl. the hard pairs cat/spa/por,
+    # slk/ces, est/fin, afr/nld, hrv/slv, srp/bul/rus
+    HELD_OUT_R4 = {
+        "cat": "les pàgines es van desar perquè no voleu perdre el text però també els enllaços que són a la xarxa",
+        "hrv": "stranice su spremljene jer ne želite izgubiti tekst ali i veze koje su u mreži",
+        "srp": "странице су сачуване јер не желите да изгубите текст али и везе које су у мрежи",
+        "slk": "stránky boli uložené pretože nechcete stratiť text ale aj odkazy ktoré sú v sieti",
+        "slv": "strani so bile shranjene ker ne želite izgubiti besedila pa tudi povezave ki so v mreži",
+        "lit": "puslapiai buvo išsaugoti nes nenorite prarasti teksto bet ir nuorodos kurios yra tinkle",
+        "lav": "lapas tika saglabātas jo jūs nevēlaties zaudēt tekstu bet arī saites kas ir tīklā",
+        "est": "lehed salvestati sest te ei taha teksti kaotada aga ka lingid mis on võrgus",
+        "afr": "die bladsye is gestoor want jy wil nie die teks verloor nie maar ook die skakels wat in die netwerk is",
+        "tgl": "ang mga pahina ay na-save dahil ayaw mong mawala ang teksto pati na rin ang mga link na nasa network",
+    }
+
+    # round-4 calibration: script-first detection (whatlang's own
+    # architecture) removed the round-3 ideographic floor — one
+    # threshold now means the same thing in every script
+    CONF_THRESHOLD = 0.3
 
     def test_profile_count(self):
         from atra_spark.functions.langdata import DETECT_LANGS, LANGS
 
         assert len(LANGS) == 7  # frozen fixture set untouched
-        assert len(DETECT_LANGS) == 30
+        assert len(DETECT_LANGS) == 40
 
     def test_held_out_sentences(self):
-        for lang, text in self.HELD_OUT.items():
+        for lang, text in {**self.HELD_OUT, **self.HELD_OUT_R4}.items():
             got, conf = detect_lang(text)
             assert got == lang, f"{lang} -> {got}"
-            assert conf and conf > self.LOW_CONF.get(lang, 0.3)
+            assert conf and conf > self.CONF_THRESHOLD, (lang, conf)
+
+    def test_script_unique_confidence_is_script_purity(self):
+        """Pure single-script ideographic text gets confidence ~1.0 —
+        the calibration contract (no trigram floor)."""
+        for lang in ("zho", "tha", "heb", "ell", "hin", "kor"):
+            got, conf = detect_lang(self.HELD_OUT[lang] if lang in self.HELD_OUT
+                                    else self.HELD_OUT_R4[lang])
+            assert got == lang
+            assert conf > 0.95, (lang, conf)
+
+    def test_confidence_monotone_in_noise(self):
+        """Mixing script noise into a document must not RAISE
+        confidence (monotonicity of the calibrated measure)."""
+        base = self.HELD_OUT["zho"]
+        _, clean = detect_lang(base)
+        noisy = base + " abcdef ghijkl mnopqr stuvwx"
+        got, dirty = detect_lang(noisy)
+        assert got == "zho"
+        assert dirty < clean
+
+    def test_kana_separates_japanese_from_chinese(self):
+        got_j, _ = detect_lang("これはテキストです保存されました")
+        got_z, _ = detect_lang("页面被保存因为你不想失去文本")
+        assert (got_j, got_z) == ("jpn", "zho")
 
     def test_multilingual_mixed_document_dominant_lang(self):
         """A document that is mostly Portuguese with an English quote

@@ -216,3 +216,140 @@ class TestNewRegistryEntries:
         assert len({stem_spanish(w) for w in ("nacional", "nacionales")}) == 1
         assert len({stem_italian(w) for w in ("abbandonare", "abbandonati")}) == 1
         assert len({stem_russian(w) for w in ("книга", "книги", "книгами")}) == 1
+
+
+class TestSwedish:
+    """snowballstem.org/algorithms/swedish/stemmer.html — vectors
+    derived step-by-step from the published algorithm (möjligheterna→möj
+    is the spec's own flagship conflation)."""
+
+    VECTORS = {
+        "jackorna": "jack", "klubbarna": "klubb", "hundarnas": "hund",
+        "skulle": "skull", "möjligheterna": "möj", "flickor": "flick",
+        "flickornas": "flick", "betalade": "betal", "svenskar": "svensk",
+        "svensk": "svensk", "vackert": "vackert", "upprepa": "upprep",
+        # step 2 consonant-pair shortening + step 3
+        "religiositet": "religiositet", "stressigt": "stress",
+        # valid s-ending gate: vowel before s blocks deletion
+        "katts": "kat",
+    }
+
+    def test_vectors(self):
+        from atra_spark.functions.stemmer import stem_swedish
+
+        fails = {w: (stem_swedish(w), want) for w, want in self.VECTORS.items()
+                 if stem_swedish(w) != want}
+        assert not fails, fails
+
+
+class TestNorwegian:
+    """snowballstem.org/algorithms/norwegian/stemmer.html (Bokmål)."""
+
+    VECTORS = {
+        "huset": "hus", "epler": "epl", "bilene": "bil",
+        "gjestene": "gjest", "hans": "han", "kjørte": "kjørt",
+        "arbeidet": "arbeid", "arbeider": "arbeid", "hetene": "het",
+        "naturlig": "natur", "forskjellige": "forskjel",
+        "billigste": "billigst",
+        # erte/ert -> er (longest-match over the whole step-1 among)
+        "forandret": "forandr",
+    }
+
+    def test_vectors(self):
+        from atra_spark.functions.stemmer import stem_norwegian
+
+        fails = {w: (stem_norwegian(w), want) for w, want in self.VECTORS.items()
+                 if stem_norwegian(w) != want}
+        assert not fails, fails
+
+    def test_erte_beats_shorter_e(self):
+        """A word ending 'erte' fully inside R1 must take the erte->er
+        arm, not the bare-'e' delete arm."""
+        from atra_spark.functions.stemmer import stem_norwegian
+
+        assert stem_norwegian("markerte") == "marker"
+
+
+class TestDutch:
+    """snowballstem.org/algorithms/dutch/stemmer.html — the
+    lichaam/lichamelijk/lichamelijkheden conflation is the spec's own
+    worked example."""
+
+    VECTORS = {
+        "lichaam": "licham", "lichamen": "licham",
+        "lichamelijk": "licham", "lichamelijkheden": "licham",
+        "bedelaar": "bedelar", "lopen": "lop", "gelopen": "gelop",
+        "huizen": "huiz", "huis": "huis", "appels": "appel",
+        "moeilijkheden": "moeilijk", "dorpelingen": "dorpel",
+        "yoghurt": "yoghurt", "lopend": "lopend",
+    }
+
+    def test_vectors(self):
+        from atra_spark.functions.stemmer import stem_dutch
+
+        fails = {w: (stem_dutch(w), want) for w, want in self.VECTORS.items()
+                 if stem_dutch(w) != want}
+        assert not fails, fails
+
+    def test_accent_removal_and_marking(self):
+        from atra_spark.functions.stemmer import stem_dutch
+
+        # umlauts/acutes strip first (spec pre-step)
+        assert stem_dutch("coördinatie") == stem_dutch("coordinatie")
+        # consonant-marked i between vowels survives as i
+        out = stem_dutch("draaien")
+        assert "i" in out or "I" not in out
+
+
+class TestPortuguese:
+    """snowballstem.org/algorithms/portuguese/stemmer.html (ã/õ are
+    internally a~/o~ exactly as the spec prescribes)."""
+
+    VECTORS = {
+        "bonita": "bonit", "bonito": "bonit",
+        "quilométricas": "quilométr", "falaremos": "fal",
+        "lógica": "lógic", "bolas": "bol", "bobagem": "bobag",
+        "boa": "boa", "coração": "coraçã", "capitães": "capitã",
+        "aborrecimento": "aborrec", "aborreço": "aborrec",
+        # -ção keeps the nasal marker through the residual step
+        "proposição": "proposiçã",
+    }
+
+    def test_vectors(self):
+        from atra_spark.functions.stemmer import stem_portuguese
+
+        fails = {w: (stem_portuguese(w), want) for w, want in self.VECTORS.items()
+                 if stem_portuguese(w) != want}
+        assert not fails, fails
+
+    def test_conflation_classes(self):
+        from atra_spark.functions.stemmer import stem_portuguese
+
+        # inflected verb forms conflate with the stem
+        assert len({stem_portuguese(w) for w in
+                    ("falar", "falaremos", "falava", "falamos")}) == 1
+
+
+class TestTranche3Registry:
+    def test_iso_codes_resolve(self):
+        from atra_spark.functions.stemmer import (
+            STEMMERS,
+            get_stemmer,
+            stem_dutch,
+            stem_norwegian,
+            stem_portuguese,
+            stem_swedish,
+        )
+
+        assert get_stemmer("swe") is stem_swedish
+        assert get_stemmer("nor") is stem_norwegian
+        assert get_stemmer("nld") is stem_dutch
+        assert get_stemmer("por") is stem_portuguese
+        assert STEMMERS["swedish"]("flickorna") == "flick"
+
+    def test_stopword_lists_nonempty(self):
+        from atra_spark.functions.stemmer import SNOWBALL_STOPWORDS
+
+        for lang in ("swedish", "norwegian", "dutch", "portuguese",
+                     "swe", "nor", "nld", "por"):
+            assert len(SNOWBALL_STOPWORDS[lang]) > 30
