@@ -987,6 +987,132 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media)
 
 
+def q_host_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """host_state merge-on-read fold (operators/seen.py
+    compose_host_state, recrawl_management/mod.rs:27-70): a base
+    snapshot plus two per-round deltas built deterministically from the
+    events table compose to max-by-host. Oracle: one SQL max over the
+    union — independent of the combiner implementation."""
+    from atra_spark.operators.seen import compose_host_state
+
+    _register(spark, sf_dir)
+    ev = spark.table("events")
+
+    def slice_df(kind: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == kind).select(
+            F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("host"),
+            F.col("ts").alias("last_access"),
+            ((F.col("user_id") % 5) * 100).cast("long").alias("crawl_delay_ms"),
+        )
+
+    folded = compose_host_state(
+        slice_df("view"), [(1, slice_df("click")), (2, slice_df("error"))]
+    )
+    # the events ts is TIMESTAMP_NTZ: compare as tz-free wall-clock
+    # strings (micros) so neither engine applies a zone conversion
+    return folded.select(
+        "host",
+        F.date_format(F.col("last_access"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_access_s"
+        ),
+        "crawl_delay_ms",
+    )
+
+
+def sql_host_state_fold_oracle() -> str:
+    return """
+WITH rows_all AS (
+  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+         ts,
+         CAST((user_id % 5) * 100 AS BIGINT) AS crawl_delay_ms
+  FROM events
+  WHERE event_type IN ('view', 'click', 'error')
+)
+SELECT host,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_access_s,
+       max(crawl_delay_ms) AS crawl_delay_ms
+FROM rows_all GROUP BY host
+"""
+
+
+def q_state_lookup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dequeue state check served by the bucketed SeenIndex
+    (operators/seen_index.py filter_by_state — the reference's RocksDB
+    point lookup, polling.rs:180-204): two rounds of state deltas where
+    round 1 re-marks a subset (latest kind wins), probed for Discovered
+    URLs over a frontier that includes never-seen URLs. Oracle: the
+    equivalent coalesce-join SQL over the same deterministic state
+    history."""
+    from atra_spark.operators.frontier import filter_state_indexed
+    from atra_spark.operators.seen_index import SeenIndex
+    from atra_spark.schemas import (
+        KIND_DISCOVERED,
+        KIND_INTERNAL_ERROR,
+        KIND_PROCESSED_AND_STORED,
+    )
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    url = F.concat(
+        F.lit("https://s"), (F.col("doc_id") % 13).cast("string"),
+        F.lit(".example/d"), F.col("doc_id").cast("string"),
+    )
+    # round 0: doc_id % 3 != 0 enters seen; kind by doc_id % 5
+    r0 = docs.filter(F.col("doc_id") % 3 != 0).select(
+        url.alias("url"),
+        F.when(F.col("doc_id") % 5 < 2, F.lit(KIND_DISCOVERED))
+        .when(F.col("doc_id") % 5 < 4, F.lit(KIND_PROCESSED_AND_STORED))
+        .otherwise(F.lit(KIND_INTERNAL_ERROR))
+        .alias("kind"),
+    )
+    # round 1 re-marks doc_id % 6 == 1 as Processed (overrides r0)
+    r1 = docs.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 6 == 1)).select(
+        url.alias("url"), F.lit(KIND_PROCESSED_AND_STORED).alias("kind")
+    )
+    root = tempfile.mkdtemp(prefix="atra_entry_si")
+    idx = SeenIndex(os.path.join(root, "si"), num_buckets=8, bloom_bits=1 << 14)
+    idx.add_urls(r0, 0)
+    idx.commit()
+    idx.add_urls(r1, 1)
+    idx.commit()
+    frontier = docs.select(
+        url.alias("url"),
+        F.concat(F.lit("s"), (F.col("doc_id") % 13).cast("string"),
+                 F.lit(".example")).alias("host"),
+    )
+    return filter_state_indexed(frontier, idx).select("url", "host")
+
+
+def sql_state_lookup_oracle() -> str:
+    return """
+WITH urls AS (
+  SELECT doc_id,
+         'https://s' || CAST(doc_id % 13 AS VARCHAR) || '.example/d'
+           || CAST(doc_id AS VARCHAR) AS url,
+         's' || CAST(doc_id % 13 AS VARCHAR) || '.example' AS host
+  FROM documents
+),
+r0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 < 2 THEN 0
+              WHEN doc_id % 5 < 4 THEN 3
+              ELSE 32 END AS kind
+  FROM documents WHERE doc_id % 3 <> 0
+),
+r1 AS (
+  SELECT doc_id, 3 AS kind FROM documents
+  WHERE doc_id % 3 <> 0 AND doc_id % 6 = 1
+),
+final AS (
+  SELECT r0.doc_id, coalesce(r1.kind, r0.kind) AS kind
+  FROM r0 LEFT JOIN r1 ON r0.doc_id = r1.doc_id
+)
+SELECT u.url, u.host
+FROM final f JOIN urls u ON f.doc_id = u.doc_id
+WHERE f.kind = 0
+"""
+
+
 def q_sitemap_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source: per-source <urlset> XML built from the documents
     table, parsed by the real Arrow-batched sitemap parser. Oracle:
@@ -1272,6 +1398,8 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_round": q_crawl_round,
     "crawl_order": q_crawl_order,
     "crawl_seen": q_crawl_seen,
+    "host_state_fold": q_host_state_fold,
+    "state_lookup_index": q_state_lookup_index,
 }
 
 
@@ -1292,6 +1420,8 @@ def _custom_oracles() -> dict[str, str]:
         "media_features": sql_media_features("duckdb"),
         "sitemap_candidates": sql_sitemap_candidates("duckdb"),
         "tfidf_topk": sql_tfidf_topk("duckdb"),
+        "host_state_fold": sql_host_state_fold_oracle(),
+        "state_lookup_index": sql_state_lookup_oracle(),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
             f"FROM read_parquet('{oracle_dir}/crawl_results.parquet')"
