@@ -210,10 +210,19 @@ def _pair_lookup(
 def _pair_isin(
     c1: np.ndarray, c2: np.ndarray, s1: np.ndarray, s2: np.ndarray
 ) -> np.ndarray:
-    """Membership of (c1, c2) pairs in the lexsorted seen pairs."""
+    """Membership of (c1, c2) pairs in the deduped lexsorted seen pairs
+    (no kind materialization — the prune_new hot path)."""
     if len(s1) == 0:
         return np.zeros(len(c1), dtype=bool)
-    return _pair_lookup(c1, c2, s1, s2, np.zeros(len(s1), dtype=np.int32)) >= 0
+    left = np.searchsorted(s1, c1, "left")
+    right = np.searchsorted(s1, c1, "right")
+    found = np.zeros(len(c1), dtype=bool)
+    one = (right - left) == 1
+    if one.any():
+        found[one] = s2[left[one]] == c2[one]
+    for i in np.nonzero((right - left) > 1)[0]:
+        found[i] = c2[i] in s2[left[i] : right[i]]
+    return found
 
 
 def _atomic_write(path: str, data: bytes) -> None:
