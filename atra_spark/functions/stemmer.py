@@ -3,11 +3,11 @@ Italian, Russian, Swedish, Norwegian, Dutch, Portuguese), pure Python.
 
 The reference tokenizer optionally stems via the rust-stemmers crate
 (text_processing/src/tokenizer.rs:71-77, Snowball algorithms). No
-stemmer library ships in this environment, so ten of rust-stemmers'
+stemmer library ships in this environment, so eleven of rust-stemmers'
 algorithms — the two the reference's own tests exercise (English,
 German — tokenizer.rs:92-105) plus the four largest European web
 languages (French, Spanish, Italian, Russian, added round 3) and the
-round-4 tranche (Swedish, Norwegian, Dutch, Portuguese) — are
+round-4 tranche (Swedish, Norwegian, Danish, Dutch, Portuguese) — are
 implemented here from the published Snowball specifications
 (snowballstem.org). Remaining rust-stemmers languages fall back to
 identity (declared in COVERAGE.md).
@@ -1221,6 +1221,76 @@ def stem_norwegian(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Danish (snowballstem.org/algorithms/danish/stemmer.html)
+# ---------------------------------------------------------------------------
+_DA_VOWELS = "aeiouyæåø"
+# valid s-endings include two vowels (a, å) — unlike Swedish/Norwegian
+_DA_S_ENDING = "abcdfghjklmnoprtvyzå"
+_DA_STEP1 = sorted(
+    (
+        "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+        "erne", "ere", "en", "heden", "eren", "er", "heder", "erer",
+        "heds", "es", "endes", "erendes", "enes", "ernes", "eres",
+        "ens", "hedens", "erens", "ers", "ets", "erets", "et", "eret",
+    ),
+    key=len,
+    reverse=True,
+)
+
+
+def _da_undouble(w: str, r1: int) -> str:
+    """Step 4: remove the final letter of a double consonant ending in
+    R1."""
+    if (
+        len(w) >= 2
+        and w[-1] == w[-2]
+        and w[-1] not in _DA_VOWELS
+        and len(w) - 1 >= r1
+    ):
+        return w[:-1]
+    return w
+
+
+def stem_danish(word: str) -> str:
+    w = word.lower()
+    if len(w) <= 3:
+        return w
+    r1 = _r1_scandinavian(w, _DA_VOWELS)
+
+    def in_r1(k: int) -> bool:
+        return k >= r1
+
+    # ---- step 1: longest-match among the delete list + s ----
+    for suf in _DA_STEP1:
+        if w.endswith(suf) and in_r1(len(w) - len(suf)):
+            w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("s") and in_r1(len(w) - 1) and len(w) >= 2 and w[-2] in _DA_S_ENDING:
+            w = w[:-1]
+    # ---- step 2: consonant-pair shortening ----
+    if any(w.endswith(p) for p in ("gd", "dt", "gt", "kt")) and in_r1(len(w) - 1):
+        w = w[:-1]
+    # ---- step 3 ----
+    if w.endswith("igst") and in_r1(len(w) - 2):
+        w = w[:-2]  # remove the final st
+    if w.endswith("løst") and in_r1(len(w) - 1):
+        w = w[:-1]  # løst -> løs
+    else:
+        for suf in ("elig", "lig", "els", "ig"):
+            if w.endswith(suf) and in_r1(len(w) - len(suf)):
+                w = w[: -len(suf)]
+                # then repeat step 2
+                if any(w.endswith(p) for p in ("gd", "dt", "gt", "kt")) and in_r1(
+                    len(w) - 1
+                ):
+                    w = w[:-1]
+                break
+    # ---- step 4: undouble ----
+    return _da_undouble(w, r1)
+
+
+# ---------------------------------------------------------------------------
 # Dutch (snowballstem.org/algorithms/dutch/stemmer.html)
 # ---------------------------------------------------------------------------
 _NL_VOWELS = "aeiouyè"
@@ -1659,6 +1729,16 @@ SNOWBALL_STOPWORDS["fra"] = SNOWBALL_STOPWORDS["french"]
 SNOWBALL_STOPWORDS["spa"] = SNOWBALL_STOPWORDS["spanish"]
 SNOWBALL_STOPWORDS["ita"] = SNOWBALL_STOPWORDS["italian"]
 SNOWBALL_STOPWORDS["rus"] = SNOWBALL_STOPWORDS["russian"]
+SNOWBALL_STOPWORDS["danish"] = frozenset("""
+    og i jeg det at en den til er som på de med han af for ikke der
+    var mig sig men et har om vi min havde ham hun nu over da fra du
+    ud sin dem os op man hans hvor eller hvad skal selv her alle vil
+    blev kunne ind når være dog noget ville jo deres efter ned skulle
+    denne end dette mit også under have dig anden hende mine alt meget
+    sit sine vor mod disse hvis din nogle hos blive mange ad bliver
+    hendes været thi jer sådan
+""".split())
+SNOWBALL_STOPWORDS["dan"] = SNOWBALL_STOPWORDS["danish"]
 SNOWBALL_STOPWORDS["swe"] = SNOWBALL_STOPWORDS["swedish"]
 SNOWBALL_STOPWORDS["nor"] = SNOWBALL_STOPWORDS["norwegian"]
 SNOWBALL_STOPWORDS["nld"] = SNOWBALL_STOPWORDS["dutch"]
@@ -1671,6 +1751,7 @@ STEMMERS = {"english": stem_english, "eng": stem_english,
             "italian": stem_italian, "ita": stem_italian,
             "russian": stem_russian, "rus": stem_russian,
             "swedish": stem_swedish, "swe": stem_swedish,
+            "danish": stem_danish, "dan": stem_danish,
             "norwegian": stem_norwegian, "nor": stem_norwegian,
             "dutch": stem_dutch, "nld": stem_dutch,
             "portuguese": stem_portuguese, "por": stem_portuguese}

@@ -353,3 +353,38 @@ class TestTranche3Registry:
         for lang in ("swedish", "norwegian", "dutch", "portuguese",
                      "swe", "nor", "nld", "por"):
             assert len(SNOWBALL_STOPWORDS[lang]) > 30
+
+
+class TestDanish:
+    """snowballstem.org/algorithms/danish/stemmer.html — bestemmelse
+    -> bestem is the spec's own worked example (els deletion + step-4
+    undouble)."""
+
+    VECTORS = {
+        "huset": "hus", "husene": "hus", "hundene": "hund",
+        "kagerne": "kag", "kirken": "kirk", "venlig": "ven",
+        "venligst": "ven", "bestemmelse": "bestem",
+        "indtagelsen": "indtag", "undersøgelse": "undersøg",
+        "underligt": "under", "betalinger": "betaling",
+        "spørgsmålet": "spørgsmål", "bøgerne": "bøg",
+    }
+
+    def test_vectors(self):
+        from atra_spark.functions.stemmer import stem_danish
+
+        fails = {w: (stem_danish(w), want) for w, want in self.VECTORS.items()
+                 if stem_danish(w) != want}
+        assert not fails, fails
+
+    def test_registry_and_stopwords(self):
+        from atra_spark.functions.stemmer import (
+            SNOWBALL_STOPWORDS,
+            get_stemmer,
+            stem_danish,
+        )
+
+        assert get_stemmer("dan") is stem_danish
+        assert len(SNOWBALL_STOPWORDS["danish"]) > 30
+        # the a s-ending (Danish-specific: vowels a/å are valid
+        # s-endings, unlike Swedish/Norwegian)
+        assert stem_danish("villas") == "villa"
