@@ -627,7 +627,7 @@ def stem_spanish(word: str) -> str:
             gu_set = ("en", "es", "éis", "emos")
             for suf in sorted((
                 "aríamos", "eríamos", "iríamos", "iéramos", "iésemos",
-                "aríais", "aseis", "eríais", "iríais", "ieseis", "asteis",
+                "aríais", "aseis", "eríais", "iríais", "ierais", "ieseis", "asteis",
                 "isteis", "ábamos", "áramos", "ásemos", "arían", "arías",
                 "aréis", "erían", "erías", "eréis", "irían", "irías",
                 "iréis", "ieran", "iesen", "ieron", "iendo", "ieras",
@@ -856,16 +856,19 @@ def _fr_mark(w: str) -> str:
 
 
 def _fr_rv(w: str) -> int:
-    lw = w.lower()
+    """RV over the MARKED string: letters upper-cased by _fr_mark (U
+    after q, U/I between vowels, Y next to a vowel) are consonants for
+    region-finding, exactly as snowball computes mark_regions after the
+    prelude — pinned by que -> que in the PG15 goldens."""
     for pre in ("par", "col", "tap"):
-        if lw.startswith(pre):
+        if w.startswith(pre):
             return 3
-    if len(lw) >= 3 and lw[0] in _FR_VOWELS and lw[1] in _FR_VOWELS:
+    if len(w) >= 3 and w[0] in _FR_VOWELS and w[1] in _FR_VOWELS:
         return 3
-    for i in range(1, len(lw)):
-        if lw[i] in _FR_VOWELS:
+    for i in range(1, len(w)):
+        if w[i] in _FR_VOWELS:
             return i + 1
-    return len(lw)
+    return len(w)
 
 
 _FR_STEP1 = sorted((
@@ -1029,11 +1032,14 @@ def stem_french(word: str) -> str:
                     did_2 = True
                 break
         if not did_2:
-            # ---- step 2b ----
+            # ---- step 2b: the among is inside `setlimit tomark pV`,
+            # so the longest match is the longest suffix lying entirely
+            # within RV (serai matches ai, not erai — PG15 golden
+            # serai -> ser) ----
             for suf in sorted(
                 ("ions",) + _FR_STEP2B_ER + _FR_STEP2B_A, key=len, reverse=True
             ):
-                if not w.endswith(suf):
+                if not w.endswith(suf) or L(len(suf)) < rv:
                     continue
                 k = len(suf)
                 if suf == "ions":
@@ -1139,9 +1145,12 @@ def stem_swedish(word: str) -> str:
     else:
         if w.endswith("s") and in_r1(len(w) - 1) and len(w) >= 2 and w[-2] in _SV_S_ENDING:
             w = w[:-1]
-    # ---- step 2: consonant-pair shortening ----
+    # ---- step 2: consonant-pair shortening (the WHOLE pair must lie
+    # inside R1 — snowball's `setlimit tomark p1` bounds the among
+    # match, not just the deleted letter; pinned by stannar -> stann
+    # in the PG15 goldens) ----
     if any(w.endswith(p) for p in ("dd", "gd", "nn", "dt", "gt", "kt", "tt")) and in_r1(
-        len(w) - 1
+        len(w) - 2
     ):
         w = w[:-1]
     # ---- step 3 ----
@@ -1209,8 +1218,9 @@ def stem_norwegian(word: str) -> str:
             ):
                 w = w[:-1]
             break
-    # ---- step 2: dt / vt -> drop the t ----
-    if (w.endswith("dt") or w.endswith("vt")) and in_r1(len(w) - 1):
+    # ---- step 2: dt / vt -> drop the t (whole pair inside R1, as in
+    # snowball's setlimit-bounded among) ----
+    if (w.endswith("dt") or w.endswith("vt")) and in_r1(len(w) - 2):
         w = w[:-1]
     # ---- step 3 ----
     for suf in _NO_STEP3:
@@ -1268,24 +1278,29 @@ def stem_danish(word: str) -> str:
     else:
         if w.endswith("s") and in_r1(len(w) - 1) and len(w) >= 2 and w[-2] in _DA_S_ENDING:
             w = w[:-1]
-    # ---- step 2: consonant-pair shortening ----
-    if any(w.endswith(p) for p in ("gd", "dt", "gt", "kt")) and in_r1(len(w) - 1):
+    # ---- step 2: consonant-pair shortening (whole pair inside R1 —
+    # snowball's setlimit-bounded among) ----
+    if any(w.endswith(p) for p in ("gd", "dt", "gt", "kt")) and in_r1(len(w) - 2):
         w = w[:-1]
     # ---- step 3 ----
-    if w.endswith("igst") and in_r1(len(w) - 2):
-        w = w[:-2]  # remove the final st
-    if w.endswith("løst") and in_r1(len(w) - 1):
-        w = w[:-1]  # løst -> løs
-    else:
-        for suf in ("elig", "lig", "els", "ig"):
-            if w.endswith(suf) and in_r1(len(w) - len(suf)):
+    # first: word ending igst loses the st (danish.sbl: unrestricted
+    # `do (['st'] 'ig' delete)` — NOT limited to R1)
+    if w.endswith("igst"):
+        w = w[:-2]
+    # then one longest-match among (løst -> løs | elig/lig/els/ig
+    # delete + repeat step 2), whole suffix inside R1
+    for suf in ("løst", "elig", "lig", "els", "ig"):
+        if w.endswith(suf) and in_r1(len(w) - len(suf)):
+            if suf == "løst":
+                w = w[:-1]
+            else:
                 w = w[: -len(suf)]
                 # then repeat step 2
                 if any(w.endswith(p) for p in ("gd", "dt", "gt", "kt")) and in_r1(
-                    len(w) - 1
+                    len(w) - 2
                 ):
                     w = w[:-1]
-                break
+            break
     # ---- step 4: undouble ----
     return _da_undouble(w, r1)
 
