@@ -1586,6 +1586,192 @@ def stem_portuguese(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Romanian (Snowball spec, snowballstem.org/algorithms/romanian/stemmer.html)
+# — round-4 tranche (rust-stemmers algorithms, tokenizer.rs:31-72).
+# Snowball 2.x operates on the cedilla forms ş/ţ only (comma ș/ț are
+# plain consonants), matching the PG15 goldens exactly.
+# ---------------------------------------------------------------------------
+_RO_VOWELS = "aăâeiîou"
+
+_RO_STEP0 = sorted((
+    "ul", "ului", "aua", "ea", "ele", "elor", "ii", "iua", "iei",
+    "iile", "iilor", "ilor", "ile", "atei", "aţie", "aţia",
+), key=len, reverse=True)
+
+# combining suffixes (step 1, repeated): suffix -> replacement
+_RO_STEP1 = sorted((
+    ("abilitate", "abil"), ("abilitati", "abil"), ("abilităi", "abil"),
+    ("abilităţi", "abil"), ("ibilitate", "ibil"), ("ivitate", "iv"),
+    ("ivitati", "iv"), ("ivităi", "iv"), ("ivităţi", "iv"),
+    ("icitate", "ic"), ("icitati", "ic"), ("icităi", "ic"),
+    ("icităţi", "ic"), ("icator", "ic"), ("icatori", "ic"),
+    ("iciv", "ic"), ("icivă", "ic"), ("icive", "ic"), ("icivi", "ic"),
+    ("ical", "ic"), ("icală", "ic"), ("icale", "ic"), ("icali", "ic"),
+    ("ativ", "at"), ("ativă", "at"), ("ative", "at"), ("ativi", "at"),
+    ("aţiune", "at"), ("atoare", "at"), ("ator", "at"), ("atori", "at"),
+    ("ătoare", "at"), ("ător", "at"), ("ători", "at"),
+    ("itiv", "it"), ("itivă", "it"), ("itive", "it"), ("itivi", "it"),
+    ("iţiune", "it"), ("itoare", "it"), ("itor", "it"), ("itori", "it"),
+), key=lambda p: len(p[0]), reverse=True)
+
+_RO_STEP2_DELETE = (
+    "at", "ata", "ată", "ati", "ate", "ut", "uta", "ută", "uti", "ute",
+    "it", "ita", "ită", "iti", "ite", "ic", "ica", "ice", "ici", "ică",
+    "abil", "abila", "abile", "abili", "abilă",
+    "ibil", "ibila", "ibile", "ibili", "ibilă",
+    "oasa", "oasă", "oase", "os", "osi", "oşi",
+    "ant", "anta", "ante", "anti", "antă", "ator", "atori",
+    "itate", "itati", "ităi", "ităţi", "iv", "iva", "ive", "ivi", "ivă",
+)
+_RO_STEP2_IST = ("ism", "isme", "ist", "ista", "iste", "isti", "istă", "işti")
+_RO_STEP2 = sorted(
+    _RO_STEP2_DELETE + _RO_STEP2_IST + ("ţiune", "ţiuni"),
+    key=len, reverse=True,
+)
+
+# verb suffixes, group 1: delete if preceded (within RV) by a
+# consonant or by u
+_RO_VERB_COND = (
+    "are", "ere", "ire", "âre", "ind", "ând", "indu", "ându", "eze",
+    "ească", "ez", "ezi", "ează", "esc", "eşti", "eşte", "ăsc", "ăşti",
+    "ăşte", "am", "ai", "au", "eam", "eai", "ea", "eaţi", "eau", "iam",
+    "iai", "ia", "iaţi", "iau", "ui", "aşi", "arăm", "arăţi", "ară",
+    "uşi", "urăm", "urăţi", "ură", "işi", "irăm", "irăţi", "iră", "âi",
+    "âşi", "ârăm", "ârăţi", "âră", "asem", "aseşi", "ase", "aserăm",
+    "aserăţi", "aseră", "isem", "iseşi", "ise", "iserăm", "iserăţi",
+    "iseră", "âsem", "âseşi", "âse", "âserăm", "âserăţi", "âseră",
+    "usem", "useşi", "use", "userăm", "userăţi", "useră",
+)
+# group 2: delete unconditionally (in RV)
+_RO_VERB_PLAIN = (
+    "ăm", "aţi", "em", "eţi", "im", "iţi", "âm", "âţi", "sei", "seşi",
+    "serăm", "serăţi", "seră", "se", "sesem", "seseşi", "sese",
+    "seserăm", "seserăţi", "seseră",
+)
+_RO_VERB = sorted(_RO_VERB_COND + _RO_VERB_PLAIN, key=len, reverse=True)
+
+
+def stem_romanian(word: str) -> str:
+    w = word.lower()
+    # prelude: i/u between vowels are consonants (marked uppercase)
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if (
+            chars[i] in "iu"
+            and chars[i - 1] in _RO_VOWELS
+            and chars[i + 1] in _RO_VOWELS
+        ):
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+    rv = _rv_generic_romance(w, _RO_VOWELS)
+    r1, r2 = _r1_r2_generic(w, _RO_VOWELS)
+
+    def in_r1(k: int) -> bool:
+        return k >= r1
+
+    def in_r2(k: int) -> bool:
+        return k >= r2
+
+    def in_rv(k: int) -> bool:
+        return k >= rv
+
+    # ---- step 0: removal of plurals (in R1) ----
+    for suf in _RO_STEP0:
+        if w.endswith(suf) and in_r1(len(w) - len(suf)):
+            k = len(w) - len(suf)
+            if suf in ("ul", "ului"):
+                w = w[:k]
+            elif suf == "aua":
+                w = w[:k] + "a"
+            elif suf in ("ea", "ele", "elor"):
+                w = w[:k] + "e"
+            elif suf in ("ii", "iua", "iei", "iile", "iilor", "ilor"):
+                w = w[:k] + "i"
+            elif suf == "ile":
+                if not w[:k].endswith("ab"):
+                    w = w[:k] + "i"
+            elif suf == "atei":
+                w = w[:k] + "at"
+            else:  # aţie / aţia
+                w = w[:k] + "aţi"
+            break
+
+    standard_removed = False
+    # ---- step 1: combining suffixes, repeated ----
+    changed = True
+    while changed:
+        changed = False
+        for suf, repl in _RO_STEP1:
+            if w.endswith(suf) and in_r1(len(w) - len(suf)):
+                w = w[: -len(suf)] + repl
+                standard_removed = True
+                changed = True
+                break
+
+    # ---- step 2: standard suffixes (in R2) ----
+    for suf in _RO_STEP2:
+        if not w.endswith(suf):
+            continue
+        k = len(w) - len(suf)
+        if suf in ("ţiune", "ţiuni"):
+            # the among matches the ţ along with iune/iuni and
+            # rewrites it to t
+            if in_r2(k):
+                w = w[:k] + "t"
+                standard_removed = True
+        elif suf in _RO_STEP2_IST:
+            if in_r2(k):
+                w = w[:k] + "ist"
+                standard_removed = True
+        else:
+            if in_r2(k):
+                w = w[:k]
+                standard_removed = True
+        break
+
+    # ---- step 3: verb suffixes (in RV; only if steps 1-2 removed
+    # nothing) ----
+    if not standard_removed:
+        for suf in _RO_VERB:
+            if not w.endswith(suf) or not in_rv(len(w) - len(suf)):
+                continue
+            k = len(w) - len(suf)
+            if suf in _RO_VERB_PLAIN:
+                w = w[:k]
+            else:
+                # preceded within RV by a consonant or by u
+                if k > rv and (w[k - 1] not in _RO_VOWELS or w[k - 1] == "u"):
+                    w = w[:k]
+            break
+
+    # ---- step 4: final vowel (in RV) ----
+    for suf in ("ie", "a", "e", "i", "ă"):
+        if w.endswith(suf) and in_rv(len(w) - len(suf)):
+            w = w[: -len(suf)]
+            break
+
+    return w.lower()
+
+
+def _rv_generic_romance(w: str, vowels: str) -> int:
+    """Spanish-family RV over an arbitrary vowel set."""
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in vowels:
+        for i in range(2, n):
+            if w[i] in vowels:
+                return i + 1
+        return n
+    if w[0] in vowels and w[1] in vowels:
+        for i in range(2, n):
+            if w[i] not in vowels:
+                return i + 1
+        return n
+    return 3
+
+
+# ---------------------------------------------------------------------------
 # Snowball stopword lists (published with the Snowball project; the
 # reference's iso_stopwords registry serves the same per-language role,
 # stopword_registry.rs — list provenance declared in COVERAGE.md)
@@ -1769,7 +1955,8 @@ STEMMERS = {"english": stem_english, "eng": stem_english,
             "danish": stem_danish, "dan": stem_danish,
             "norwegian": stem_norwegian, "nor": stem_norwegian,
             "dutch": stem_dutch, "nld": stem_dutch,
-            "portuguese": stem_portuguese, "por": stem_portuguese}
+            "portuguese": stem_portuguese, "por": stem_portuguese,
+            "romanian": stem_romanian, "ron": stem_romanian}
 
 
 def get_stemmer(name: str | None):
