@@ -1772,6 +1772,194 @@ def _rv_generic_romance(w: str, vowels: str) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Finnish (Snowball spec, snowballstem.org/algorithms/finnish/stemmer.html)
+# — round-4 tranche (rust-stemmers algorithms, tokenizer.rs:31-72).
+# Agglutinative pipeline: particle -> possessive -> case -> comparative
+# -> plural -> tidy. Suffix matches are bounded to R1 (R2 where noted);
+# the preceded-by tests are unbounded, per the sbl's
+# `setlimit tomark p1 for ([substring])` shape.
+# ---------------------------------------------------------------------------
+_FI_VOWELS = "aeiouyäö"
+_FI_LV = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+_FI_PARTICLES = sorted(
+    ("kin", "kaan", "kään", "ko", "kö", "han", "hän", "pa", "pä", "sti"),
+    key=len, reverse=True,
+)
+_FI_POSSESSIVES = sorted(
+    ("si", "ni", "nsa", "nsä", "mme", "nne", "an", "än", "en"),
+    key=len, reverse=True,
+)
+_FI_HXN = ("ahan", "ehen", "ihin", "ohon", "uhun", "yhyn", "ähän", "öhön")
+_FI_CASE_PLAIN = (
+    "tta", "ttä", "ta", "tä", "ssa", "ssä", "sta", "stä", "lla", "llä",
+    "lta", "ltä", "lle", "na", "nä", "ksi", "ine",
+)
+_FI_CASES = sorted(
+    tuple(s[1:] for s in _FI_HXN)  # han hen hin hon hun hyn hän hön
+    + ("siin", "den", "tten", "seen", "a", "ä", "n")
+    + _FI_CASE_PLAIN,
+    key=len, reverse=True,
+)
+_FI_OTHER = sorted(
+    ("mpi", "mpa", "mpä", "mmi", "mma", "mmä",
+     "impi", "impa", "impä", "immi", "imma", "immä", "eja", "ejä"),
+    key=len, reverse=True,
+)
+
+
+def stem_finnish(word: str) -> str:
+    w = word.lower()
+    r1, r2 = _r1_r2_generic(w, _FI_VOWELS)
+
+    def in_r1(k: int) -> bool:
+        return k >= r1
+
+    def in_r2(k: int) -> bool:
+        return k >= r2
+
+    def is_v(i: int) -> bool:
+        return 0 <= i < len(w) and w[i] in _FI_VOWELS
+
+    # ---- step 1: particles etc (suffix in R1) ----
+    for suf in _FI_PARTICLES:
+        k = len(w) - len(suf)
+        if not w.endswith(suf) or not in_r1(k):
+            continue
+        if suf == "sti":
+            if in_r2(k):
+                w = w[:k]
+        else:
+            if k >= 1 and (w[k - 1] in "nt" or w[k - 1] in _FI_VOWELS):
+                w = w[:k]
+        break
+
+    # ---- step 2: possessives (suffix in R1) ----
+    for suf in _FI_POSSESSIVES:
+        k = len(w) - len(suf)
+        if not w.endswith(suf) or not in_r1(k):
+            continue
+        if suf == "si":
+            if not (k >= 1 and w[k - 1] == "k"):
+                w = w[:k]
+        elif suf == "ni":
+            w = w[:k]
+            if w.endswith("kse"):
+                w = w[:-1] + "i"
+        elif suf in ("nsa", "nsä", "mme", "nne"):
+            w = w[:k]
+        elif suf == "an":
+            if w[:k].endswith(("ta", "ssa", "sta", "lla", "lta", "na")):
+                w = w[:k]
+        elif suf == "än":
+            if w[:k].endswith(("tä", "ssä", "stä", "llä", "ltä", "nä")):
+                w = w[:k]
+        else:  # en
+            if w[:k].endswith(("lle", "ine")):
+                w = w[:k]
+        break
+
+    # ---- step 3: case endings (suffix in R1). The preceding-context
+    # conditions are part of the among's patterns, so a failed longer
+    # candidate falls through to shorter ones (edekseen: 'seen' fails
+    # LV, 'n' applies — PG15 golden edekseen -> edeks) ----
+    ending_removed = False
+    for suf in _FI_CASES:
+        k = len(w) - len(suf)
+        if not w.endswith(suf) or not in_r1(k):
+            continue
+        if len(suf) == 3 and suf[0] == "h":
+            # hXn: the vowel before h must equal X
+            if not (k >= 1 and w[k - 1] == suf[1]):
+                continue
+            w = w[:k]
+        elif suf in ("siin", "den", "tten"):
+            # preceded by Vi
+            if not (k >= 2 and w[k - 1] == "i" and is_v(k - 2)):
+                continue
+            w = w[:k]
+        elif suf == "seen":
+            if not w[:k].endswith(_FI_LV):
+                continue
+            w = w[:k]
+        elif suf in ("a", "ä"):
+            # preceded by cv
+            if not (k >= 2 and not is_v(k - 2) and is_v(k - 1)):
+                continue
+            w = w[:k]
+        elif suf in ("tta", "ttä"):
+            if not (k >= 1 and w[k - 1] == "e"):
+                continue
+            w = w[:k]
+        elif suf == "n":
+            w = w[:k]
+            if w.endswith(_FI_LV) or w.endswith("ie"):
+                w = w[:-1]
+        else:
+            w = w[:k]
+        ending_removed = True
+        break
+
+    # ---- step 4: other endings (suffix in R2) ----
+    for suf in _FI_OTHER:
+        k = len(w) - len(suf)
+        if not w.endswith(suf) or not in_r2(k):
+            continue
+        if suf in ("mpi", "mpa", "mpä", "mmi", "mma", "mmä"):
+            if not w[:k].endswith("po"):
+                w = w[:k]
+        else:
+            w = w[:k]
+        break
+
+    # ---- step 5: plurals ----
+    if ending_removed:
+        if w and w[-1] in "ij" and in_r1(len(w) - 1):
+            w = w[:-1]
+    else:
+        if (
+            w.endswith("t")
+            and in_r1(len(w) - 1)
+            and is_v(len(w) - 2)
+        ):
+            w = w[:-1]
+            for suf in ("imma", "mma"):
+                k = len(w) - len(suf)
+                if w.endswith(suf) and in_r2(k):
+                    if suf == "mma" and w[:k].endswith("po"):
+                        break
+                    w = w[:k]
+                    break
+
+    # ---- step 6: tidying ----
+    # (a) R1 ends with a double vowel -> drop one
+    if len(w) >= 2 and w[-2:] in _FI_LV and in_r1(len(w) - 2):
+        w = w[:-1]
+    # (b) R1 ends consonant + one of a ä e i -> drop the vowel
+    if (
+        len(w) >= 2
+        and w[-1] in "aäei"
+        and not is_v(len(w) - 2)
+        and in_r1(len(w) - 2)
+    ):
+        w = w[:-1]
+    # (c) R1 ends oj / uj -> drop the j
+    if w.endswith(("oj", "uj")) and in_r1(len(w) - 2):
+        w = w[:-1]
+    # (d) R1 ends jo -> drop the o
+    if w.endswith("jo") and in_r1(len(w) - 2):
+        w = w[:-1]
+    # (e) unrestricted: double consonant followed by zero or more
+    # vowels at the end -> undouble
+    i = len(w) - 1
+    while i >= 0 and w[i] in _FI_VOWELS:
+        i -= 1
+    if i >= 1 and w[i] not in _FI_VOWELS and w[i] == w[i - 1]:
+        w = w[:i] + w[i + 1:]
+    return w
+
+
+# ---------------------------------------------------------------------------
 # Snowball stopword lists (published with the Snowball project; the
 # reference's iso_stopwords registry serves the same per-language role,
 # stopword_registry.rs — list provenance declared in COVERAGE.md)
@@ -1939,7 +2127,34 @@ SNOWBALL_STOPWORDS["danish"] = frozenset("""
     sit sine vor mod disse hvis din nogle hos blive mange ad bliver
     hendes været thi jer sådan
 """.split())
+SNOWBALL_STOPWORDS["finnish"] = frozenset("""
+    olla olen olet on olemme olette ovat ole oli olisi olisit olisin
+    olisimme olisitte olisivat olit olin olimme olitte olivat ollut
+    olleet en et ei emme ette eivät minä minun minut minua minussa
+    minusta minuun minulla minulta minulle sinä sinun sinut sinua
+    sinussa sinusta sinuun sinulla sinulta sinulle hän hänen hänet
+    häntä hänessä hänestä häneen hänellä häneltä hänelle me meidän
+    meidät meitä meissä meistä meihin meillä meiltä meille te teidän
+    teidät teitä teissä teistä teihin teillä teiltä teille he heidän
+    heidät heitä heissä heistä heihin heillä heiltä heille tämä
+    tämän tätä tässä tästä tähän tallä tältä tälle tänä täksi tuo
+    tuon tuotä tuossa tuosta tuohon tuolla tuolta tuolle tuona
+    tuoksi se sen sitä siinä siitä siihen sillä siltä sille sinä
+    siksi nämä näiden näitä näissä näistä näihin näillä näiltä
+    näille näinä näiksi nuo noiden noita noissa noista noihin noilla
+    noilta noille noina noiksi ne niiden niitä niissä niistä niihin
+    niillä niiltä niille niinä niiksi kuka kenen kenet ketä kenessä
+    kenestä keneen kenellä keneltä kenelle kenenä keneksi ketkä
+    keiden ketkä keitä keissä keistä keihin keillä keiltä keille
+    keinä keiksi mikä minkä minkä mitä missä mistä mihin millä miltä
+    mille minä miksi mitkä joka jonka jota jossa josta johon jolla
+    jolta jolle jona joksi jotka joiden joita joissa joista joihin
+    joilla joilta joille joina joiksi että ja jos koska kuin mutta
+    niin sekä sillä tai vaan vai vaikka kanssa mukaan noin poikki
+    yli kun niin nyt itse
+""".split())
 SNOWBALL_STOPWORDS["dan"] = SNOWBALL_STOPWORDS["danish"]
+SNOWBALL_STOPWORDS["fin"] = SNOWBALL_STOPWORDS["finnish"]
 SNOWBALL_STOPWORDS["swe"] = SNOWBALL_STOPWORDS["swedish"]
 SNOWBALL_STOPWORDS["nor"] = SNOWBALL_STOPWORDS["norwegian"]
 SNOWBALL_STOPWORDS["nld"] = SNOWBALL_STOPWORDS["dutch"]
@@ -1956,7 +2171,8 @@ STEMMERS = {"english": stem_english, "eng": stem_english,
             "norwegian": stem_norwegian, "nor": stem_norwegian,
             "dutch": stem_dutch, "nld": stem_dutch,
             "portuguese": stem_portuguese, "por": stem_portuguese,
-            "romanian": stem_romanian, "ron": stem_romanian}
+            "romanian": stem_romanian, "ron": stem_romanian,
+            "finnish": stem_finnish, "fin": stem_finnish}
 
 
 def get_stemmer(name: str | None):
