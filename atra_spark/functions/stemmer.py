@@ -1960,6 +1960,215 @@ def stem_finnish(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Hungarian (Snowball spec, snowballstem.org/algorithms/hungarian/stemmer.html)
+# — round-4 tranche (rust-stemmers algorithms, tokenizer.rs:31-72).
+# ---------------------------------------------------------------------------
+_HU_VOWELS = "aáeéiíoóöőuúüű"
+_HU_DIGRAPHS = ("cs", "dz", "dzs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = (
+    "bb", "cc", "ccs", "dd", "ff", "gg", "ggy", "jj", "kk", "ll",
+    "lly", "mm", "nn", "nny", "pp", "rr", "ss", "ssz", "tt", "tty",
+    "vv", "zz", "zzs",
+)
+
+_HU_CASES = sorted((
+    "ban", "ben", "ba", "be", "ra", "re", "nak", "nek", "val", "vel",
+    "tól", "től", "ról", "ről", "ból", "ből", "hoz", "hez", "höz",
+    "nál", "nél", "ig", "at", "et", "ot", "öt", "ért", "képp",
+    "képpen", "kor", "ul", "ül", "vá", "vé", "onként", "enként",
+    "anként", "ként", "en", "on", "an", "ön", "n", "t",
+), key=len, reverse=True)
+
+
+def _hu_r1(w: str) -> int:
+    """If the word begins with a vowel, R1 starts after the first
+    consonant or digraph; if it begins with a consonant, after the
+    first vowel."""
+    n = len(w)
+    if n == 0:
+        return 0
+    if w[0] in _HU_VOWELS:
+        for i in range(1, n):
+            if w[i] not in _HU_VOWELS:
+                # digraph counts as one consonant unit
+                for d in _HU_DIGRAPHS:
+                    if w.startswith(d, i):
+                        return i + len(d)
+                return i + 1
+        return n
+    for i in range(1, n):
+        if w[i] in _HU_VOWELS:
+            return i + 1
+    return n
+
+
+def _hu_double_at_end(w: str) -> str | None:
+    """The double-consonant cluster at the end of w, longest first."""
+    for d in sorted(_HU_DOUBLES, key=len, reverse=True):
+        if w.endswith(d):
+            return d
+    return None
+
+
+def _hu_undouble(w: str) -> str:
+    d = _hu_double_at_end(w)
+    if d is None:
+        return w
+    # remove the first half of the double: ssz -> sz, bb -> b
+    half = len(d) - (len(d) // 2 if len(d) == 2 else 2)
+    # for 2-char doubles drop one char, for 3-char digraph doubles
+    # (ssz = sz+sz contracted) drop one char as well
+    return w[: len(w) - len(d)] + d[1:]
+
+
+def _hu_v_ending(w: str) -> str:
+    if w.endswith("á"):
+        return w[:-1] + "a"
+    if w.endswith("é"):
+        return w[:-1] + "e"
+    return w
+
+
+def _hu_longest(w: str, sufs) -> str | None:
+    """Longest pattern matching the end of w — snowball among semantics:
+    the match is chosen by length alone, and a failing condition on the
+    chosen arm fails the whole step (no fall-through: sok keeps its k
+    because 'ok' matches but fails R1 — pinned by PG15 probes)."""
+    best = None
+    for s in sufs:
+        if w.endswith(s) and (best is None or len(s) > len(best)):
+            best = s
+    return best
+
+
+# owned: the -é/-éi possession markers with their linking-vowel
+# composites. All arms delete; the short-linking-vowel arms (aké oké
+# eké öké) and bare é also run v_ending, the long-vowel arms (áké éké
+# áéi ééi akéi ...) do not — every distinction pinned by PG15 probes.
+_HU_OWNED = (
+    "áéi", "ééi", "akéi", "okéi", "ekéi", "ökéi", "éi",
+    "áké", "éké", "aké", "oké", "eké", "öké", "ké", "éé", "é",
+)
+_HU_OWNED_VEND = ("aké", "oké", "eké", "öké", "é")
+_HU_SING_OWNER = (
+    "ánk", "énk", "unk", "ünk", "nk",
+    "ájuk", "éjük", "juk", "jük", "uk", "ük",
+    "ám", "ém", "om", "am", "em", "m",
+    "ád", "éd", "od", "ad", "ed", "öd", "d",
+    "ja", "je", "a", "e", "o",
+)
+_HU_PLUR_OWNER = (
+    "jaitok", "jeitek", "áitok", "éitek", "aitok", "eitek", "itek",
+    "jaink", "jeink", "áink", "éink", "aink", "eink", "ink",
+    "jaim", "jeim", "áim", "éim", "aim", "eim", "im",
+    "jaid", "jeid", "áid", "éid", "aid", "eid", "id",
+    "jaik", "jeik", "áik", "éik", "aik", "eik", "ik",
+    "jai", "jei", "ái", "éi", "ai", "ei", "i",
+)
+_HU_REPL = {  # arms that rewrite the linking long vowel instead of bare delete
+    "ánk": "a", "énk": "e", "ájuk": "a", "éjük": "e", "ám": "a",
+    "ém": "e", "ád": "a", "éd": "e",
+    "áitok": "a", "éitek": "e", "áink": "a", "éink": "e", "áim": "a",
+    "éim": "e", "áid": "a", "éid": "e", "áik": "a", "éik": "e",
+    "ái": "a", "éi": "e",
+    "ák": "a", "ék": "e",
+    "ánként": "a", "án": "a", "én": "e",
+    "ástul": "a", "éstül": "e",
+}
+
+
+def stem_hungarian(word: str) -> str:
+    w = word.lower()
+    r1 = _hu_r1(w)
+
+    def in_r1(k: int) -> bool:
+        return k >= r1
+
+    def v_ending(s: str) -> str:
+        # [substring] R1 among(á -> a, é -> e): the vowel itself must
+        # lie in R1
+        if s and s[-1] in "áé" and len(s) - 1 >= r1:
+            return s[:-1] + ("a" if s[-1] == "á" else "e")
+        return s
+
+    # ---- step 1: instrumental (al/el after double consonant) ----
+    suf = _hu_longest(w, ("al", "el"))
+    if suf is not None:
+        k = len(w) - len(suf)
+        if in_r1(k) and _hu_double_at_end(w[:k]):
+            w = _hu_undouble(w[:k])
+
+    # ---- step 2: frequent cases (delete + v_ending) ----
+    suf = _hu_longest(w, _HU_CASES)
+    if suf is not None:
+        k = len(w) - len(suf)
+        if in_r1(k):
+            w = v_ending(w[:k])
+
+    # ---- step 3: special cases ----
+    suf = _hu_longest(w, ("ánként", "én", "án"))
+    if suf is not None:
+        k = len(w) - len(suf)
+        if in_r1(k):
+            w = w[:k] + _HU_REPL[suf]
+
+    # ---- step 4: other cases ----
+    suf = _hu_longest(w, ("ástul", "éstül", "astul", "estül", "stul", "stül"))
+    if suf is not None:
+        k = len(w) - len(suf)
+        if in_r1(k):
+            w = w[:k] + _HU_REPL.get(suf, "")
+
+    # ---- step 5: factive (á/é after double consonant) ----
+    suf = _hu_longest(w, ("á", "é"))
+    if suf is not None:
+        k = len(w) - 1
+        if in_r1(k) and _hu_double_at_end(w[:k]):
+            w = _hu_undouble(w[:k])
+
+    # ---- steps 6-7: (owned or sing_owner or v_ending) — snowball
+    # alternation: the first alternative that fires wins; a longest
+    # match failing its R1 check fails that alternative with no
+    # fall-through to shorter arms (fáké -> fáke: owned's 'áké' fails
+    # R1, sing_owner has no match, bare v_ending rewrites the é —
+    # pinned by PG15 probes) ----
+    fired = False
+    suf = _hu_longest(w, _HU_OWNED)
+    if suf is not None:
+        k = len(w) - len(suf)
+        if in_r1(k):
+            w = w[:k]
+            if suf in _HU_OWNED_VEND:
+                w = v_ending(w)
+            fired = True
+    if not fired:
+        suf = _hu_longest(w, _HU_SING_OWNER)
+        if suf is not None:
+            k = len(w) - len(suf)
+            if in_r1(k):
+                w = w[:k] + _HU_REPL.get(suf, "")
+                fired = True
+    if not fired:
+        w = v_ending(w)
+
+    # ---- step 8: plural owner ----
+    suf = _hu_longest(w, _HU_PLUR_OWNER)
+    if suf is not None:
+        k = len(w) - len(suf)
+        if in_r1(k):
+            w = w[:k] + _HU_REPL.get(suf, "")
+
+    # ---- step 9: plural ----
+    suf = _hu_longest(w, ("ák", "ék", "ök", "ok", "ek", "ak", "k"))
+    if suf is not None:
+        k = len(w) - len(suf)
+        if in_r1(k):
+            w = w[:k] + _HU_REPL.get(suf, "")
+
+    return w
+
+
+# ---------------------------------------------------------------------------
 # Snowball stopword lists (published with the Snowball project; the
 # reference's iso_stopwords registry serves the same per-language role,
 # stopword_registry.rs — list provenance declared in COVERAGE.md)
@@ -2172,7 +2381,8 @@ STEMMERS = {"english": stem_english, "eng": stem_english,
             "dutch": stem_dutch, "nld": stem_dutch,
             "portuguese": stem_portuguese, "por": stem_portuguese,
             "romanian": stem_romanian, "ron": stem_romanian,
-            "finnish": stem_finnish, "fin": stem_finnish}
+            "finnish": stem_finnish, "fin": stem_finnish,
+            "hungarian": stem_hungarian, "hun": stem_hungarian}
 
 
 def get_stemmer(name: str | None):

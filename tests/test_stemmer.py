@@ -406,8 +406,8 @@ class TestPg15SnowballGoldens:
     )
     IMPLEMENTED = (
         "danish", "dutch", "english", "french", "german", "italian",
-        "finnish", "norwegian", "portuguese", "romanian", "russian",
-        "spanish", "swedish",
+        "finnish", "hungarian", "norwegian", "portuguese",
+        "romanian", "russian", "spanish", "swedish",
     )
 
     def test_every_implemented_language_matches_official(self):
