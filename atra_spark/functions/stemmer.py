@@ -2169,6 +2169,418 @@ def stem_hungarian(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Turkish (Snowball spec, snowballstem.org/algorithms/turkish/stemmer.html,
+# Evren Kapusuz Cilden's cursor-chain algorithm) — round-4 tranche
+# (rust-stemmers algorithms, tokenizer.rs:31-72). Backwards-mode cursor
+# semantics are modelled as (word, pos) pairs: every mark_* helper
+# matches a suffix ending at `pos` and returns the new cursor (or None);
+# "delete" splices word[newpos:pos] out, keeping any tail a recursive
+# -ki chain left behind. Pinned to PG15 ts_lexize probes.
+# ---------------------------------------------------------------------------
+_TR_VOWELS = "ae\u0131io\u00f6u\u00fc"        # a e i-dotless i o o-umlaut u u-umlaut
+_TR_U = "\u0131iu\u00fc"
+_TR_HARMONY = {
+    "a": "a\u0131ou", "e": "ei\u00f6\u00fc", "\u0131": "a\u0131", "i": "ei",
+    "o": "ou", "\u00f6": "\u00f6\u00fc", "u": "ou", "\u00fc": "\u00f6\u00fc",
+}
+
+
+def _tr_harmony(w, pos):
+    """check_vowel_harmony: the suffix vowel (last vowel before pos)
+    must be preceded somewhere by a vowel of its harmony class."""
+    i = pos - 1
+    while i >= 0 and w[i] not in _TR_VOWELS:
+        i -= 1
+    if i < 0:
+        return False
+    cls = _TR_HARMONY[w[i]]
+    for j in range(i - 1, -1, -1):
+        if w[j] in cls:
+            return True
+    return False
+
+
+def _tr_among(w, pos, sufs):
+    """Longest suffix of w[:pos] from sufs; new cursor or None."""
+    for s in sufs:
+        if w.startswith(s, pos - len(s)) and pos >= len(s):
+            return pos - len(s)
+    return None
+
+
+def _tr_opt_cons(c):
+    """mark_suffix_with_optional_X_consonant: (c (test vowel)) or
+    ((not(test c)) test(next vowel))."""
+    def f(w, pos):
+        if pos >= 1 and w[pos - 1] == c:
+            if pos >= 2 and w[pos - 2] in _TR_VOWELS:
+                return pos - 1
+            return None
+        if pos >= 2 and w[pos - 2] in _TR_VOWELS:
+            return pos
+        return None
+    return f
+
+
+def _tr_opt_U(w, pos):
+    """mark_suffix_with_optional_U_vowel: (U (test non-vowel)) or
+    ((not(test U)) test(next non-vowel))."""
+    if pos >= 1 and w[pos - 1] in _TR_U:
+        if pos >= 2 and w[pos - 2] not in _TR_VOWELS:
+            return pos - 1
+        return None
+    if pos >= 2 and w[pos - 2] not in _TR_VOWELS:
+        return pos
+    return None
+
+
+def _tr_mark(sufs, harmony=True, opt=None):
+    ordered = tuple(sorted(sufs, key=len, reverse=True))
+
+    def mark(w, pos):
+        if harmony and not _tr_harmony(w, pos):
+            return None
+        np = _tr_among(w, pos, ordered)
+        if np is None:
+            return None
+        return opt(w, np) if opt else np
+    return mark
+
+
+def _tr_4form(stem_pat):
+    """Expand e.g. 's%sn' to the four U-vowel forms."""
+    return tuple(stem_pat % u for u in _TR_U)
+
+
+_tr_opt_y = _tr_opt_cons("y")
+_tr_opt_n = _tr_opt_cons("n")
+_tr_opt_s = _tr_opt_cons("s")
+
+_mark_lAr = _tr_mark(("lar", "ler"))
+_mark_ncA = _tr_mark(("ca", "ce"), opt=_tr_opt_n)
+_mark_nA = _tr_mark(("na", "ne"))
+_mark_yA = _tr_mark(("a", "e"), opt=_tr_opt_y)
+_mark_DA = _tr_mark(("da", "de", "ta", "te"))
+_mark_ndA = _tr_mark(("nda", "nde"))
+_mark_DAn = _tr_mark(("dan", "den", "tan", "ten"))
+_mark_ndAn = _tr_mark(("ndan", "nden"))
+_mark_ylA = _tr_mark(("la", "le"), opt=_tr_opt_y)
+_mark_ki = _tr_mark(("ki",), harmony=False)
+_mark_nU = _tr_mark(_tr_4form("n%s"))
+_mark_nUn = _tr_mark(_tr_4form("%sn"), opt=_tr_opt_n)
+_mark_yU = _tr_mark(_tr_4form("%s"), opt=_tr_opt_y)
+_mark_nUz = _tr_mark(_tr_4form("n%sz"))
+_mark_sU = _tr_mark(_tr_4form("%s"), opt=_tr_opt_s)
+_mark_lArI = _tr_mark(("lar\u0131", "leri"), harmony=False)
+_mark_possessives = _tr_mark(
+    ("m", "n") + _tr_4form("m%sz") + _tr_4form("n%sz"),
+    harmony=False, opt=_tr_opt_U)
+_mark_DUr = _tr_mark(_tr_4form("d%sr") + _tr_4form("t%sr"))
+_mark_cAsInA = _tr_mark(("cas\u0131na", "cesine"), harmony=False)
+_mark_yDU = _tr_mark(
+    _tr_4form("d%s") + _tr_4form("t%s")
+    + _tr_4form("d%sm") + _tr_4form("t%sm")
+    + _tr_4form("d%sn") + _tr_4form("t%sn")
+    + _tr_4form("d%sk") + _tr_4form("t%sk"),
+    opt=_tr_opt_y)
+_mark_ysA = _tr_mark(
+    ("sa", "se", "sam", "san", "sak", "sem", "sen", "sek"),
+    harmony=False, opt=_tr_opt_y)
+_mark_ymUs = _tr_mark(_tr_4form("m%s\u015f"), opt=_tr_opt_y)
+_mark_yken = _tr_mark(("ken",), harmony=False, opt=_tr_opt_y)
+_mark_sUn = _tr_mark(_tr_4form("s%sn"))
+_mark_yUm = _tr_mark(_tr_4form("%sm"), opt=_tr_opt_y)
+_mark_sUnUz = _tr_mark(("s\u0131n\u0131z", "siniz", "sunuz", "s\u00fcn\u00fcz"))
+_mark_yUz = _tr_mark(_tr_4form("%sz"), opt=_tr_opt_y)
+
+
+def _tr_first(w, pos, *marks):
+    for m in marks:
+        np = m(w, pos)
+        if np is not None:
+            return np
+    return None
+
+
+def _tr_nominal_verb(w):
+    """stem_nominal_verb_suffixes; returns (word, continue_flag)."""
+    cont = True
+    n = len(w)
+    # (ymUs_ or yDU or ysA or yken)
+    p = _tr_first(w, n, _mark_ymUs, _mark_yDU, _mark_ysA, _mark_yken)
+    if p is not None:
+        return w[:p], cont
+    # (cAsInA (sUnUz or lAr or yUm or sUn or yUz or true) ymUs_)
+    p = _mark_cAsInA(w, n)
+    if p is not None:
+        q = _tr_first(w, p, _mark_sUnUz, _mark_lAr, _mark_yUm, _mark_sUn,
+                      _mark_yUz)
+        if q is None:
+            q = p
+        r = _mark_ymUs(w, q)
+        if r is not None:
+            return w[:r], cont
+    # (lAr ] delete try([ (DUr or yDU or ysA or ymUs_) unset cont))
+    p = _mark_lAr(w, n)
+    if p is not None:
+        w = w[:p]
+        q = _tr_first(w, len(w), _mark_DUr, _mark_yDU, _mark_ysA, _mark_ymUs)
+        if q is not None:
+            w = w[:q]
+        return w, False
+    # (nUz (yDU or ysA))
+    p = _mark_nUz(w, n)
+    if p is not None:
+        q = _tr_first(w, p, _mark_yDU, _mark_ysA)
+        if q is not None:
+            return w[:q], cont
+    # ((sUnUz or yUz or sUn or yUm) ] delete try([ ymUs_))
+    p = _tr_first(w, n, _mark_sUnUz, _mark_yUz, _mark_sUn, _mark_yUm)
+    if p is not None:
+        w = w[:p]
+        q = _mark_ymUs(w, len(w))
+        if q is not None:
+            w = w[:q]
+        return w, cont
+    # (DUr ] delete try([ (sUnUz or lAr or yUm or sUn or yUz or true) ymUs_))
+    p = _mark_DUr(w, n)
+    if p is not None:
+        w = w[:p]
+        q = _tr_first(w, len(w), _mark_sUnUz, _mark_lAr, _mark_yUm, _mark_sUn,
+                      _mark_yUz)
+        if q is None:
+            q = len(w)
+        r = _mark_ymUs(w, q)
+        if r is not None:
+            w = w[:r]
+        return w, cont
+    return w, cont
+
+
+def _tr_splice(w, newpos, pos):
+    """Backwards-mode delete: remove w[newpos:pos]; cursor -> newpos."""
+    return w[:newpos] + w[pos:], newpos
+
+
+def _tr_lar_then_chain(w, pos):
+    """[mark_lAr] delete <then> stem_suffix_chain_before_ki (deletes
+    persist even if the chain fails — snowball try semantics)."""
+    p = _mark_lAr(w, pos)
+    if p is None:
+        return None
+    w, pos = _tr_splice(w, p, pos)
+    c = _tr_chain_ki(w, pos)
+    return c if c is not None else w
+
+
+def _tr_chain_ki(w, pos):
+    """stem_suffix_chain_before_ki at cursor `pos`; new word or None."""
+    p = _mark_ki(w, pos)
+    if p is None:
+        return None
+    # (DA ] delete try([ (lAr]delete try(chain)) or (poss]delete try([lAr]delete chain)) ))
+    q = _mark_DA(w, p)
+    if q is not None:
+        w, pos = _tr_splice(w, q, pos)
+        c = _tr_lar_then_chain(w, pos)
+        if c is not None:
+            return c
+        r = _mark_possessives(w, pos)
+        if r is not None:
+            w, pos = _tr_splice(w, r, pos)
+            c = _tr_lar_then_chain(w, pos)
+            if c is not None:
+                return c
+        return w
+    # (nUn ] delete try([ (lArI]delete) or ([poss or sU]delete try([lAr]delete chain)) or chain ))
+    q = _mark_nUn(w, p)
+    if q is not None:
+        w, pos = _tr_splice(w, q, pos)
+        r = _mark_lArI(w, pos)
+        if r is not None:
+            return _tr_splice(w, r, pos)[0]
+        r = _tr_first(w, pos, _mark_possessives, _mark_sU)
+        if r is not None:
+            w, pos = _tr_splice(w, r, pos)
+            c = _tr_lar_then_chain(w, pos)
+            return c if c is not None else w
+        c = _tr_chain_ki(w, pos)
+        return c if c is not None else w
+    # (ndA ( (lArI]delete) or ((sU]delete try([lAr]delete chain))) or chain ))
+    q = _mark_ndA(w, p)
+    if q is not None:
+        r = _mark_lArI(w, q)
+        if r is not None:
+            return _tr_splice(w, r, pos)[0]
+        r = _mark_sU(w, q)
+        if r is not None:
+            w, pos = _tr_splice(w, r, pos)
+            c = _tr_lar_then_chain(w, pos)
+            return c if c is not None else w
+        return _tr_chain_ki(w, q)
+    return None
+
+
+def _tr_noun_suffixes(w):
+    """stem_noun_suffixes (single pass of the ordered alternatives)."""
+    n = len(w)
+    # ([lAr] delete try(chain))
+    p = _mark_lAr(w, n)
+    if p is not None:
+        w = w[:p]
+        c = _tr_chain_ki(w, len(w))
+        return c if c is not None else w
+    # ([ncA] delete try( (lArI]d) or ([poss or sU]d try([lAr]d chain)) or ([lAr]d chain) ))
+    p = _mark_ncA(w, n)
+    if p is not None:
+        w = w[:p]
+        q = _mark_lArI(w, len(w))
+        if q is not None:
+            return w[:q]
+        q = _tr_first(w, len(w), _mark_possessives, _mark_sU)
+        if q is not None:
+            w = w[:q]
+            c = _tr_lar_then_chain(w, len(w))
+            return c if c is not None else w
+        c = _tr_lar_then_chain(w, len(w))
+        return c if c is not None else w
+    # ([(ndA or nA) ( (lArI]d) or (sU]d try([lAr]d chain)) or chain )])
+    p = _tr_first(w, n, _mark_ndA, _mark_nA)
+    if p is not None:
+        q = _mark_lArI(w, p)
+        if q is not None:
+            return w[:q]
+        q = _mark_sU(w, p)
+        if q is not None:
+            w, pos = _tr_splice(w, q, n)
+            c = _tr_lar_then_chain(w, pos)
+            return c if c is not None else w
+        c = _tr_chain_ki(w, p)
+        if c is not None:
+            return c
+    # ([(ndAn or nU) ((sU]d try([lAr]d chain)) or (lArI]d))])
+    p = _tr_first(w, n, _mark_ndAn, _mark_nU)
+    if p is not None:
+        q = _mark_sU(w, p)
+        if q is not None:
+            w, pos = _tr_splice(w, q, n)
+            c = _tr_lar_then_chain(w, pos)
+            return c if c is not None else w
+        q = _mark_lArI(w, p)
+        if q is not None:
+            return w[:q]
+    # ([DAn] delete try([ (poss]d try([lAr]d chain)) or (lAr]d try(chain)) or chain ]))
+    p = _mark_DAn(w, n)
+    if p is not None:
+        w = w[:p]
+        q = _mark_possessives(w, len(w))
+        if q is not None:
+            w = w[:q]
+            c = _tr_lar_then_chain(w, len(w))
+            return c if c is not None else w
+        q = _mark_lAr(w, len(w))
+        if q is not None:
+            w = w[:q]
+            c = _tr_chain_ki(w, len(w))
+            return c if c is not None else w
+        c = _tr_chain_ki(w, len(w))
+        return c if c is not None else w
+    # ([nUn or ylA] delete try( ([lAr]d chain) or ([poss or sU]d try([lAr]d chain)) or chain ))
+    # alt1's chain is MANDATORY: when lAr matches but the chain fails,
+    # the lAr delete persists and alt2 runs on the shortened word
+    # (PG15 probes: gunlerle -> g, kalemlerin -> kale).
+    p = _tr_first(w, n, _mark_nUn, _mark_ylA)
+    if p is not None:
+        w = w[:p]
+        q = _mark_lAr(w, len(w))
+        if q is not None:
+            w = w[:q]
+            c = _tr_chain_ki(w, len(w))
+            if c is not None:
+                return c
+        q = _tr_first(w, len(w), _mark_possessives, _mark_sU)
+        if q is not None:
+            w = w[:q]
+            c = _tr_lar_then_chain(w, len(w))
+            return c if c is not None else w
+        c = _tr_chain_ki(w, len(w))
+        return c if c is not None else w
+    # ([lArI] delete)
+    p = _mark_lArI(w, n)
+    if p is not None:
+        return w[:p]
+    # (chain)
+    c = _tr_chain_ki(w, n)
+    if c is not None:
+        return c
+    # ([DA or yU or yA] delete try([ ((poss]d try([lAr)) or lAr) ]d [ chain ))
+    p = _tr_first(w, n, _mark_DA, _mark_yU, _mark_yA)
+    if p is not None:
+        w = w[:p]
+        q = _mark_possessives(w, len(w))
+        if q is not None:
+            w = w[:q]
+            r = _mark_lAr(w, len(w))
+            if r is not None:
+                w = w[:r]
+        else:
+            q = _mark_lAr(w, len(w))
+            if q is not None:
+                w = w[:q]
+        c = _tr_chain_ki(w, len(w))
+        return c if c is not None else w
+    # ([poss or sU] delete try([lAr] delete chain))
+    p = _tr_first(w, n, _mark_possessives, _mark_sU)
+    if p is not None:
+        w = w[:p]
+        c = _tr_lar_then_chain(w, len(w))
+        return c if c is not None else w
+    return w
+
+
+def _tr_postlude(w):
+    # append_U_to_stems_ending_with_d_or_g
+    if w and w[-1] in "dg":
+        i = len(w) - 1
+        while i >= 0 and w[i] not in _TR_VOWELS:
+            i -= 1
+        if i >= 0:
+            v = w[i]
+            if v in "a\u0131":
+                w += "\u0131"
+            elif v in "ei":
+                w += "i"
+            elif v in "ou":
+                w += "u"
+            else:
+                w += "\u00fc"
+    # post_process_last_consonants
+    repl = {"b": "p", "c": "\u00e7", "d": "t", "\u011f": "k"}
+    if w and w[-1] in repl:
+        w = w[:-1] + repl[w[-1]]
+    return w
+
+
+def stem_turkish(word: str) -> str:
+    """Snowball Turkish stemmer (spec: snowballstem.org/algorithms/
+    turkish/stemmer.html). Reference dispatch:
+    text_processing/src/tokenizer.rs:31-72 (rust-stemmers Turkish)."""
+    low = word.lower()
+    if sum(1 for c in low if c in _TR_VOWELS) < 2:
+        return low
+    w, cont = _tr_nominal_verb(low)
+    if not cont:
+        # the nominal -lAr arm unsets the flag: noun suffix stemming
+        # AND the postlude are both skipped (PG15 probe: daglar -> dag)
+        return w if w else low
+    w = _tr_noun_suffixes(w)
+    if w in ("ad", "soyad"):  # is_reserved_word guards the postlude
+        return w
+    w = _tr_postlude(w)
+    return w if w else low  # empty stems fall back to the input
+
+
+# ---------------------------------------------------------------------------
 # Snowball stopword lists (published with the Snowball project; the
 # reference's iso_stopwords registry serves the same per-language role,
 # stopword_registry.rs — list provenance declared in COVERAGE.md)
@@ -2382,7 +2794,8 @@ STEMMERS = {"english": stem_english, "eng": stem_english,
             "portuguese": stem_portuguese, "por": stem_portuguese,
             "romanian": stem_romanian, "ron": stem_romanian,
             "finnish": stem_finnish, "fin": stem_finnish,
-            "hungarian": stem_hungarian, "hun": stem_hungarian}
+            "hungarian": stem_hungarian, "hun": stem_hungarian,
+            "turkish": stem_turkish, "tur": stem_turkish}
 
 
 def get_stemmer(name: str | None):

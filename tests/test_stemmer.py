@@ -407,7 +407,7 @@ class TestPg15SnowballGoldens:
     IMPLEMENTED = (
         "danish", "dutch", "english", "french", "german", "italian",
         "finnish", "hungarian", "norwegian", "portuguese",
-        "romanian", "russian", "spanish", "swedish",
+        "romanian", "russian", "spanish", "swedish", "turkish",
     )
 
     def test_every_implemented_language_matches_official(self):
