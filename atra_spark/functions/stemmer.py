@@ -9,8 +9,12 @@ German — tokenizer.rs:92-105) plus the four largest European web
 languages (French, Spanish, Italian, Russian, added round 3) and the
 round-4 tranche (Swedish, Norwegian, Danish, Dutch, Portuguese) — are
 implemented here from the published Snowball specifications
-(snowballstem.org). Remaining rust-stemmers languages fall back to
-identity (declared in COVERAGE.md).
+(snowballstem.org). The remaining rust-stemmers languages (Greek,
+Arabic, Tamil) are served by a ctypes binding to the system
+libstemmer — Snowball's own C library, the same sources rust-stemmers
+is generated from — cross-checked against the PG15 golden fixtures;
+without the library they fall back to identity (declared in
+COVERAGE.md).
 
 Pure per-token string functions — used inside Arrow-batched pandas
 UDFs (textstats.tokenize), never as row-at-a-time Spark UDFs.
@@ -217,12 +221,16 @@ def _r1_r2_de(w: str) -> tuple[int, int]:
         if w[i] not in _DE_VOWELS and w[i - 1] in _DE_VOWELS:
             r1 = i + 1
             break
-    r1 = max(r1, 3)  # region before R1 must cover >= 3 letters
+    # R2 is found from the UNADJUSTED R1; only R1 itself is then
+    # adjusted so the region before it covers >= 3 letters (spec:
+    # adjustment happens after both regions are defined — native
+    # probe açudig: R2=4, not 6)
     r2 = len(w)
     for i in range(r1 + 1, len(w)):
         if w[i] not in _DE_VOWELS and w[i - 1] in _DE_VOWELS:
             r2 = i + 1
             break
+    r1 = max(r1, 3)
     return min(r1, len(w)), r2
 
 
@@ -627,6 +635,7 @@ def stem_spanish(word: str) -> str:
             gu_set = ("en", "es", "éis", "emos")
             for suf in sorted((
                 "aríamos", "eríamos", "iríamos", "iéramos", "iésemos",
+                "aremos", "eremos", "iremos",
                 "aríais", "aseis", "eríais", "iríais", "ierais", "ieseis", "asteis",
                 "isteis", "ábamos", "áramos", "ásemos", "arían", "arías",
                 "aréis", "erían", "erías", "eréis", "irían", "irías",
@@ -693,7 +702,10 @@ def stem_italian(word: str) -> str:
             chars[i] = "U"
     w = "".join(chars)
     rv = _rv_it(w)
-    r1, r2 = _r1_r2_generic(w.lower(), _IT_VOWELS)
+    # regions over the MARKED string: U/I marked by the prelude count
+    # as consonants (native probe: masiuiste -> masiu needs r2 at the
+    # marked U, not past it)
+    r1, r2 = _r1_r2_generic(w, _IT_VOWELS)
 
     # step 0: attached pronoun after -ando/-endo (delete) or -ar/-er/
     # -ir (replace with e), stem ending in RV
@@ -805,8 +817,9 @@ def stem_italian(word: str) -> str:
             if w.endswith("i") and len(w) - 1 >= rv:
                 w = w[:-1]
             break
-    # step 3b: ch/gh -> c/g in RV
-    if w.endswith(("ch", "gh")) and len(w) - 1 >= rv:
+    # step 3b: ch/gh -> c/g — the whole digraph must lie in RV
+    # (native probe: such/mucho keep their h; spec `['ch'] RV`)
+    if w.endswith(("ch", "gh")) and len(w) - 2 >= rv:
         w = w[:-1]
 
     return w.lower()
@@ -906,7 +919,9 @@ def stem_french(word: str) -> str:
     un-accenting."""
     w = _fr_mark(word.lower())
     rv = _fr_rv(w)
-    r1, r2 = _r1_r2_generic(w.lower(), _FR_VOWELS)
+    # regions over the MARKED string: Y/U/I marked by the prelude
+    # count as consonants here, exactly as snowball mark_regions
+    r1, r2 = _r1_r2_generic(w, _FR_VOWELS)
 
     def L(k: int) -> int:
         return len(w) - k
@@ -1003,7 +1018,7 @@ def stem_french(word: str) -> str:
                 w = w[:-k] + "eux"
                 step1_changed = True
         elif suf in ("issement", "issements"):
-            if L(k) >= r1 and L(k) >= 1 and w[L(k) - 1].lower() not in _FR_VOWELS:
+            if L(k) >= r1 and L(k) >= 1 and w[L(k) - 1] not in _FR_VOWELS:
                 w = w[:-k]
                 step1_changed = True
         elif suf == "amment":
@@ -1015,7 +1030,7 @@ def stem_french(word: str) -> str:
                 w = w[:-k] + "ent"
                 found_ment = True
         elif suf in ("ment", "ments"):
-            if L(k) >= 1 and w[L(k) - 1].lower() in _FR_VOWELS and L(k) - 1 >= rv:
+            if L(k) >= 1 and w[L(k) - 1] in _FR_VOWELS and L(k) - 1 >= rv:
                 w = w[:-k]
                 found_ment = True
         break
@@ -1027,7 +1042,8 @@ def stem_french(word: str) -> str:
         for suf in _FR_STEP2A:
             if w.endswith(suf) and L(len(suf)) >= rv:
                 j = L(len(suf)) - 1
-                if j >= rv and w[j].lower() not in _FR_VOWELS:
+                # marked Y/U/I are consonants for the non-vowel test
+                if j >= rv and w[j] not in _FR_VOWELS:
                     w = w[: -len(suf)]
                     did_2 = True
                 break
@@ -1250,11 +1266,13 @@ _DA_STEP1 = sorted(
 
 def _da_undouble(w: str, r1: int) -> str:
     """Step 4: remove the final letter of a double consonant ending in
-    R1."""
+    R1. The consonant grouping is the DECLARED set, not "non-vowel":
+    foreign doubles (öö, Cyrillic ее) stay — native-libstemmer probes.
+    """
     if (
         len(w) >= 2
         and w[-1] == w[-2]
-        and w[-1] not in _DA_VOWELS
+        and w[-1] in "bcdfghjklmnpqrstvwxz"
         and len(w) - 1 >= r1
     ):
         return w[:-1]
@@ -1357,9 +1375,12 @@ def stem_dutch(word: str) -> str:
     def valid_en_ending(k: int) -> bool:  # non-vowel, and not gem-
         return w[k - 1] not in _NL_VOWELS and w[max(0, k - 3) : k] != "gem"
 
-    # ---- step 1 ----
-    if w.endswith("heden") and in_r1(len(w) - 5):
-        w = w[:-5] + "heid"
+    # ---- step 1 (among: heden is the longest match — when its R1
+    # check fails the whole step fails hard, with NO fall-through to
+    # the en arm; native probe: bkheden stays) ----
+    if w.endswith("heden"):
+        if in_r1(len(w) - 5):
+            w = w[:-5] + "heid"
     elif w.endswith("ene") and in_r1(len(w) - 3) and valid_en_ending(len(w) - 3):
         w = _nl_undouble(w[:-3])
     elif w.endswith("en") and in_r1(len(w) - 2) and valid_en_ending(len(w) - 2):
@@ -1485,6 +1506,10 @@ _PT_STEP2 = sorted(
 def stem_portuguese(word: str) -> str:
     w = word.lower().replace("ã", "a~").replace("õ", "o~")
     if len(w.replace("~", "")) <= 2:
+        # no suffix step can apply, but the final ç -> c rewrite is
+        # unconditional in the spec (native probe: ç/rç/ãç -> c/rc/ãc)
+        if w.endswith("ç"):
+            w = w[:-1] + "c"
         return w.replace("a~", "ã").replace("o~", "õ")
     rv = _rv_pt(w)
     r1, r2 = _r1_r2_generic(w, _PT_VOWELS)
@@ -1608,10 +1633,12 @@ _RO_STEP1 = sorted((
     ("iciv", "ic"), ("icivă", "ic"), ("icive", "ic"), ("icivi", "ic"),
     ("ical", "ic"), ("icală", "ic"), ("icale", "ic"), ("icali", "ic"),
     ("ativ", "at"), ("ativă", "at"), ("ative", "at"), ("ativi", "at"),
-    ("aţiune", "at"), ("atoare", "at"), ("ator", "at"), ("atori", "at"),
+    ("aţiune", "at"), ("aţiuni", "at"),
+    ("atoare", "at"), ("ator", "at"), ("atori", "at"),
     ("ătoare", "at"), ("ător", "at"), ("ători", "at"),
     ("itiv", "it"), ("itivă", "it"), ("itive", "it"), ("itivi", "it"),
-    ("iţiune", "it"), ("itoare", "it"), ("itor", "it"), ("itori", "it"),
+    ("iţiune", "it"), ("iţiuni", "it"),
+    ("itoare", "it"), ("itor", "it"), ("itori", "it"),
 ), key=lambda p: len(p[0]), reverse=True)
 
 _RO_STEP2_DELETE = (
@@ -1744,10 +1771,13 @@ def stem_romanian(word: str) -> str:
                     w = w[:k]
             break
 
-    # ---- step 4: final vowel (in RV) ----
+    # ---- step 4: final vowel — longest among match first ('ie' wins
+    # over 'e'), then the RV check fails HARD with no fall-through to
+    # the shorter vowel (native probe: bvie keeps its e) ----
     for suf in ("ie", "a", "e", "i", "ă"):
-        if w.endswith(suf) and in_rv(len(w) - len(suf)):
-            w = w[: -len(suf)]
+        if w.endswith(suf):
+            if in_rv(len(w) - len(suf)):
+                w = w[: -len(suf)]
             break
 
     return w.lower()
@@ -1780,6 +1810,11 @@ def _rv_generic_romance(w: str, vowels: str) -> int:
 # `setlimit tomark p1 for ([substring])` shape.
 # ---------------------------------------------------------------------------
 _FI_VOWELS = "aeiouyäö"
+# snowball finnish declares an explicit consonant grouping; characters
+# outside BOTH groupings (foreign letters) satisfy neither test —
+# pinned by native-libstemmer probes (koptía, kopția, taloțe, более)
+_FI_CONS = "bcdfghjklmnpqrstvwxz"
+_FI_V2 = "aeiouäö"  # V1 without y (the VI condition's vowel set)
 _FI_LV = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
 
 _FI_PARTICLES = sorted(
@@ -1790,7 +1825,9 @@ _FI_POSSESSIVES = sorted(
     ("si", "ni", "nsa", "nsä", "mme", "nne", "an", "än", "en"),
     key=len, reverse=True,
 )
-_FI_HXN = ("ahan", "ehen", "ihin", "ohon", "uhun", "yhyn", "ähän", "öhön")
+# the spec's illative arms are exactly these six — no uhun/yhyn
+# (native probes: taruhun -> taruhu, taryhyn -> taryhy via the n arm)
+_FI_HXN = ("ahan", "ehen", "ihin", "ohon", "ähän", "öhön")
 _FI_CASE_PLAIN = (
     "tta", "ttä", "ta", "tä", "ssa", "ssä", "sta", "stä", "lla", "llä",
     "lta", "ltä", "lle", "na", "nä", "ksi", "ine",
@@ -1859,23 +1896,27 @@ def stem_finnish(word: str) -> str:
                 w = w[:k]
         break
 
-    # ---- step 3: case endings (suffix in R1). The preceding-context
+    # ---- step 3: case endings (suffix in R1). Most preceding-context
     # conditions are part of the among's patterns, so a failed longer
     # candidate falls through to shorter ones (edekseen: 'seen' fails
-    # LV, 'n' applies — PG15 golden edekseen -> edeks) ----
+    # LV, 'n' applies — PG15 golden edekseen -> edeks; kapden,
+    # kopisiin, koptta likewise by native probe). The illative hXn
+    # arms are command conditions instead: a failed vowel test fails
+    # the whole step, no fall-through (native probe: machen, machan
+    # keep their n) ----
     ending_removed = False
     for suf in _FI_CASES:
         k = len(w) - len(suf)
         if not w.endswith(suf) or not in_r1(k):
             continue
         if len(suf) == 3 and suf[0] == "h":
-            # hXn: the vowel before h must equal X
+            # hXn: the vowel before h must equal X — HARD condition
             if not (k >= 1 and w[k - 1] == suf[1]):
-                continue
+                break
             w = w[:k]
         elif suf in ("siin", "den", "tten"):
-            # preceded by Vi
-            if not (k >= 2 and w[k - 1] == "i" and is_v(k - 2)):
+            # preceded by Vi (V2: y excluded — native probe kopyiden)
+            if not (k >= 2 and w[k - 1] == "i" and w[k - 2] in _FI_V2):
                 continue
             w = w[:k]
         elif suf == "seen":
@@ -1883,8 +1924,9 @@ def stem_finnish(word: str) -> str:
                 continue
             w = w[:k]
         elif suf in ("a", "ä"):
-            # preceded by cv
-            if not (k >= 2 and not is_v(k - 2) and is_v(k - 1)):
+            # preceded by cv: c from the DECLARED consonant grouping
+            # (foreign letters are neither — native probe kopția)
+            if not (k >= 2 and w[k - 2] in _FI_CONS and w[k - 1] in _FI_VOWELS):
                 continue
             w = w[:k]
         elif suf in ("tta", "ttä"):
@@ -1935,11 +1977,12 @@ def stem_finnish(word: str) -> str:
     # (a) R1 ends with a double vowel -> drop one
     if len(w) >= 2 and w[-2:] in _FI_LV and in_r1(len(w) - 2):
         w = w[:-1]
-    # (b) R1 ends consonant + one of a ä e i -> drop the vowel
+    # (b) R1 ends declared-consonant + one of a ä e i -> drop the vowel
+    # (C grouping, not "non-vowel" — native probes taloțe vs taloqe)
     if (
         len(w) >= 2
         and w[-1] in "aäei"
-        and not is_v(len(w) - 2)
+        and w[-2] in _FI_CONS
         and in_r1(len(w) - 2)
     ):
         w = w[:-1]
@@ -1949,12 +1992,13 @@ def stem_finnish(word: str) -> str:
     # (d) R1 ends jo -> drop the o
     if w.endswith("jo") and in_r1(len(w) - 2):
         w = w[:-1]
-    # (e) unrestricted: double consonant followed by zero or more
-    # vowels at the end -> undouble
+    # (e) unrestricted: double declared-consonant followed by zero or
+    # more vowels at the end -> undouble (C grouping: Cyrillic/foreign
+    # doubles stay — native probes ее, более)
     i = len(w) - 1
     while i >= 0 and w[i] in _FI_VOWELS:
         i -= 1
-    if i >= 1 and w[i] not in _FI_VOWELS and w[i] == w[i - 1]:
+    if i >= 1 and w[i] in _FI_CONS and w[i] == w[i - 1]:
         w = w[:i] + w[i + 1:]
     return w
 
@@ -2141,13 +2185,15 @@ def stem_hungarian(word: str) -> str:
             if suf in _HU_OWNED_VEND:
                 w = v_ending(w)
             fired = True
-    if not fired:
-        suf = _hu_longest(w, _HU_SING_OWNER)
-        if suf is not None:
-            k = len(w) - len(suf)
-            if in_r1(k):
-                w = w[:k] + _HU_REPL.get(suf, "")
-                fired = True
+    # sing_owner is an independent `do` step: it also runs after a
+    # successful owned fire (native probe: korteé -> kort, owned é
+    # then sing_owner e)
+    suf = _hu_longest(w, _HU_SING_OWNER)
+    if suf is not None:
+        k = len(w) - len(suf)
+        if in_r1(k):
+            w = w[:k] + _HU_REPL.get(suf, "")
+            fired = True
     if not fired:
         w = v_ending(w)
 
@@ -2798,9 +2844,117 @@ STEMMERS = {"english": stem_english, "eng": stem_english,
             "turkish": stem_turkish, "tur": stem_turkish}
 
 
+# ---------------------------------------------------------------------------
+# Native Snowball via the system libstemmer (tier-2 reference parity)
+# ---------------------------------------------------------------------------
+# The reference's rust-stemmers crate is GENERATED from the official
+# snowballstem.org sources; the system `libstemmer` (Debian
+# libstemmer0d, Snowball 2.2.0) is the same project's own C library.
+# Cross-checked in-repo against the PG15 Snowball goldens: 3,824
+# fixture vectors across all 18 rust-stemmers languages agree exactly
+# (tests/test_stemmer.py::TestNativeLibstemmer), modulo one policy
+# corner pinned below — a stem that reduces to the empty string falls
+# back to the (lowercased) input word, matching PostgreSQL's
+# dict_snowball behaviour and the reference-observed Turkish corner.
+#
+# Resolution order in get_stemmer: the 15 pure-Python spec
+# implementations above stay primary (golden-pinned, dependency-free);
+# the native binding fills the remaining rust-stemmers languages
+# (greek, arabic, tamil — text_processing/src/tokenizer.rs:31-72) and
+# serves as an in-process equivalence oracle for fuzzing the pure
+# implementations. Environments without libstemmer degrade those three
+# languages to the declared identity fallback.
+
+# the reference tokenizer's dispatch surface (rust-stemmers 1.2)
+_RUST_STEMMERS_LANGS = {
+    "arabic": "ara", "danish": "dan", "dutch": "nld", "english": "eng",
+    "finnish": "fin", "french": "fra", "german": "deu", "greek": "ell",
+    "hungarian": "hun", "italian": "ita", "norwegian": "nor",
+    "portuguese": "por", "romanian": "ron", "russian": "rus",
+    "spanish": "spa", "swedish": "swe", "tamil": "tam", "turkish": "tur",
+}
+
+_SB_LIB = None
+_SB_FAILED = False
+
+
+def _load_libstemmer():
+    global _SB_LIB, _SB_FAILED
+    if _SB_LIB is not None or _SB_FAILED:
+        return _SB_LIB
+    try:
+        import ctypes
+        import ctypes.util
+
+        name = ctypes.util.find_library("stemmer") or "libstemmer.so.0d"
+        lib = ctypes.CDLL(name)
+        lib.sb_stemmer_new.restype = ctypes.c_void_p
+        lib.sb_stemmer_new.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.sb_stemmer_delete.restype = None
+        lib.sb_stemmer_delete.argtypes = [ctypes.c_void_p]
+        lib.sb_stemmer_stem.restype = ctypes.POINTER(ctypes.c_ubyte)
+        lib.sb_stemmer_stem.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+        lib.sb_stemmer_length.restype = ctypes.c_int
+        lib.sb_stemmer_length.argtypes = [ctypes.c_void_p]
+        _SB_LIB = lib
+    except OSError:
+        _SB_FAILED = True
+    return _SB_LIB
+
+
+def native_stemmer(language: str):
+    """Per-token stem callable backed by the system libstemmer, or
+    ``None`` if the library or algorithm is unavailable.
+
+    sb_stemmer handles are not thread-safe; each callable owns one
+    handle and is used single-threaded — the engine calls this inside
+    Arrow-batched pandas UDF workers (one task at a time per Python
+    worker process), never shared across threads.
+    """
+    lib = _load_libstemmer()
+    if lib is None:
+        return None
+    handle = lib.sb_stemmer_new(language.encode(), b"UTF_8")
+    if not handle:
+        return None
+    stem_fn, len_fn = lib.sb_stemmer_stem, lib.sb_stemmer_length
+
+    def stem(word: str) -> str:
+        low = word.lower()
+        raw = low.encode("utf-8")
+        out = stem_fn(handle, raw, len(raw))
+        n = len_fn(handle)
+        if n == 0:
+            # PG dict_snowball policy: an empty stem keeps the input
+            # (pinned by the greek 'όταν' golden; same corner the
+            # Turkish spec implementation required)
+            return low
+        return bytes(out[:n]).decode("utf-8")
+
+    return stem
+
+
+# iso3 -> snowball algorithm name, for the native fallback lookup
+_ISO3_TO_LANG = {iso3: lang for lang, iso3 in _RUST_STEMMERS_LANGS.items()}
+
+
 def get_stemmer(name: str | None):
-    """Stemmer callable for a language name/ISO code, identity if the
-    language has no implemented algorithm (declared fallback)."""
+    """Stemmer callable for a language name/ISO code: the pure-Python
+    spec implementation if one exists, else the native libstemmer
+    binding for remaining rust-stemmers languages (lazily created and
+    cached per process — ctypes handles are created worker-side, never
+    pickled), else identity (declared fallback)."""
     if name is None:
         return None
-    return STEMMERS.get(name.lower(), lambda w: w.lower())
+    key = name.lower()
+    fn = STEMMERS.get(key)
+    if fn is not None:
+        return fn
+    lang = key if key in _RUST_STEMMERS_LANGS else _ISO3_TO_LANG.get(key)
+    if lang is not None:
+        fn = native_stemmer(lang)
+        if fn is not None:
+            STEMMERS[lang] = fn
+            STEMMERS[_RUST_STEMMERS_LANGS[lang]] = fn
+            return fn
+    return lambda w: w.lower()

@@ -430,3 +430,67 @@ class TestPg15SnowballGoldens:
             path = os.path.join(self.FIXTURE_DIR, lang + ".tsv")
             n = sum(1 for _ in open(path, encoding="utf-8"))
             assert n >= 100, (lang, n)
+
+
+class TestNativeLibstemmer:
+    """Tier-2 reference parity for the native binding: the system
+    libstemmer (Snowball's own C library, the project rust-stemmers is
+    generated from) must reproduce the PG15 goldens on ALL 18
+    rust-stemmers languages (text_processing/src/tokenizer.rs:31-72),
+    and get_stemmer must route the three languages without a
+    pure-Python spec implementation (greek, arabic, tamil) through it."""
+
+    FIXTURE_DIR = TestPg15SnowballGoldens.FIXTURE_DIR
+    ALL_LANGS = (
+        "arabic", "danish", "dutch", "english", "finnish", "french",
+        "german", "greek", "hungarian", "italian", "norwegian",
+        "portuguese", "romanian", "russian", "spanish", "swedish",
+        "tamil", "turkish",
+    )
+
+    def test_native_matches_goldens_all_languages(self):
+        from atra_spark.functions.stemmer import native_stemmer
+
+        total = 0
+        for lang in self.ALL_LANGS:
+            fn = native_stemmer(lang)
+            if fn is None:
+                import pytest
+                pytest.skip("system libstemmer not available")
+            path = os.path.join(self.FIXTURE_DIR, lang + ".tsv")
+            fails = []
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    word, want = line.rstrip("\n").split("\t")
+                    got = fn(word)
+                    if got != want:
+                        fails.append((word, want, got))
+                    total += 1
+            assert not fails, f"{lang}: {fails[:10]}"
+        assert total >= 3000, total
+
+    def test_get_stemmer_serves_native_only_languages(self):
+        from atra_spark.functions.stemmer import native_stemmer
+
+        if native_stemmer("greek") is None:
+            import pytest
+            pytest.skip("system libstemmer not available")
+        for lang, iso3 in (("greek", "ell"), ("arabic", "ara"), ("tamil", "tam")):
+            path = os.path.join(self.FIXTURE_DIR, lang + ".tsv")
+            golden = dict(
+                line.rstrip("\n").split("\t")
+                for line in open(path, encoding="utf-8")
+            )
+            for key in (lang, iso3):
+                fn = get_stemmer(key)
+                for w, want in list(golden.items())[:50]:
+                    assert fn(w) == want, (key, w)
+        # the pinned empty-stem policy corner: a stem that reduces to
+        # the empty string falls back to the lowercased input (PG
+        # dict_snowball behaviour; greek stop-ish word όταν)
+        assert get_stemmer("greek")("όταν") == "όταν"
+
+    def test_pure_python_stays_primary(self):
+        # english has a spec implementation; get_stemmer must NOT
+        # replace it with the native handle
+        assert get_stemmer("english") is stem_english
