@@ -348,10 +348,97 @@ _EXTRA_SAMPLES: dict[str, str] = {
         "kadena kung ang halaga ng pahina ay magbago mamaya at makikita "
         "mo kung sino ang naglagay ng teksto sa pahina"
     ),
+    # round-4b tranche: shared-script group members (Devanagari,
+    # Hebrew, Cyrillic, Arabic, Latin additions toward whatlang's
+    # coverage). Function-word-dense running text written for this
+    # repo — the trigram pass must separate each from its own script
+    # group (hin/mar/nep, heb/yid, bel/mkd vs rus/ukr/bul/srp,
+    # urd vs ara/fas, epo/aze/uzb/lat vs the Latin set).
+    "mar": (
+        "प्रणाली माहिती साठवते आणि सारणी रिकामी नाही कारण पृष्ठांचे जाळे "
+        "काळजीपूर्वक बांधले गेले आहे जेणेकरून शब्दांची संख्या मजकूर म्हणून "
+        "राहील आणि हरवणार नाही पण दुवे साखळीत राहतात जर एखाद्या पृष्ठाचे "
+        "मूल्य नंतर बदलले तर आणि तुम्ही पाहू शकता की कोणी मजकूर पृष्ठावर "
+        "ठेवला आहे आणि मूल्ये हरवली नाहीत हे महत्त्वाचे आहे"
+    ),
+    "nep": (
+        "प्रणालीले तथ्याङ्क राख्छ र तालिका खाली छैन किनभने पृष्ठहरूको "
+        "सञ्जाल होसियारीसाथ बनाइएको छ ताकि शब्दहरूको सङ्ख्या पाठका रूपमा "
+        "रहोस् र नहराओस् तर लिङ्कहरू शृङ्खलामा रहन्छन् यदि कुनै पृष्ठको "
+        "मान पछि बदलियो भने र तपाईंले देख्न सक्नुहुन्छ कि कसले पाठलाई "
+        "पृष्ठमा राखेको छ र मानहरू हराएका छैनन्"
+    ),
+    "yid": (
+        "די סיסטעם האלט די דאטן און די טאבעלע איז נישט ליידיק ווייל א נעץ "
+        "פון זייטן איז געבויט געווארן מיט זארג אזוי אז די צאל פון ווערטער "
+        "זאל בלייבן ווי טעקסט און זיך נישט פארלירן אבער די לינקס בלייבן אין "
+        "דער קייט אויב דער ווערט פון א זייט בייט זיך שפעטער און איר קענט "
+        "זען ווער עס האט דעם טעקסט געשטעלט אויף דער זייט"
+    ),
+    "bel": (
+        "сістэма захоўвае дадзеныя і табліца не пустая бо сетка старонак "
+        "была пабудавана старанна каб колькасць слоў засталася як тэкст і "
+        "не згубілася але спасылкі застаюцца ў ланцугу калі значэнне "
+        "старонкі зменіцца пазней і вы можаце ўбачыць хто паставіў тэкст "
+        "на старонку без таго каб значэнні былі страчаны"
+    ),
+    "mkd": (
+        "системот ги чува податоците и табелата не е празна бидејќи "
+        "мрежата на страници беше изградена внимателно за бројот на "
+        "зборовите да остане како текст и да не се изгуби но врските "
+        "остануваат во синџирот ако вредноста на страницата се промени "
+        "подоцна и можете да видите кој го ставил текстот на страницата"
+    ),
+    "urd": (
+        "نظام ڈیٹا رکھتا ہے اور جدول خالی نہیں ہے کیونکہ صفحات کا جال "
+        "احتیاط سے بنایا گیا ہے تاکہ الفاظ کی تعداد متن کے طور پر رہے اور "
+        "کھو نہ جائے لیکن روابط زنجیر میں رہتے ہیں اگر کسی صفحے کی قیمت "
+        "بعد میں بدل جائے اور آپ دیکھ سکتے ہیں کہ کس نے متن کو صفحے پر "
+        "رکھا ہے اور قیمتیں کھوئی نہیں ہیں"
+    ),
+    "epo": (
+        "la sistemo konservas la datumojn kaj la tabelo ne estas malplena "
+        "ĉar reto de paĝoj estis konstruita kun zorgo tiel ke la nombro "
+        "de vortoj restu kiel teksto kaj ne perdiĝu sed la ligiloj restas "
+        "en la ĉeno se la valoro de paĝo ŝanĝiĝos poste kaj vi povas vidi "
+        "kiu metis la tekston sur la paĝon sen ke la valoroj perdiĝu"
+    ),
+    "aze": (
+        "sistem məlumatları saxlayır və cədvəl boş deyil çünki "
+        "səhifələrdən ibarət şəbəkə diqqətlə qurulub ki sözlərin sayı "
+        "mətn kimi qalsın və itməsin amma keçidlər zəncirdə qalır əgər "
+        "bir səhifənin dəyəri sonra dəyişsə və siz görə bilərsiniz ki "
+        "mətni səhifəyə kim qoyub və dəyərlər itməyib"
+    ),
+    "uzb": (
+        "tizim ma'lumotlarni saqlaydi va jadval bo'sh emas chunki "
+        "sahifalar tarmog'i ehtiyotkorlik bilan qurilgan shunda so'zlar "
+        "soni matn sifatida qoladi va yo'qolmaydi lekin havolalar "
+        "zanjirda qoladi agar sahifaning qiymati keyinroq o'zgarsa va "
+        "siz matnni sahifaga kim qo'yganini ko'rishingiz mumkin"
+    ),
+    "lat": (
+        "systema data servat et tabula vacua non est quia rete paginarum "
+        "cum cura aedificatum est ut numerus verborum sicut textus maneat "
+        "neque pereat sed vincula in catena manent si valor paginae "
+        "postea mutabitur et videre potes quis textum in pagina posuerit "
+        "neque valores perditi sunt quod maximi momenti est"
+    ),
 }
 
+# round-4b: script-unique languages (whatlang coverage,
+# language_detection.rs:97-253) — identified by their script alone,
+# confidence = script purity; no trigram profile is needed or built.
+_SCRIPT_ONLY_LANGS = (
+    "amh", "ben", "guj", "hye", "kan", "kat", "khm", "mal", "mya",
+    "ori", "pan", "sin", "tam", "tel",
+)
+
 LANGS = tuple(MARKERS)  # frozen fixture set (generator + JVM markers)
-DETECT_LANGS = LANGS + tuple(_EXTRA_SAMPLES)  # full detection coverage
+# full detection coverage: fixture langs + trigram-profiled extras +
+# script-unique langs (no profile — script IS the classifier)
+DETECT_LANGS = LANGS + tuple(_EXTRA_SAMPLES) + _SCRIPT_ONLY_LANGS
+_PROFILED_LANGS = LANGS + tuple(_EXTRA_SAMPLES)
 UND = "und"
 
 _PROFILE_TOP = 300
@@ -387,7 +474,7 @@ def _profile_corpus(lang: str) -> str:
 
 
 def _build_profiles() -> dict[str, dict[str, int]]:
-    return {lang: _trigram_ranks(_profile_corpus(lang)) for lang in DETECT_LANGS}
+    return {lang: _trigram_ranks(_profile_corpus(lang)) for lang in _PROFILED_LANGS}
 
 
 _PROFILES = _build_profiles()
@@ -402,7 +489,7 @@ def _raw_detect(text: str, langs: tuple[str, ...] = None) -> tuple[str | None, f
     max_rank = _PROFILE_TOP
     worst = len(doc) * max_rank
     best_lang, best_dist = None, None
-    for lang in langs or DETECT_LANGS:
+    for lang in langs or _PROFILED_LANGS:
         prof = _PROFILES[lang]
         d = sum(abs(prof.get(g, max_rank) - r) for g, r in doc.items())
         if best_dist is None or d < best_dist or (d == best_dist and lang < best_lang):
@@ -423,11 +510,19 @@ def _raw_detect(text: str, langs: tuple[str, ...] = None) -> tuple[str | None, f
 # generalize (shared function-word trigrams) — so one threshold now
 # means the same thing in every script.
 # ---------------------------------------------------------------------------
-_CYRILLIC_LANGS = ("bul", "rus", "srp", "ukr")
-_ARABIC_LANGS = ("ara", "fas")
+_CYRILLIC_LANGS = ("bel", "bul", "mkd", "rus", "srp", "ukr")
+_ARABIC_LANGS = ("ara", "fas", "urd")
+_DEVANAGARI_LANGS = ("hin", "mar", "nep")
+_HEBREW_LANGS = ("heb", "yid")
 _SCRIPT_UNIQUE = {
-    "hangul": "kor", "thai": "tha", "hebrew": "heb",
-    "greek": "ell", "devanagari": "hin",
+    "hangul": "kor", "thai": "tha", "greek": "ell",
+    # round-4b script-unique tranche: one modern web language per
+    # script (whatlang's own mapping for these scripts)
+    "armenian": "hye", "georgian": "kat", "bengali": "ben",
+    "gurmukhi": "pan", "gujarati": "guj", "oriya": "ori",
+    "tamil": "tam", "telugu": "tel", "kannada": "kan",
+    "malayalam": "mal", "sinhala": "sin", "myanmar": "mya",
+    "khmer": "khm", "ethiopic": "amh",
 }
 def _script_of(ch: str) -> str | None:
     o = ord(ch)
@@ -439,7 +534,7 @@ def _script_of(ch: str) -> str | None:
         return "hangul"
     if 0x0E00 <= o <= 0x0E7F:
         return "thai"
-    if 0x0590 <= o <= 0x05FF:
+    if 0x0590 <= o <= 0x05FF or 0xFB1D <= o <= 0xFB4F:
         return "hebrew"
     if 0x0370 <= o <= 0x03FF or 0x1F00 <= o <= 0x1FFF:
         return "greek"
@@ -449,6 +544,37 @@ def _script_of(ch: str) -> str | None:
         return "devanagari"
     if 0x0400 <= o <= 0x04FF or 0x0500 <= o <= 0x052F:
         return "cyrillic"
+    # round-4b script-unique ranges (each maps to one language via
+    # _SCRIPT_UNIQUE); checked before the Latin catch-all so these
+    # scripts no longer fall through to the Latin trigram group
+    if 0x0980 <= o <= 0x09FF:
+        return "bengali"
+    if 0x0A00 <= o <= 0x0A7F:
+        return "gurmukhi"
+    if 0x0A80 <= o <= 0x0AFF:
+        return "gujarati"
+    if 0x0B00 <= o <= 0x0B7F:
+        return "oriya"
+    if 0x0B80 <= o <= 0x0BFF:
+        return "tamil"
+    if 0x0C00 <= o <= 0x0C7F:
+        return "telugu"
+    if 0x0C80 <= o <= 0x0CFF:
+        return "kannada"
+    if 0x0D00 <= o <= 0x0D7F:
+        return "malayalam"
+    if 0x0D80 <= o <= 0x0DFF:
+        return "sinhala"
+    if 0x1000 <= o <= 0x109F or 0xAA60 <= o <= 0xAA7F:
+        return "myanmar"
+    if 0x1780 <= o <= 0x17FF or 0x19E0 <= o <= 0x19FF:
+        return "khmer"
+    if 0x1200 <= o <= 0x137F or 0x1380 <= o <= 0x139F:
+        return "ethiopic"
+    if 0x0530 <= o <= 0x058F or 0xFB13 <= o <= 0xFB17:
+        return "armenian"
+    if 0x10A0 <= o <= 0x10FF or 0x2D00 <= o <= 0x2D2F or 0x1C90 <= o <= 0x1CBF:
+        return "georgian"
     if ch.isalpha():
         return "latin"  # ASCII + extended Latin (incl. Vietnamese)
     return None
@@ -456,9 +582,11 @@ def _script_of(ch: str) -> str | None:
 
 _LATIN_LANGS = tuple(
     sorted(
-        set(DETECT_LANGS)
+        set(_PROFILED_LANGS)
         - set(_CYRILLIC_LANGS)
         - set(_ARABIC_LANGS)
+        - set(_DEVANAGARI_LANGS)
+        - set(_HEBREW_LANGS)
         - set(_SCRIPT_UNIQUE.values())
         - {"zho", "jpn", "kor"}
     )
@@ -472,7 +600,8 @@ def detect_lang(text: str | None) -> tuple[str | None, float | None]:
     Two stages (whatlang architecture): the dominant SCRIPT picks the
     candidate set; for script-unique languages confidence is the
     script purity itself, for shared-script groups (Latin, Cyrillic,
-    Arabic) a Cavnar-Trenkle trigram pass over only that group's
+    Arabic, Devanagari, Hebrew) a Cavnar-Trenkle trigram pass over
+    only that group's
     profiles picks the language, scaled by script purity. Confidence
     is therefore threshold-comparable across scripts — no ideographic
     floor (see the calibration note above)."""
@@ -506,6 +635,8 @@ def detect_lang(text: str | None) -> tuple[str | None, float | None]:
     group = {
         "cyrillic": _CYRILLIC_LANGS,
         "arabic": _ARABIC_LANGS,
+        "devanagari": _DEVANAGARI_LANGS,
+        "hebrew": _HEBREW_LANGS,
         "latin": _LATIN_LANGS,
     }[dominant]
     best_lang, raw = _raw_detect(window, group)

@@ -274,6 +274,41 @@ class TestLangIdWidening:
         "tgl": "ang mga pahina ay na-save dahil ayaw mong mawala ang teksto pati na rin ang mga link na nasa network",
     }
 
+    # round-4b tranche: 14 script-unique languages (identified by
+    # script alone, confidence = script purity) + 10 shared-script
+    # group members — Devanagari becomes a trigram group (hin/mar/nep),
+    # Hebrew script likewise (heb/yid), Cyrillic gains bel/mkd, Arabic
+    # gains urd, Latin gains epo/aze/uzb/lat. 64 languages total
+    # (whatlang's ~60-language coverage bar).
+    HELD_OUT_R4B = {
+        # script-unique
+        "ben": "পৃষ্ঠাগুলি সংরক্ষণ করা হয়েছে কারণ আপনি পাঠ্য হারাতে চান না কিন্তু নেটওয়ার্কে থাকা লিঙ্কগুলিও",
+        "pan": "ਪੰਨੇ ਸੰਭਾਲੇ ਗਏ ਕਿਉਂਕਿ ਤੁਸੀਂ ਲਿਖਤ ਗੁਆਉਣਾ ਨਹੀਂ ਚਾਹੁੰਦੇ ਪਰ ਉਹ ਕੜੀਆਂ ਵੀ ਜੋ ਜਾਲ ਵਿੱਚ ਹਨ",
+        "guj": "પાનાં સાચવવામાં આવ્યાં કારણ કે તમે લખાણ ગુમાવવા માંગતા નથી પણ જાળમાં રહેલી કડીઓ પણ",
+        "ori": "ପୃଷ୍ଠାଗୁଡ଼ିକ ସଂରକ୍ଷିତ ହେଲା କାରଣ ଆପଣ ଲେଖା ହରାଇବାକୁ ଚାହାଁନ୍ତି ନାହିଁ",
+        "tam": "பக்கங்கள் சேமிக்கப்பட்டன ஏனெனில் நீங்கள் உரையை இழக்க விரும்பவில்லை ஆனால் வலையில் உள்ள இணைப்புகளும்",
+        "tel": "పేజీలు భద్రపరచబడ్డాయి ఎందుకంటే మీరు పాఠాన్ని కోల్పోవాలనుకోవడం లేదు",
+        "kan": "ಪುಟಗಳನ್ನು ಉಳಿಸಲಾಗಿದೆ ಏಕೆಂದರೆ ನೀವು ಪಠ್ಯವನ್ನು ಕಳೆದುಕೊಳ್ಳಲು ಬಯಸುವುದಿಲ್ಲ",
+        "mal": "പേജുകൾ സംരക്ഷിച്ചു കാരണം നിങ്ങൾക്ക് വാചകം നഷ്ടപ്പെടാൻ ആഗ്രഹമില്ല",
+        "sin": "පිටු සුරකින ලදී මන්ද ඔබට පෙළ අහිමි වීමට අවශ්‍ය නැති නිසා",
+        "mya": "စာမျက်နှာများကို သိမ်းဆည်းထားသည် အကြောင်းမှာ သင် စာသားကို မဆုံးရှုံးလိုသောကြောင့်",
+        "khm": "ទំព័រត្រូវបានរក្សាទុកព្រោះអ្នកមិនចង់បាត់បង់អត្ថបទទេ",
+        "amh": "ገጾቹ ተቀምጠዋል ምክንያቱም ጽሑፉን ማጣት ስለማትፈልግ",
+        "hye": "էջերը պահպանվել են որովհետեւ դուք չեք ուզում կորցնել տեքստը բայց նաեւ այն կապերը որոնք ցանցում են",
+        "kat": "გვერდები შეინახა იმიტომ რომ არ გინდათ ტექსტის დაკარგვა მაგრამ ის ბმულებიც რომლებიც ქსელშია",
+        # shared-script (trigram-disambiguated within the group)
+        "mar": "पाने जतन केली गेली कारण तुम्हाला मजकूर गमवायचा नाही पण जाळ्यात असलेले दुवे सुद्धा",
+        "nep": "पृष्ठहरू सुरक्षित गरियो किनभने तपाईं पाठ गुमाउन चाहनुहुन्न तर सञ्जालमा भएका लिङ्कहरू पनि",
+        "yid": "די זייטן זענען אפגעהיטן געווארן ווייל איר ווילט נישט פארלירן דעם טעקסט אבער אויך די לינקס וואס זענען אין דער נעץ",
+        "bel": "старонкі былі захаваныя таму што вы не хочаце страціць тэкст але таксама спасылкі якія ёсць у сетцы",
+        "mkd": "страниците беа зачувани затоа што не сакате да го изгубите текстот но и врските кои се во мрежата",
+        "urd": "صفحات محفوظ کیے گئے کیونکہ آپ متن کھونا نہیں چاہتے لیکن وہ روابط بھی جو نیٹ ورک میں ہیں",
+        "epo": "la paĝoj estis konservitaj ĉar vi ne volas perdi la tekston sed ankaŭ la ligilojn kiuj estas en la reto",
+        "aze": "səhifələr saxlanıldı çünki siz mətni itirmək istəmirsiniz amma şəbəkədə olan keçidləri də",
+        "uzb": "sahifalar saqlandi chunki siz matnni yo'qotishni xohlamaysiz lekin tarmoqda bo'lgan havolalarni ham",
+        "lat": "paginae servatae sunt quia textum perdere non vis sed etiam vincula quae in rete sunt",
+    }
+
     # round-4 calibration: script-first detection (whatlang's own
     # architecture) removed the round-3 ideographic floor — one
     # threshold now means the same thing in every script
@@ -283,20 +318,26 @@ class TestLangIdWidening:
         from atra_spark.functions.langdata import DETECT_LANGS, LANGS
 
         assert len(LANGS) == 7  # frozen fixture set untouched
-        assert len(DETECT_LANGS) == 40
+        assert len(DETECT_LANGS) == 64
 
     def test_held_out_sentences(self):
-        for lang, text in {**self.HELD_OUT, **self.HELD_OUT_R4}.items():
+        for lang, text in {
+            **self.HELD_OUT, **self.HELD_OUT_R4, **self.HELD_OUT_R4B
+        }.items():
             got, conf = detect_lang(text)
             assert got == lang, f"{lang} -> {got}"
             assert conf and conf > self.CONF_THRESHOLD, (lang, conf)
 
     def test_script_unique_confidence_is_script_purity(self):
-        """Pure single-script ideographic text gets confidence ~1.0 —
-        the calibration contract (no trigram floor)."""
-        for lang in ("zho", "tha", "heb", "ell", "hin", "kor"):
-            got, conf = detect_lang(self.HELD_OUT[lang] if lang in self.HELD_OUT
-                                    else self.HELD_OUT_R4[lang])
+        """Pure single-script text in a script-unique language gets
+        confidence ~1.0 — the calibration contract (no trigram floor).
+        hin/heb left this list in round 4b: their scripts are now
+        trigram groups (mar/nep, yid)."""
+        for lang in ("zho", "tha", "ell", "kor", "ben", "tam", "kat",
+                     "hye", "khm", "mya", "amh", "sin"):
+            got, conf = detect_lang(self.HELD_OUT.get(lang)
+                                    or self.HELD_OUT_R4.get(lang)
+                                    or self.HELD_OUT_R4B[lang])
             assert got == lang
             assert conf > 0.95, (lang, conf)
 
