@@ -480,9 +480,12 @@ def _build_profiles() -> dict[str, dict[str, int]]:
 _PROFILES = _build_profiles()
 
 
-def _raw_detect(text: str, langs: tuple[str, ...] = None) -> tuple[str | None, float]:
-    """Cavnar-Trenkle pass over ``langs`` (default: all): (best
-    language, raw out-of-place confidence in [0, 1])."""
+def _raw_detect_scalar(
+    text: str, langs: tuple[str, ...] = None
+) -> tuple[str | None, float]:
+    """Reference Cavnar-Trenkle pass (pure-Python): kept as the
+    equivalence oracle for the vectorized `_raw_detect` below, which
+    must produce identical (language, confidence) on every input."""
     doc = _trigram_ranks(text[:1024])
     if not doc:
         return None, 0.0
@@ -495,6 +498,64 @@ def _raw_detect(text: str, langs: tuple[str, ...] = None) -> tuple[str | None, f
         if best_dist is None or d < best_dist or (d == best_dist and lang < best_lang):
             best_lang, best_dist = lang, d
     return best_lang, (1.0 - (best_dist / worst) if worst else 0.0)
+
+
+# per-group (vocab, rank-matrix) cache for the vectorized distance:
+# vocab maps gram -> column; M[i, j] is group[i]'s rank for vocab gram
+# j (PROFILE_TOP when absent, exactly prof.get(g, max_rank))
+_GROUP_MATRICES: dict[tuple[str, ...], tuple[dict[str, int], "np.ndarray"]] = {}
+
+
+def _group_matrix(group: tuple[str, ...]):
+    got = _GROUP_MATRICES.get(group)
+    if got is None:
+        import numpy as np
+
+        vocab: dict[str, int] = {}
+        for lang in group:
+            for g in _PROFILES[lang]:
+                if g not in vocab:
+                    vocab[g] = len(vocab)
+        M = np.full((len(group), len(vocab)), _PROFILE_TOP, dtype=np.int32)
+        for i, lang in enumerate(group):
+            for g, r in _PROFILES[lang].items():
+                M[i, vocab[g]] = r
+        got = (vocab, M)
+        _GROUP_MATRICES[group] = got
+    return got
+
+
+def _raw_detect(text: str, langs: tuple[str, ...] = None) -> tuple[str | None, float]:
+    """Cavnar-Trenkle pass over ``langs`` (default: all profiled):
+    (best language, raw out-of-place confidence in [0, 1]).
+
+    Vectorized: the per-language out-of-place distance
+    sum(|prof.get(g, TOP) - r|) is one numpy |M[:, ids] - ranks| row
+    sum over the group's rank matrix — this runs per document inside
+    the extraction hot loop, where the scalar fold was 40% of total
+    extraction CPU. Exactly equivalent to `_raw_detect_scalar`
+    (doc grams unseen by every profile contribute TOP - r to all
+    languages alike; distance ties break to the lexicographically
+    smallest language, as the scalar `lang < best_lang` did)."""
+    import numpy as np
+
+    doc = _trigram_ranks(text[:1024])
+    if not doc:
+        return None, 0.0
+    group = tuple(langs) if langs else _PROFILED_LANGS
+    vocab, M = _group_matrix(group)
+    max_rank = _PROFILE_TOP
+    worst = len(doc) * max_rank
+    n = len(doc)
+    ids = np.fromiter((vocab.get(g, -1) for g in doc), dtype=np.int64, count=n)
+    ranks = np.fromiter(doc.values(), dtype=np.int64, count=n)
+    known = ids >= 0
+    # doc rank r < TOP always, so |TOP - r| == TOP - r
+    oov = int((max_rank - ranks[~known]).sum())
+    d = np.abs(M[:, ids[known]] - ranks[known]).sum(axis=1) + oov
+    m = int(d.min())
+    best_lang = min(group[i] for i in np.nonzero(d == m)[0])
+    return best_lang, (1.0 - (m / worst) if worst else 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -524,60 +585,112 @@ _SCRIPT_UNIQUE = {
     "malayalam": "mal", "sinhala": "sin", "myanmar": "mya",
     "khmer": "khm", "ethiopic": "amh",
 }
+# one range list drives BOTH the scalar _script_of and the vectorized
+# lookup table below — they cannot diverge. Any alphabetic codepoint
+# outside every explicit range counts as Latin (ASCII + extended Latin
+# incl. Vietnamese), exactly as the original isalpha() catch-all did.
+_SCRIPT_RANGES: tuple[tuple[str, int, int], ...] = (
+    ("han", 0x4E00, 0x9FFF), ("han", 0x3400, 0x4DBF), ("han", 0xF900, 0xFAFF),
+    ("kana", 0x3040, 0x30FF), ("kana", 0x31F0, 0x31FF),
+    ("hangul", 0xAC00, 0xD7AF), ("hangul", 0x1100, 0x11FF),
+    ("hangul", 0x3130, 0x318F),
+    ("thai", 0x0E00, 0x0E7F),
+    ("hebrew", 0x0590, 0x05FF), ("hebrew", 0xFB1D, 0xFB4F),
+    ("greek", 0x0370, 0x03FF), ("greek", 0x1F00, 0x1FFF),
+    ("arabic", 0x0600, 0x06FF), ("arabic", 0x0750, 0x077F),
+    ("arabic", 0xFB50, 0xFDFF),
+    ("devanagari", 0x0900, 0x097F),
+    ("cyrillic", 0x0400, 0x04FF), ("cyrillic", 0x0500, 0x052F),
+    # round-4b script-unique ranges (each maps to one language via
+    # _SCRIPT_UNIQUE)
+    ("bengali", 0x0980, 0x09FF),
+    ("gurmukhi", 0x0A00, 0x0A7F),
+    ("gujarati", 0x0A80, 0x0AFF),
+    ("oriya", 0x0B00, 0x0B7F),
+    ("tamil", 0x0B80, 0x0BFF),
+    ("telugu", 0x0C00, 0x0C7F),
+    ("kannada", 0x0C80, 0x0CFF),
+    ("malayalam", 0x0D00, 0x0D7F),
+    ("sinhala", 0x0D80, 0x0DFF),
+    ("myanmar", 0x1000, 0x109F), ("myanmar", 0xAA60, 0xAA7F),
+    ("khmer", 0x1780, 0x17FF), ("khmer", 0x19E0, 0x19FF),
+    ("ethiopic", 0x1200, 0x137F), ("ethiopic", 0x1380, 0x139F),
+    ("armenian", 0x0530, 0x058F), ("armenian", 0xFB13, 0xFB17),
+    ("georgian", 0x10A0, 0x10FF), ("georgian", 0x2D00, 0x2D2F),
+    ("georgian", 0x1C90, 0x1CBF),
+)
+
+# script ids for the vectorized counter: 0 = unmapped, 1 = latin,
+# explicit scripts from 2 up (table built lazily per worker process)
+_SCRIPT_NAMES = ("latin",) + tuple(dict.fromkeys(s for s, _, _ in _SCRIPT_RANGES))
+_SCRIPT_ID = {name: i + 1 for i, name in enumerate(_SCRIPT_NAMES)}
+_SCRIPT_TABLE = None  # built on first use: uint8[0x110000]
+_ALPHA_CACHE: dict[int, int] = {}  # codepoint -> script id (0 or latin)
+
+
 def _script_of(ch: str) -> str | None:
     o = ord(ch)
-    if 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF or 0xF900 <= o <= 0xFAFF:
-        return "han"
-    if 0x3040 <= o <= 0x30FF or 0x31F0 <= o <= 0x31FF:
-        return "kana"
-    if 0xAC00 <= o <= 0xD7AF or 0x1100 <= o <= 0x11FF or 0x3130 <= o <= 0x318F:
-        return "hangul"
-    if 0x0E00 <= o <= 0x0E7F:
-        return "thai"
-    if 0x0590 <= o <= 0x05FF or 0xFB1D <= o <= 0xFB4F:
-        return "hebrew"
-    if 0x0370 <= o <= 0x03FF or 0x1F00 <= o <= 0x1FFF:
-        return "greek"
-    if 0x0600 <= o <= 0x06FF or 0x0750 <= o <= 0x077F or 0xFB50 <= o <= 0xFDFF:
-        return "arabic"
-    if 0x0900 <= o <= 0x097F:
-        return "devanagari"
-    if 0x0400 <= o <= 0x04FF or 0x0500 <= o <= 0x052F:
-        return "cyrillic"
-    # round-4b script-unique ranges (each maps to one language via
-    # _SCRIPT_UNIQUE); checked before the Latin catch-all so these
-    # scripts no longer fall through to the Latin trigram group
-    if 0x0980 <= o <= 0x09FF:
-        return "bengali"
-    if 0x0A00 <= o <= 0x0A7F:
-        return "gurmukhi"
-    if 0x0A80 <= o <= 0x0AFF:
-        return "gujarati"
-    if 0x0B00 <= o <= 0x0B7F:
-        return "oriya"
-    if 0x0B80 <= o <= 0x0BFF:
-        return "tamil"
-    if 0x0C00 <= o <= 0x0C7F:
-        return "telugu"
-    if 0x0C80 <= o <= 0x0CFF:
-        return "kannada"
-    if 0x0D00 <= o <= 0x0D7F:
-        return "malayalam"
-    if 0x0D80 <= o <= 0x0DFF:
-        return "sinhala"
-    if 0x1000 <= o <= 0x109F or 0xAA60 <= o <= 0xAA7F:
-        return "myanmar"
-    if 0x1780 <= o <= 0x17FF or 0x19E0 <= o <= 0x19FF:
-        return "khmer"
-    if 0x1200 <= o <= 0x137F or 0x1380 <= o <= 0x139F:
-        return "ethiopic"
-    if 0x0530 <= o <= 0x058F or 0xFB13 <= o <= 0xFB17:
-        return "armenian"
-    if 0x10A0 <= o <= 0x10FF or 0x2D00 <= o <= 0x2D2F or 0x1C90 <= o <= 0x1CBF:
-        return "georgian"
+    for name, lo, hi in _SCRIPT_RANGES:
+        if lo <= o <= hi:
+            return name
     if ch.isalpha():
         return "latin"  # ASCII + extended Latin (incl. Vietnamese)
     return None
+
+
+def _script_table():
+    global _SCRIPT_TABLE
+    if _SCRIPT_TABLE is None:
+        import numpy as np
+
+        t = np.zeros(0x110000, dtype=np.uint8)
+        for name, lo, hi in _SCRIPT_RANGES:
+            t[lo : hi + 1] = _SCRIPT_ID[name]
+        # pre-mark ASCII letters as latin (the overwhelmingly common
+        # catch-all case); other alphabetic codepoints resolve through
+        # _ALPHA_CACHE on first sight
+        lid = _SCRIPT_ID["latin"]
+        t[ord("a") : ord("z") + 1] = lid
+        t[ord("A") : ord("Z") + 1] = lid
+        _SCRIPT_TABLE = t
+    return _SCRIPT_TABLE
+
+
+def _script_counts(window: str) -> tuple[dict[str, int], int]:
+    """Per-script character counts over ``window`` — the vectorized
+    twin of mapping `_script_of` over every char (equivalence pinned
+    by tests). Returns ({script: count}, total counted)."""
+    import numpy as np
+
+    table = _script_table()
+    try:
+        cp = np.frombuffer(window.encode("utf-32-le"), dtype="<u4")
+    except UnicodeEncodeError:
+        # lone surrogates (possible in lossily-decoded web text) can't
+        # round-trip utf-32; take the per-char ord path for this doc
+        cp = np.fromiter(map(ord, window), dtype=np.uint32, count=len(window))
+    sid = table[cp]
+    unknown = cp[sid == 0]
+    extra_latin = 0
+    if len(unknown):
+        # rare path: non-ASCII codepoints outside every explicit range;
+        # isalpha() decides latin-vs-ignore, memoized per process
+        lid = _SCRIPT_ID["latin"]
+        for o in np.unique(unknown):
+            o = int(o)
+            got = _ALPHA_CACHE.get(o)
+            if got is None:
+                got = lid if chr(o).isalpha() else 0
+                _ALPHA_CACHE[o] = got
+            if got:
+                extra_latin += int((unknown == o).sum())
+    counts_arr = np.bincount(sid, minlength=len(_SCRIPT_NAMES) + 1)
+    counts: dict[str, int] = {}
+    for name, i in _SCRIPT_ID.items():
+        c = int(counts_arr[i]) + (extra_latin if name == "latin" else 0)
+        if c:
+            counts[name] = c
+    return counts, sum(counts.values())
 
 
 _LATIN_LANGS = tuple(
@@ -611,13 +724,7 @@ def detect_lang(text: str | None) -> tuple[str | None, float | None]:
     # gram profiles over short documents); the 4096-char window cost
     # ~28% of total extraction CPU for no accuracy gain on the corpus
     window = text[:1024]
-    counts: dict[str, int] = {}
-    total = 0
-    for ch in window:
-        s = _script_of(ch)
-        if s is not None:
-            counts[s] = counts.get(s, 0) + 1
-            total += 1
+    counts, total = _script_counts(window)
     if not total:
         return UND, 0.0
     # Han + kana are one writing system: kana presence marks Japanese

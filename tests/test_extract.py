@@ -475,3 +475,56 @@ class TestFastParserEquivalence:
             frag = "".join(rng.choice(atoms) for _ in range(rng.randint(1, 40)))
             self._assert_equal(frag)
             self._assert_equal(frag, aggressive=True)
+
+
+class TestLangIdVectorizedEquivalence:
+    """The numpy fast paths (script-count table, group rank-matrix
+    distance) must be EXACTLY equivalent to the scalar reference
+    implementations they replaced — detect_lang runs per document in
+    the extraction hot loop, so the fast path is the production path
+    and the scalar is the oracle."""
+
+    def _texts(self):
+        import random
+
+        t = (list(TestLangIdWidening.HELD_OUT.values())
+             + list(TestLangIdWidening.HELD_OUT_R4.values())
+             + list(TestLangIdWidening.HELD_OUT_R4B.values()))
+        rng = random.Random(1234)
+        for _ in range(100):
+            t.append("".join(chr(rng.randrange(32, 0x2FFFF))
+                             for _ in range(rng.randrange(0, 250))))
+        return t
+
+    def test_script_counts_match_scalar(self):
+        from atra_spark.functions import langdata as L
+
+        for text in self._texts():
+            w = text[:1024]
+            want: dict[str, int] = {}
+            for ch in w:
+                s = L._script_of(ch)
+                if s:
+                    want[s] = want.get(s, 0) + 1
+            got, total = L._script_counts(w)
+            assert got == want and total == sum(want.values()), w[:40]
+
+    def test_raw_detect_matches_scalar(self):
+        from atra_spark.functions import langdata as L
+
+        groups = (None, L._LATIN_LANGS, L._CYRILLIC_LANGS,
+                  L._ARABIC_LANGS, L._DEVANAGARI_LANGS, L._HEBREW_LANGS)
+        for text in self._texts():
+            for g in groups:
+                fast = L._raw_detect(text, g)
+                ref = L._raw_detect_scalar(text, g)
+                assert fast[0] == ref[0], (text[:40], fast, ref)
+                assert abs(fast[1] - ref[1]) < 1e-12, (text[:40], fast, ref)
+
+    def test_lone_surrogate_document(self):
+        from atra_spark.functions.langdata import detect_lang
+
+        # lossily-decoded web text can carry lone surrogates; the
+        # utf-32 fast path must fall back, not raise
+        got, conf = detect_lang("the page and the data \udbf9 of it")
+        assert got == "eng"
