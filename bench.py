@@ -182,13 +182,24 @@ def _membw_probe() -> float:
     DRAM bandwidth is a SHARED resource external tenants contend for
     (measured swinging 400 MB/s..4 GB/s day to day while loadavg looks
     calm), and the frontier stage is bandwidth-bound; one number per
-    rep makes throughput swings attributable."""
+    rep makes throughput swings attributable.
+
+    The copy runs into PRE-FAULTED buffers, best of 2: a fresh
+    allocation's first touch after a sleep stalls on page-zeroing/THP
+    compaction (measured 20 MB/s cold vs 2,850 warm back-to-back on an
+    otherwise idle box), which is an allocator artifact, not DRAM
+    contention — an alloc-and-copy probe inside a sleep loop reads
+    permanently 'contended' and deadlocks the gate."""
     import numpy as np
 
     a = np.ones(64 * 1024 * 1024 // 8)
-    t0 = time.perf_counter()
-    a.copy()
-    return round(64 / (time.perf_counter() - t0), 0)
+    b = a.copy()  # warm-up: faults both buffers hot
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.copyto(b, a)  # steady-state copy, no allocation
+        best = min(best, time.perf_counter() - t0)
+    return round(64 / best, 0)
 
 
 def _contention_gate(min_membw: float, max_wait_s: float) -> dict:
