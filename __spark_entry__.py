@@ -959,6 +959,132 @@ HAVING count(DISTINCT a.fp) >= 2
 """
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs (doc_id % 10 != 0) sharing
+    >= 2 winnowing fingerprints with the eval split (doc_id % 10 == 0)
+    — broadcast benchmark-fingerprint semi-join, no corpus shuffle
+    (atra_spark.functions.textstats.decontamination_overlap). Oracle:
+    sql_decontamination."""
+    from atra_spark.functions.textstats import decontamination_overlap
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    out = decontamination_overlap(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )
+    return out.select(F.col("id").alias("doc_id"), F.col("shared_fps").cast("long"))
+
+
+def sql_decontamination(dialect: str) -> str:
+    """Twin of textstats.decontamination_overlap over the same % 10
+    train/eval split: distinct (doc, fp) winnowing fingerprints,
+    docfreq-capped at 64 across both splits, train fps matched against
+    the distinct eval fingerprint set, >= 2 shared."""
+    base = sql_rolling_fp(dialect)
+    return f"""WITH fps AS (
+  SELECT DISTINCT id, fp FROM ({base}) base
+),
+ok AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64
+),
+pruned AS (
+  SELECT f.id, f.fp FROM fps f JOIN ok USING (fp)
+),
+benchfps AS (
+  SELECT DISTINCT fp FROM pruned WHERE id % 10 = 0
+)
+SELECT p.id AS doc_id, CAST(count(DISTINCT p.fp) AS BIGINT) AS shared_fps
+FROM pruned p JOIN benchfps e ON p.fp = e.fp
+WHERE p.id % 10 <> 0
+GROUP BY p.id
+HAVING count(DISTINCT p.fp) >= 2
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: same-LSH-bucket (8 seeded
+    hyperplanes) pairs with exact cosine >= 0.25
+    (atra_spark.functions.similarity.embedding_near_dup_pairs). Oracle:
+    sql_embedding_near_dup replicates the bucketing with literal plane
+    weights, the bucket-population cap, and the exact re-rank."""
+    from atra_spark.functions.similarity import embedding_near_dup_pairs
+
+    _register(spark, sf_dir)
+    out = embedding_near_dup_pairs(spark.table("embeddings"), dim=64, threshold=0.25)
+    rounded = F.floor(F.col("cosine") * 10000 + 0.5 + 1e-6).cast("double") / 10000
+    return out.select("id_a", "id_b", rounded.alias("cosine"))
+
+
+def sql_embedding_near_dup(dialect: str) -> str:
+    """Oracle for the embedding near-dup pairs: seeded hyperplanes as
+    literals -> bucket per vector -> bucket-population cap (64) ->
+    within-bucket pairs -> exact cosine >= 0.25, rounded HALF_UP 4dp."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((8, 64))
+    vals = ",\n    ".join(
+        f"({p}, {i}, {float(w)!r})"
+        for p in range(8)
+        for i, w in enumerate(planes[p])
+    )
+    if dialect == "spark":
+        expl = """
+comps AS (
+  SELECT vec_id, posexplode(embedding) AS (pos, v) FROM embeddings
+)"""
+    else:
+        expl = """
+comps AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)"""
+    return f"""
+WITH planes(plane, pos, w) AS (VALUES
+    {vals}
+),
+{expl.strip()},
+dots AS (
+  SELECT c.vec_id, p.plane, sum(CAST(c.v AS DOUBLE) * p.w) AS dot
+  FROM comps c JOIN planes p ON c.pos = p.pos
+  GROUP BY c.vec_id, p.plane
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) * CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+ok AS (
+  SELECT bucket FROM buckets GROUP BY bucket HAVING count(*) <= 64
+),
+pruned AS (
+  SELECT b.vec_id, b.bucket FROM buckets b JOIN ok USING (bucket)
+),
+cands AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM pruned a JOIN pruned b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+norms AS (
+  SELECT vec_id, sum(v * v) AS n2 FROM comps GROUP BY vec_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b, sum(x.v * y.v) AS dot
+  FROM cands c
+  JOIN comps x ON x.vec_id = c.id_a
+  JOIN comps y ON y.vec_id = c.id_b AND y.pos = x.pos
+  GROUP BY c.id_a, c.id_b
+)
+SELECT s.id_a, s.id_b,
+       {_rnd('s.dot / sqrt(na.n2 * nb.n2)', 4)} AS cosine
+FROM scored s
+JOIN norms na ON na.vec_id = s.id_a
+JOIN norms nb ON nb.vec_id = s.id_b
+WHERE s.dot / sqrt(na.n2 * nb.n2) >= 0.25
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads derived from the documents
     table (ASCII magic + UTF-8 text bytes), run through the REAL
@@ -1391,6 +1517,8 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "rolling_fingerprints": q_rolling_fingerprints,
     "duplicate_passages": q_duplicate_passages,
+    "decontamination": q_decontamination,
+    "embedding_near_dup": q_embedding_near_dup,
     "repetition_metrics": q_repetition_metrics,
     "media_features": q_media_features,
     "sitemap_candidates": q_sitemap_candidates,
@@ -1416,6 +1544,8 @@ def _custom_oracles() -> dict[str, str]:
         "embedding_ivf_topk": sql_embedding_ivf_topk("duckdb"),
         "rolling_fingerprints": sql_rolling_fp("duckdb"),
         "duplicate_passages": sql_duplicate_passages("duckdb"),
+        "decontamination": sql_decontamination("duckdb"),
+        "embedding_near_dup": sql_embedding_near_dup("duckdb"),
         "repetition_metrics": sql_repetition_metrics("duckdb"),
         "media_features": sql_media_features("duckdb"),
         "sitemap_candidates": sql_sitemap_candidates("duckdb"),

@@ -75,6 +75,72 @@ def add_lsh_bucket(
     return df.withColumn("lsh_bucket", bucket.cast("int"))
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.25,
+    n_planes: int = 8,
+    seed: int = 42,
+    max_bucket: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: all (id_a < id_b) pairs
+    whose vectors land in the same random-hyperplane LSH bucket AND
+    whose exact cosine >= ``threshold`` — the semantic-dedup pass a
+    training-data pipeline runs over an embedding column (complementing
+    the lexical minhash/simhash families, which miss paraphrases).
+
+    100 TB plan: the bucket is the blocking key — one shuffle of the
+    narrow (id, vec, bucket) relation on ``lsh_bucket``, candidate
+    generation is a co-partitioned self-join WITHIN buckets (never
+    all-pairs), exact cosine re-rank stays JVM-side (zip_with /
+    aggregate, no Python). Bucket population is bounded two ways:
+    ``n_planes`` splits the corpus into 2^n_planes buckets (raise it
+    with corpus size), and buckets still larger than ``max_bucket`` are
+    dropped with a logged warning — the same quadratic-blowup guard as
+    the shingle/fingerprint joins (a bucket that big means a degenerate
+    direction cluster, i.e. boilerplate embeddings). Single-band LSH is
+    recall-approximate by design: a near-dup pair split across buckets
+    is missed; run with several ``seed`` values and union the pairs to
+    add bands (each band is an independent, identically-shaped pass).
+    """
+    bucketed = add_lsh_bucket(df, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "lsh_bucket"
+    )
+    # bucket ids are bounded by 2^n_planes, so the hot-bucket set is
+    # always driver-collectable (same literal-set pattern as
+    # duplicate_passage_pairs — no cache to leak, no extra join)
+    sizes = bucketed.groupBy("lsh_bucket").agg(F.count("*").alias("n"))
+    hot = [r["lsh_bucket"] for r in sizes.filter(F.col("n") > max_bucket).collect()]
+    if hot:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "embedding_near_dup_pairs: dropping %d degenerate LSH buckets "
+            "with population > %d (quadratic-blowup guard)",
+            len(hot),
+            max_bucket,
+        )
+        bucketed = bucketed.filter(~F.col("lsh_bucket").isin(hot))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

@@ -280,3 +280,73 @@ def duplicate_passage_pairs(
         .agg(F.countDistinct("fp").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def decontamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_shared: int = 2,
+    max_fp_docs: int = 64,
+) -> DataFrame:
+    """Training-data decontamination: flag TRAIN documents that share
+    >= ``min_shared`` winnowing fingerprints (near-exact ``window``-
+    token passages) with ANY document in the eval/benchmark set — the
+    pass a training pipeline runs before training so benchmark text
+    does not leak into the corpus (the same n-gram-overlap rule the
+    GPT-3/PaLM/Llama data cards describe).
+
+    Returns (id, shared_fps): the contaminated train doc ids with the
+    number of distinct benchmark fingerprints they contain.
+
+    100 TB plan: the benchmark side is SMALL by definition (a few
+    thousand eval documents vs billions of train docs), so its distinct
+    fingerprint set is broadcast — the train relation is filtered by a
+    broadcast hash semi-join with NO shuffle of the corpus; only the
+    (tiny) surviving hit set shuffles for the per-doc count.
+    Boilerplate fingerprints (document frequency > ``max_fp_docs``
+    across train+eval) are dropped with the same literal-set guard as
+    ``duplicate_passage_pairs`` — a fingerprint shared by everything is
+    boilerplate, not contamination, and would otherwise flag the whole
+    corpus.
+    """
+    tf = (
+        rolling_fingerprints(train, text_col=text_col, id_col=id_col, window=window)
+        .select("id", "fp")
+        .distinct()
+    )
+    ef = (
+        rolling_fingerprints(eval_df, text_col=text_col, id_col=id_col, window=window)
+        .select("id", "fp")
+        .distinct()
+    )
+    freq = tf.unionByName(ef).groupBy("fp").agg(F.count("*").alias("docfreq"))
+    hot_cond = F.col("docfreq") > max_fp_docs
+    _HOT_LITERAL_CAP = 10_000
+    hot_head = freq.filter(hot_cond).select("fp").limit(_HOT_LITERAL_CAP + 1).collect()
+    if hot_head:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "decontamination_overlap: dropping %s boilerplate fingerprints "
+            "with document frequency > %d",
+            len(hot_head) if len(hot_head) <= _HOT_LITERAL_CAP else f">{_HOT_LITERAL_CAP}",
+            max_fp_docs,
+        )
+        if len(hot_head) <= _HOT_LITERAL_CAP:
+            hot_vals = [r["fp"] for r in hot_head]
+            tf = tf.filter(~F.col("fp").isin(hot_vals))
+            ef = ef.filter(~F.col("fp").isin(hot_vals))
+        else:
+            hot_df = freq.filter(hot_cond).select("fp")
+            tf = tf.join(F.broadcast(hot_df), on="fp", how="left_anti")
+            ef = ef.join(F.broadcast(hot_df), on="fp", how="left_anti")
+    bench_fps = ef.select("fp").distinct()
+    return (
+        tf.join(F.broadcast(bench_fps), on="fp")
+        .groupBy("id")
+        .agg(F.countDistinct("fp").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

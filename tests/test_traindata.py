@@ -517,3 +517,76 @@ class TestDuplicatePassages:
         got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
         assert (1, 2) in got
         assert not any(a >= 100 and b >= 100 for a, b in got)
+
+
+class TestDecontamination:
+    def test_contaminated_train_docs_flagged(self, spark):
+        from atra_spark.functions.textstats import decontamination_overlap
+
+        bench = "what is the capital of france answer paris of course indeed"
+        rows_eval = [(900, f"benchmark question {bench} end of item")]
+        rows_train = [
+            (1, f"web page text {bench} copied straight from the benchmark"),
+            (2, "clean training document about spark shuffles and parquet files"),
+            (3, f"another leak {bench} hidden in boilerplate text here"),
+        ]
+        train = spark.createDataFrame(rows_train, "doc_id int, text string")
+        ev = spark.createDataFrame(rows_eval, "doc_id int, text string")
+        hits = {
+            r["id"]: r["shared_fps"]
+            for r in decontamination_overlap(train, ev, min_shared=1).collect()
+        }
+        assert set(hits) == {1, 3}
+        assert all(v >= 1 for v in hits.values())
+
+    def test_boilerplate_not_contamination(self, spark):
+        from atra_spark.functions.textstats import decontamination_overlap
+
+        boiler = "all rights reserved terms of service apply to every page here"
+        ev = spark.createDataFrame(
+            [(900, f"eval doc {boiler} question text")], "doc_id int, text string"
+        )
+        train = spark.createDataFrame(
+            [(i, f"doc{i} {boiler} tail{i}") for i in range(10)],
+            "doc_id int, text string",
+        )
+        # the boilerplate passage appears in 11 docs > max_fp_docs=5:
+        # capped away, so nothing is flagged
+        out = decontamination_overlap(train, ev, min_shared=1, max_fp_docs=5)
+        assert out.count() == 0
+
+
+class TestEmbeddingNearDup:
+    def test_near_identical_pair_found(self, spark):
+        from atra_spark.functions.similarity import embedding_near_dup_pairs
+
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal(16)
+        # positive scaling keeps every hyperplane sign (same bucket by
+        # construction — a noisy perturbation may flip a near-zero dot,
+        # which is exactly the single-band recall caveat the docstring
+        # declares) while exercising the pairing + exact-cosine path
+        near = base * 1.01  # cosine = 1
+        rows = [(0, [float(x) for x in base]), (1, [float(x) for x in near])]
+        for i in range(2, 12):
+            rows.append((i, [float(x) for x in rng.standard_normal(16)]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_near_dup_pairs(df, dim=16, threshold=0.9).collect()
+        }
+        assert (0, 1) in got
+        assert got[(0, 1)] > 0.99
+        assert all(p == (0, 1) for p in got)  # random vectors never reach 0.9
+
+    def test_hot_bucket_guard_drops_degenerate_cluster(self, spark):
+        from atra_spark.functions.similarity import embedding_near_dup_pairs
+
+        rng = np.random.default_rng(11)
+        v = [float(x) for x in rng.standard_normal(16)]
+        # 8 copies of the same direction all land in one bucket (> max_bucket=4)
+        rows = [(i, v) for i in range(8)]
+        out = embedding_near_dup_pairs(df=spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ), dim=16, threshold=0.5, max_bucket=4)
+        assert out.count() == 0
