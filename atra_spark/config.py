@@ -7,6 +7,7 @@ round loop. Defaults mirror the reference defaults where they exist.
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import asdict, dataclass, field
 
 from .urlkit import NORMAL, Budget
@@ -71,6 +72,21 @@ class CrawlConfig:
     # partitions by host anyway, so the shuffled shape reuses the
     # exchange instead of shipping the relation to every executor.
     broadcast_robots_max_hosts: int = 10_000_000
+
+    # Arrow batch size override for the EXTRACTION job only (the one
+    # stage that streams full page payloads through Python); 0 (the
+    # default) keeps the session-wide small batches. Measured both ways
+    # at 480k pages/16 cores: each JVM<->Python batch round-trip costs
+    # ~45 ms regardless of size, and 8192-row (~57 MB) batches cut an
+    # isolated extraction stage 12% in a calm-DRAM window — but at
+    # ROUND level they lost 20-55% in four interleaved trials, because
+    # 3.5 MB batches stay cache-resident across the convert+extract
+    # passes while 57 MB batches stream through DRAM (this box's
+    # bandwidth anti-scales past ~8 cores and is often contended). Kept
+    # as a knob because the tradeoff flips on cache-rich/calm hardware.
+    extract_arrow_batch: int = field(
+        default_factory=lambda: int(os.environ.get("ATRA_EXTRACT_ARROW_BATCH", "0"))
+    )
 
     def budget_for(self, host: str) -> Budget:
         return self.per_host_budget.get(host, self.default_budget)

@@ -360,11 +360,25 @@ class CrawlEngine:
 
         # ---- commit the results snapshot: THE single extraction pass
         # of the round (scan -> decode -> extract -> write; nothing
-        # cached, nothing computed twice) ----
+        # cached, nothing computed twice). This job streams the full
+        # page payload through the Python extractor, so it runs with
+        # the LARGE Arrow batch size (config.extract_arrow_batch — the
+        # per-batch JVM<->Python round-trip is ~45 ms regardless of
+        # size) while every other pandas stage keeps the small session
+        # default; the conf is runtime-scoped per action, restored
+        # before the frontier path ----
         st = self.store
-        results_path = st.write_snapshot(
-            "results", results.unionByName(miss_results), rnd
-        )
+        _arrow_bs_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        _prev_bs = spark.conf.get(_arrow_bs_key)
+        if cfg.extract_arrow_batch:
+            spark.conf.set(_arrow_bs_key, str(cfg.extract_arrow_batch))
+        try:
+            results_path = st.write_snapshot(
+                "results", results.unionByName(miss_results), rnd
+            )
+        finally:
+            if cfg.extract_arrow_batch:
+                spark.conf.set(_arrow_bs_key, _prev_bs)
         _phase("results_write")
         res_read = spark.read.parquet(results_path)
 

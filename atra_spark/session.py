@@ -47,11 +47,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Arrow batch size for the pandas stages: ~7 KB/page means 512
-        # rows ≈ 3.5 MB per batch — measured 25-30% faster extraction
-        # than the old 10000-row (70 MB) batches at 16 cores (smoother
-        # JVM<->Python pipelining, less per-batch memory pressure)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # Arrow batch size for the pandas stages: 512 rows (~3.5 MB at
+        # ~7 KB/page). Re-measured in round 4: the per-batch JVM<->Python
+        # round-trip costs ~45 ms regardless of size and larger batches
+        # (8192) won an ISOLATED extraction stage by 12% in a calm-DRAM
+        # window, but lost 20-55% at round level in four interleaved
+        # trials — 3.5 MB batches stay cache-resident across the
+        # convert+extract passes while ~57 MB batches stream through
+        # this box's contended, anti-scaling DRAM. Small stays the
+        # default; CrawlConfig.extract_arrow_batch can override the
+        # extraction job per-stage on cache-rich hardware.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("ATRA_ARROW_BATCH", "512"),
+        )
         .config("spark.sql.parquet.filterPushdown", "true")
         # pages-scan split size: extraction is Python-CPU-heavy (~10-50x
         # a plain scan per byte), so scan tasks must be much smaller

@@ -41,6 +41,8 @@ HEADLINE = [
     "token_count",
     "repetition_metrics",
     "dedup_clusters",
+    "decontamination",
+    "embedding_near_dup",
 ]
 
 
