@@ -1085,6 +1085,115 @@ WHERE s.dot / sqrt(na.n2 * nb.n2) >= 0.25
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a deterministic edge set built from the events
+    table (src = user_id % 100, dst = event_id % 97): 5 power
+    iterations, damping 0.85, dangling mass redistributed uniformly
+    (atra_spark.functions.graph.pagerank — the analysis pass over the
+    engine's web-graph export). Oracle: sql_pagerank unrolls the same
+    5 iterations as chained CTEs."""
+    from atra_spark.functions.graph import pagerank
+
+    _register(spark, sf_dir)
+    ev = spark.table("events")
+    edges = ev.select(
+        (F.col("user_id") % 100).cast("long").alias("src"),
+        (F.col("event_id") % 97).cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    out = pagerank(edges, damping=0.85, iterations=5)
+    rounded = F.floor(F.col("pr") * 1000000 + 0.5 + 1e-6).cast("double") / 1000000
+    return out.select("node", rounded.alias("pr"))
+
+
+def sql_pagerank(dialect: str) -> str:
+    """Twin of graph.pagerank on the same deterministic edge set: the
+    5 power iterations unrolled as chained CTEs (contribution sum +
+    dangling-mass scalar per iteration), damping 0.85, HALF_UP 6dp."""
+    its = []
+    prev = "pr0"
+    for i in range(1, 6):
+        its.append(f"""dang{i} AS (
+  SELECT coalesce(sum(p.pr), 0.0) AS dang
+  FROM {prev} p LEFT JOIN deg ON p.node = deg.src
+  WHERE deg.src IS NULL
+),
+contrib{i} AS (
+  SELECT e.dst AS node, sum(p.pr / deg.deg) AS contrib
+  FROM edges e JOIN {prev} p ON e.src = p.node JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+pr{i} AS (
+  SELECT nodes.node,
+         (1 - 0.85) / (SELECT n FROM nn)
+           + 0.85 * (coalesce(c.contrib, 0.0)
+                     + (SELECT dang FROM dang{i}) / (SELECT n FROM nn)) AS pr
+  FROM nodes LEFT JOIN contrib{i} c ON nodes.node = c.node
+)""")
+        prev = f"pr{i}"
+    chain = ",\n".join(its)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT CAST(user_id % 100 AS BIGINT) AS src,
+                  CAST(event_id % 97 AS BIGINT) AS dst
+  FROM events WHERE user_id % 100 <> event_id % 97
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+{chain}
+SELECT node, {_rnd('pr', 6)} AS pr FROM {prev}
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quota sampling: 20 documents per language, picked
+    by ascending (60-bit md5 key hash, doc_id)
+    (atra_spark.functions.sample.stratified_sample). Oracle:
+    sql_stratified_sample."""
+    from atra_spark.functions.sample import stratified_sample
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "lang")
+    return stratified_sample(docs, strata_col="lang", n_per_stratum=20, key_col="doc_id")
+
+
+def sql_stratified_sample(dialect: str) -> str:
+    key = "CAST(doc_id AS STRING)" if dialect == "spark" else "CAST(doc_id AS VARCHAR)"
+    h = _hex_hash(key, dialect)
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {h} ASC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= 20
+"""
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless deterministic fraction sample (keep iff 60-bit key
+    hash < 0.25 * 2^60) — the zero-shuffle, join-consistent corpus
+    sampler (atra_spark.functions.sample.hash_sample). Oracle:
+    sql_hash_sample."""
+    from atra_spark.functions.sample import hash_sample
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "lang")
+    return hash_sample(docs, fraction=0.25, key_col="doc_id")
+
+
+def sql_hash_sample(dialect: str) -> str:
+    key = "CAST(doc_id AS STRING)" if dialect == "spark" else "CAST(doc_id AS VARCHAR)"
+    h = _hex_hash(key, dialect)
+    threshold = int(0.25 * (1 << 60))
+    return f"""
+SELECT doc_id, lang FROM documents WHERE {h} < {threshold}
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads derived from the documents
     table (ASCII magic + UTF-8 text bytes), run through the REAL
@@ -1519,6 +1628,9 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_passages": q_duplicate_passages,
     "decontamination": q_decontamination,
     "embedding_near_dup": q_embedding_near_dup,
+    "pagerank": q_pagerank,
+    "stratified_sample": q_stratified_sample,
+    "hash_sample": q_hash_sample,
     "repetition_metrics": q_repetition_metrics,
     "media_features": q_media_features,
     "sitemap_candidates": q_sitemap_candidates,
@@ -1546,6 +1658,9 @@ def _custom_oracles() -> dict[str, str]:
         "duplicate_passages": sql_duplicate_passages("duckdb"),
         "decontamination": sql_decontamination("duckdb"),
         "embedding_near_dup": sql_embedding_near_dup("duckdb"),
+        "pagerank": sql_pagerank("duckdb"),
+        "stratified_sample": sql_stratified_sample("duckdb"),
+        "hash_sample": sql_hash_sample("duckdb"),
         "repetition_metrics": sql_repetition_metrics("duckdb"),
         "media_features": sql_media_features("duckdb"),
         "sitemap_candidates": sql_sitemap_candidates("duckdb"),

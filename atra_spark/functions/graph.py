@@ -1,0 +1,89 @@
+"""Web-graph analytics over the crawl's edge table.
+
+The reference exports a web graph (link_state/db.rs edge appends +
+export, SURVEY.md §2.2 web-graph sink); this module adds the analysis
+pass a production crawl runs ON that graph — PageRank — as an
+iterative DataFrame job, the same shape as ``dedup.connected_components``
+(loop of join+agg with a localCheckpoint to keep lineage flat).
+
+100 TB plan: each PageRank iteration is ONE shuffle keyed on the
+destination node (the contribution aggregation); the rank and
+out-degree relations are narrow (node, double). The edge relation is
+re-read per iteration — at scale, pre-partition/bucket the edges by
+``src`` once so the per-iteration contribution join is co-located and
+only the (tiny) rank vector moves. Dangling mass (nodes with no
+out-edges) is redistributed uniformly each iteration, matching the
+textbook formulation, so ranks sum to ~1 throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration power-method PageRank.
+
+    ``edges``: (src, dst) pairs; duplicates are collapsed (an edge
+    either exists or not — the reference's web graph is a set of
+    labeled edges). Returns (node, pr) for every node appearing as
+    src or dst after ``iterations`` rounds of
+    ``pr = (1-d)/N + d*(sum_in(pr/out_deg) + dangling/N)``.
+
+    Deterministic given the edge set, so a fixed-iteration SQL twin
+    (unrolled CTEs) reproduces it bit-for-bit up to summation order.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # cached: every iteration re-reads these two small relations
+    nodes = nodes.cache()
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg")).cache()
+    out_deg.count()
+
+    d = float(damping)
+    pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    for _ in range(int(iterations)):
+        ranked = pr.join(out_deg, pr["node"] == out_deg["src"], "left").select(
+            pr["node"].alias("node"), "pr", "deg"
+        )
+        # dangling mass (rank held by nodes with no outgoing edge) as a
+        # broadcast 1-row aggregate — no driver round-trip per iteration
+        dang = ranked.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
+        )
+        contrib = (
+            e.join(ranked.filter(F.col("deg").isNotNull()), e["src"] == ranked["node"])
+            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        pr = (
+            nodes.join(contrib, on="node", how="left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dang") / F.lit(float(n))
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)  # flat lineage across iterations
+        )
+    nodes.unpersist()
+    out_deg.unpersist()
+    return pr

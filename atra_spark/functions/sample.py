@@ -1,0 +1,52 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+Two samplers a 100 TB data pipeline actually runs:
+
+- ``hash_sample``: stateless fraction sampling — keep a row iff the
+  60-bit content hash of its key falls below ``fraction * 2^60``.
+  ZERO shuffle (a pure filter pushed into the scan), reproducible
+  across runs/engines (the hash is the engine-wide md5 prefix, so a
+  SQL twin selects the identical rows), and composable: the same key
+  always lands on the same side, so independently sampled tables stay
+  join-consistent (the property random() sampling lacks).
+
+- ``stratified_sample``: exactly-n-per-stratum quota sampling (e.g.
+  20 documents per language), ordered by the same deterministic hash
+  so the quota picks a stable pseudo-random subset. One shuffle on the
+  stratum key. At 100 TB with mega-strata, pre-thin each stratum with
+  ``hash_sample`` at a fraction comfortably above the quota before the
+  window, so the per-stratum sort touches a bounded candidate set
+  instead of the full stratum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import content_hash
+
+_HASH_SPACE = 1 << 60
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str) -> DataFrame:
+    """Deterministic fraction sample: rows whose 60-bit key hash <
+    ``fraction * 2^60``. Pure filter — no shuffle, no state."""
+    threshold = int(float(fraction) * _HASH_SPACE)
+    return df.filter(content_hash(F.col(key_col).cast("string")) < F.lit(threshold))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str,
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, picked by ascending
+    (hash(key), key) — a stable pseudo-random quota per group."""
+    h = content_hash(F.col(key_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= int(n_per_stratum))
+        .drop("_rank")
+    )

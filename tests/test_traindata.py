@@ -590,3 +590,75 @@ class TestEmbeddingNearDup:
             rows, "vec_id long, embedding array<float>"
         ), dim=16, threshold=0.5, max_bucket=4)
         assert out.count() == 0
+
+
+class TestPageRank:
+    def test_matches_numpy_power_iteration(self, spark):
+        from atra_spark.functions.graph import pagerank
+
+        # 4-node graph with a dangling node (3 has no out-edges)
+        edges = [(0, 1), (0, 2), (1, 2), (2, 0), (1, 3)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["pr"] for r in pagerank(df, iterations=5).collect()}
+
+        import numpy as np
+
+        n, d = 4, 0.85
+        out = {0: [1, 2], 1: [2, 3], 2: [0]}
+        pr = np.full(n, 1 / n)
+        for _ in range(5):
+            new = np.full(n, (1 - d) / n)
+            dang = sum(pr[v] for v in range(n) if v not in out)
+            new += d * dang / n
+            for s, ds in out.items():
+                for t in ds:
+                    new[t] += d * pr[s] / len(ds)
+            pr = new
+        for v in range(n):
+            assert abs(got[v] - pr[v]) < 1e-12, (v, got[v], pr[v])
+        assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+    def test_duplicate_edges_collapse(self, spark):
+        from atra_spark.functions.graph import pagerank
+
+        a = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+        b = spark.createDataFrame(
+            [(0, 1), (0, 1), (1, 0)], "src long, dst long"
+        )
+        ra = {r["node"]: r["pr"] for r in pagerank(a).collect()}
+        rb = {r["node"]: r["pr"] for r in pagerank(b).collect()}
+        assert ra == rb
+
+
+class TestSampling:
+    def test_stratified_quota_exact_and_deterministic(self, spark):
+        from atra_spark.functions.sample import stratified_sample
+
+        rows = [(i, "en" if i % 3 else "de") for i in range(90)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out1 = stratified_sample(df, "lang", 10, "doc_id").collect()
+        out2 = stratified_sample(df, "lang", 10, "doc_id").collect()
+        assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+        by_lang = {}
+        for r in out1:
+            by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert len(by_lang["en"]) == 10 and len(by_lang["de"]) == 10
+
+    def test_small_stratum_kept_whole(self, spark):
+        from atra_spark.functions.sample import stratified_sample
+
+        df = spark.createDataFrame(
+            [(1, "xx"), (2, "xx"), (3, "yy")], "doc_id long, lang string"
+        )
+        out = stratified_sample(df, "lang", 10, "doc_id").collect()
+        assert len(out) == 3
+
+    def test_hash_sample_nested_fractions(self, spark):
+        from atra_spark.functions.sample import hash_sample
+
+        df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+        small = {r["doc_id"] for r in hash_sample(df, 0.1, "doc_id").collect()}
+        big = {r["doc_id"] for r in hash_sample(df, 0.3, "doc_id").collect()}
+        assert small <= big  # same key always lands the same side
+        assert 0.05 < len(small) / 1000 < 0.2
+        assert 0.2 < len(big) / 1000 < 0.4
