@@ -1085,6 +1085,55 @@ WHERE s.dot / sqrt(na.n2 * nb.n2) >= 0.25
 """
 
 
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram LM quality score (mean add-0.5-
+    smoothed token log-probability — the CCNet-style perplexity filter;
+    atra_spark.functions.textstats.bigram_lm_score). Oracle:
+    sql_bigram_lm_score."""
+    from atra_spark.functions.textstats import bigram_lm_score
+
+    _register(spark, sf_dir)
+    out = bigram_lm_score(spark.table("documents"))
+    rounded = F.floor(F.col("lm_logprob") * 1000000 + 0.5 + 1e-6).cast("double") / 1000000
+    return out.select(F.col("id").alias("doc_id"), rounded.alias("lm_logprob"))
+
+
+def sql_bigram_lm_score(dialect: str) -> str:
+    """Twin of textstats.bigram_lm_score: same whitespace tokens, add-k
+    bigram model trained on the corpus, mean ln-probability per doc."""
+    if dialect == "spark":
+        toks = r"""
+toks AS (
+  SELECT doc_id, pos, tok
+  FROM documents
+  LATERAL VIEW posexplode(split(lower(trim(text)), '\\s+')) t AS pos, tok
+)"""
+    else:
+        toks = r"""
+toks AS (
+  SELECT doc_id, CAST(generate_subscripts(arr, 1) - 1 AS INT) AS pos, unnest(arr) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr FROM documents) d
+)"""
+    ln = "ln" if dialect == "duckdb" else "ln"
+    return f"""
+WITH {toks.strip()},
+big AS (
+  SELECT doc_id, tok AS prev,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS cur
+  FROM toks
+),
+pairs AS (SELECT doc_id, prev, cur FROM big WHERE cur IS NOT NULL),
+bc AS (SELECT prev, cur, CAST(count(*) AS DOUBLE) AS bc FROM pairs GROUP BY prev, cur),
+pc AS (SELECT prev, CAST(count(*) AS DOUBLE) AS pc FROM pairs GROUP BY prev),
+v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM toks)
+SELECT p.doc_id,
+       {_rnd('avg(' + ln + '((bc.bc + 0.5) / (pc.pc + 0.5 * (SELECT v FROM v))))', 6)} AS lm_logprob
+FROM pairs p JOIN bc ON p.prev = bc.prev AND p.cur = bc.cur
+JOIN pc ON p.prev = pc.prev
+GROUP BY p.doc_id
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over a deterministic edge set built from the events
     table (src = user_id % 100, dst = event_id % 97): 5 power
@@ -1631,6 +1680,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "stratified_sample": q_stratified_sample,
     "hash_sample": q_hash_sample,
+    "bigram_lm_score": q_bigram_lm_score,
     "repetition_metrics": q_repetition_metrics,
     "media_features": q_media_features,
     "sitemap_candidates": q_sitemap_candidates,
@@ -1661,6 +1711,7 @@ def _custom_oracles() -> dict[str, str]:
         "pagerank": sql_pagerank("duckdb"),
         "stratified_sample": sql_stratified_sample("duckdb"),
         "hash_sample": sql_hash_sample("duckdb"),
+        "bigram_lm_score": sql_bigram_lm_score("duckdb"),
         "repetition_metrics": sql_repetition_metrics("duckdb"),
         "media_features": sql_media_features("duckdb"),
         "sitemap_candidates": sql_sitemap_candidates("duckdb"),

@@ -350,3 +350,66 @@ def decontamination_overlap(
         .agg(F.countDistinct("fp").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Corpus-self-trained bigram language-model score per document —
+    the perplexity-style quality filter (CCNet's KenLM pass) without an
+    external model: train add-k-smoothed bigram statistics ON the
+    corpus, score each document by its mean token log-probability.
+    Outlier documents (gibberish, boilerplate soups, wrong-tokenizer
+    text) score far below the corpus mode and get filtered.
+
+    score(doc) = mean over bigram positions of
+        ln((c(prev,cur) + k) / (c(prev,*) + k*V))
+    with V = corpus vocabulary size. Documents with < 2 tokens have no
+    bigrams and are absent from the output. Everything is JVM column
+    math + two aggregations; the LM "tables" are just count relations.
+
+    100 TB plan: counts are map-side-combined groupBys keyed on the
+    bigram; scoring joins the occurrence relation back to the count
+    relations on the same key (one shuffle each). For repeated scoring
+    runs, persist the two count relations and broadcast the top-K
+    vocabulary slice; rare-bigram smoothing makes pruned tails a
+    bounded perturbation.
+    """
+    toks_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks_arr.alias("toks"))
+    n = F.size("toks")
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("toks", 1, n - 1),
+            F.slice("toks", 2, n - 1),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pairs = (
+        base.select("id", F.explode(bigrams).alias("b"))
+        .select("id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    )
+    bigram_c = pairs.groupBy("prev", "cur").agg(F.count("*").alias("bc"))
+    prefix_c = pairs.groupBy("prev").agg(F.count("*").alias("pc"))
+    vocab = (
+        base.select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("v"))
+    )
+    k = float(add_k)
+    return (
+        pairs.join(bigram_c, on=["prev", "cur"])
+        .join(prefix_c, on="prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            F.log(
+                (F.col("bc") + F.lit(k)) / (F.col("pc") + F.lit(k) * F.col("v"))
+            ).alias("lp"),
+        )
+        .groupBy("id")
+        .agg(F.avg("lp").alias("lm_logprob"))
+    )

@@ -662,3 +662,39 @@ class TestSampling:
         assert small <= big  # same key always lands the same side
         assert 0.05 < len(small) / 1000 < 0.2
         assert 0.2 < len(big) / 1000 < 0.4
+
+
+class TestBigramLmScore:
+    def test_gibberish_scores_below_normal_text(self, spark):
+        from atra_spark.functions.textstats import bigram_lm_score
+
+        normal = "the quick brown fox jumps over the lazy dog and runs away"
+        rows = [(i, normal) for i in range(8)]
+        rows.append((100, "zxq vvk qqj plw mmx rrt yyb nnc hhd kkf"))  # gibberish
+        rows.append((200, "one"))  # single token: no bigrams -> absent
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["id"]: r["lm_logprob"] for r in bigram_lm_score(df).collect()}
+        assert 200 not in got
+        normal_scores = [got[i] for i in range(8)]
+        assert got[100] < min(normal_scores) - 1.0  # clear outlier margin
+
+    def test_matches_pure_python(self, spark):
+        import math
+
+        from atra_spark.functions.textstats import bigram_lm_score
+
+        rows = [(0, "a b a b c"), (1, "c c a"), (2, "b a b")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["id"]: r["lm_logprob"] for r in bigram_lm_score(df).collect()}
+
+        toks = {i: t.split() for i, t in rows}
+        pairs = [(i, (ts[j], ts[j + 1])) for i, ts in toks.items() for j in range(len(ts) - 1)]
+        from collections import Counter
+        bc = Counter(p for _, p in pairs)
+        pc = Counter(p[0] for _, p in pairs)
+        V = len({t for ts in toks.values() for t in ts})
+        k = 0.5
+        for i in toks:
+            lps = [math.log((bc[p] + k) / (pc[p[0]] + k * V))
+                   for (d, p) in pairs if d == i]
+            assert abs(got[i] - sum(lps) / len(lps)) < 1e-12, i
