@@ -247,3 +247,42 @@ class TestRobotsJoinShapes:
             for x in admit_window(f, r, broadcast_robots=False).collect()
         )
         assert a == b and a
+
+
+class TestPipelineOperatorPlans:
+    """Plan-shape guardrails for the training-data operators added in
+    round 4: the scale posture each docstring promises, pinned."""
+
+    def test_hash_sample_is_pure_filter_no_exchange(self, spark):
+        from atra_spark.functions.sample import hash_sample
+
+        df = spark.range(1000).select(F.col("id").alias("doc_id"))
+        plan = _plan(hash_sample(df, 0.25, "doc_id"))
+        assert "Exchange" not in plan, "fraction sampling must not shuffle"
+
+    def test_decontamination_bench_join_is_broadcast(self, spark):
+        from atra_spark.functions.textstats import decontamination_overlap
+
+        rows = [(i, f"token{i} alpha beta gamma delta epsilon zeta eta theta iota")
+                for i in range(30)]
+        train = spark.createDataFrame(rows, "doc_id long, text string")
+        ev = spark.createDataFrame(rows[:3], "doc_id long, text string")
+        plan = _plan(decontamination_overlap(train, ev, min_shared=1))
+        assert "BroadcastHashJoin" in plan, (
+            "the benchmark fingerprint set must broadcast — the train "
+            "corpus must not shuffle for the membership test"
+        )
+
+    def test_embedding_near_dup_joins_on_bucket(self, spark):
+        from atra_spark.functions.similarity import embedding_near_dup_pairs
+
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(20)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        plan = _plan(embedding_near_dup_pairs(df, dim=8))
+        # the equi-join key must be the LSH bucket (blocking), with the
+        # id inequality only as a post-join filter — never a cross join
+        assert "lsh_bucket" in plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
