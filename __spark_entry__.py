@@ -1085,6 +1085,73 @@ WHERE s.dot / sqrt(na.n2 * nb.n2) >= 0.25
 """
 
 
+def q_corpus_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus pipeline over the train split
+    (doc_id % 10 != 0): exact dedup -> quality gates (>=30 tokens,
+    space ratio in [0.1, 0.3]) -> decontamination against the eval
+    split (atra_spark.functions.pipeline.materialize_corpus). Oracle:
+    sql_corpus_materialize composes the same stages in SQL."""
+    from atra_spark.functions.pipeline import materialize_corpus
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    out = materialize_corpus(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )
+    return out.select("doc_id", "lang")
+
+
+def sql_corpus_materialize(dialect: str) -> str:
+    """Twin of pipeline.materialize_corpus on the % 10 split: min-id
+    keeper per content hash, token/space-ratio gates, then the
+    decontamination stages computed over the SURVIVOR set (stage order
+    matters: a quality-dropped doc cannot be flagged)."""
+    toks = _split_ws("text", dialect)
+    n = _array_len(toks, dialect)
+    h = _hex_hash("text", dialect)
+    fps = sql_rolling_fp(dialect)
+    return f"""
+WITH train AS (
+  SELECT doc_id, lang, text, {h} AS ch,
+         CAST({n} AS BIGINT) AS n_tok,
+         (length(text) - length(replace(text, ' ', ''))) * 1.0
+           / greatest(length(text), 1) AS sr
+  FROM documents WHERE doc_id % 10 <> 0
+),
+keepers AS (
+  SELECT ch, min(doc_id) AS doc_id FROM train GROUP BY ch
+),
+survivors AS (
+  SELECT t.doc_id, t.lang FROM train t JOIN keepers k
+    ON t.ch = k.ch AND t.doc_id = k.doc_id
+  WHERE t.n_tok >= 30 AND t.sr >= 0.1 AND t.sr <= 0.3
+),
+allfps AS (
+  SELECT DISTINCT id, fp FROM ({fps}) base
+),
+sfps AS (
+  SELECT f.id, f.fp FROM allfps f JOIN survivors s ON f.id = s.doc_id
+),
+efps AS (
+  SELECT id, fp FROM allfps WHERE id % 10 = 0
+),
+ok AS (
+  SELECT fp FROM (SELECT id, fp FROM sfps UNION SELECT id, fp FROM efps) u
+  GROUP BY fp HAVING count(*) <= 64
+),
+benchfps AS (
+  SELECT DISTINCT e.fp FROM efps e JOIN ok USING (fp)
+),
+flagged AS (
+  SELECT s.id FROM sfps s JOIN ok USING (fp) JOIN benchfps b ON s.fp = b.fp
+  GROUP BY s.id HAVING count(DISTINCT s.fp) >= 2
+)
+SELECT doc_id, lang FROM survivors
+WHERE doc_id NOT IN (SELECT id FROM flagged)
+"""
+
+
 def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-self-trained bigram LM quality score (mean add-0.5-
     smoothed token log-probability — the CCNet-style perplexity filter;
@@ -1681,6 +1748,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "hash_sample": q_hash_sample,
     "bigram_lm_score": q_bigram_lm_score,
+    "corpus_materialize": q_corpus_materialize,
     "repetition_metrics": q_repetition_metrics,
     "media_features": q_media_features,
     "sitemap_candidates": q_sitemap_candidates,
@@ -1712,6 +1780,7 @@ def _custom_oracles() -> dict[str, str]:
         "stratified_sample": sql_stratified_sample("duckdb"),
         "hash_sample": sql_hash_sample("duckdb"),
         "bigram_lm_score": sql_bigram_lm_score("duckdb"),
+        "corpus_materialize": sql_corpus_materialize("duckdb"),
         "repetition_metrics": sql_repetition_metrics("duckdb"),
         "media_features": sql_media_features("duckdb"),
         "sitemap_candidates": sql_sitemap_candidates("duckdb"),

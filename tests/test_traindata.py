@@ -698,3 +698,33 @@ class TestBigramLmScore:
             lps = [math.log((bc[p] + k) / (pc[p[0]] + k * V))
                    for (d, p) in pairs if d == i]
             assert abs(got[i] - sum(lps) / len(lps)) < 1e-12, i
+
+
+class TestMaterializeCorpus:
+    def test_each_stage_drops_its_target(self, spark):
+        from atra_spark.functions.pipeline import materialize_corpus
+
+        good = ("word%d " * 40) % tuple(range(40))
+        bench = "what is the capital of france the answer is paris indeed here"
+        rows = [
+            (1, good + "original"),
+            (2, good + "original"),            # exact dup of 1 -> dropped
+            (3, "short text"),                 # < 30 tokens -> dropped
+            (4, good + "x " + bench + " y z"), # contaminated -> dropped
+            (5, good + "clean survivor"),
+        ]
+        train = spark.createDataFrame(rows, "doc_id long, text string")
+        ev = spark.createDataFrame(
+            [(900, "benchmark item " + bench + " end")], "doc_id long, text string"
+        )
+        kept = {r["doc_id"] for r in materialize_corpus(
+            train, ev, decontam_min_shared=1
+        ).collect()}
+        assert kept == {1, 5}
+
+    def test_no_eval_skips_decontamination(self, spark):
+        from atra_spark.functions.pipeline import materialize_corpus
+
+        good = ("tok%d " * 40) % tuple(range(40))
+        train = spark.createDataFrame([(1, good)], "doc_id long, text string")
+        assert materialize_corpus(train).count() == 1
