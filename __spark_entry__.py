@@ -1224,21 +1224,25 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_pagerank(dialect: str) -> str:
     """Twin of graph.pagerank on the same deterministic edge set: the
     5 power iterations unrolled as chained CTEs (contribution sum +
-    dangling-mass scalar per iteration), damping 0.85, HALF_UP 6dp."""
+    dangling-mass scalar per iteration), damping 0.85, HALF_UP 6dp.
+    MATERIALIZED on DuckDB: each pr CTE is referenced twice by the next
+    iteration and DuckDB inlines CTEs by default, so the inline chain
+    costs 2^iterations base evaluations."""
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
     its = []
     prev = "pr0"
     for i in range(1, 6):
-        its.append(f"""dang{i} AS (
+        its.append(f"""dang{i} AS {mat}(
   SELECT coalesce(sum(p.pr), 0.0) AS dang
   FROM {prev} p LEFT JOIN deg ON p.node = deg.src
   WHERE deg.src IS NULL
 ),
-contrib{i} AS (
+contrib{i} AS {mat}(
   SELECT e.dst AS node, sum(p.pr / deg.deg) AS contrib
   FROM edges e JOIN {prev} p ON e.src = p.node JOIN deg ON deg.src = e.src
   GROUP BY e.dst
 ),
-pr{i} AS (
+pr{i} AS {mat}(
   SELECT nodes.node,
          (1 - 0.85) / (SELECT n FROM nn)
            + 0.85 * (coalesce(c.contrib, 0.0)
@@ -1261,6 +1265,72 @@ deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
 pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
 {chain}
 SELECT node, {_rnd('pr', 6)} AS pr FROM {prev}
+"""
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the same deterministic events graph
+    as pagerank: 5 iterations, L1 normalization after each half-update
+    (atra_spark.functions.graph.hits). Oracle: sql_hits unrolls the
+    iterations."""
+    from atra_spark.functions.graph import hits
+
+    _register(spark, sf_dir)
+    ev = spark.table("events")
+    edges = ev.select(
+        (F.col("user_id") % 100).cast("long").alias("src"),
+        (F.col("event_id") % 97).cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    out = hits(edges, iterations=5)
+    r6 = lambda c: F.floor(c * 1000000 + 0.5 + 1e-6).cast("double") / 1000000
+    return out.select("node", r6(F.col("hub")).alias("hub"), r6(F.col("auth")).alias("auth"))
+
+
+def sql_hits(dialect: str) -> str:
+    """Twin of graph.hits: 5 unrolled iterations of the two L1-
+    normalized half-updates over the same deterministic edge set.
+
+    Every iteration CTE is referenced more than once by its successors
+    (the join AND the normalizing scalar), and DuckDB INLINES CTEs by
+    default — without MATERIALIZED the unrolled chain re-evaluates
+    ~4^iterations times and never finishes."""
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
+    its = []
+    prev_h = "h0"
+    prev_a = None
+    for i in range(1, 6):
+        its.append(f"""ra{i} AS {mat}(
+  SELECT e.dst AS node, sum(h.score) AS raw
+  FROM edges e JOIN {prev_h} h ON e.src = h.node GROUP BY e.dst
+),
+a{i} AS {mat}(
+  SELECT n.node, coalesce(r.raw, 0.0) / (SELECT coalesce(sum(raw), 1.0) FROM ra{i}) AS score
+  FROM nodes n LEFT JOIN ra{i} r ON n.node = r.node
+),
+rh{i} AS {mat}(
+  SELECT e.src AS node, sum(a.score) AS raw
+  FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+),
+h{i} AS {mat}(
+  SELECT n.node, coalesce(r.raw, 0.0) / (SELECT coalesce(sum(raw), 1.0) FROM rh{i}) AS score
+  FROM nodes n LEFT JOIN rh{i} r ON n.node = r.node
+)""")
+        prev_h, prev_a = f"h{i}", f"a{i}"
+    chain = ",\n".join(its)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT CAST(user_id % 100 AS BIGINT) AS src,
+                  CAST(event_id % 97 AS BIGINT) AS dst
+  FROM events WHERE user_id % 100 <> event_id % 97
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+h0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS score FROM nodes),
+{chain}
+SELECT h.node, {_rnd('h.score', 6)} AS hub, {_rnd('a.score', 6)} AS auth
+FROM {prev_h} h JOIN {prev_a} a ON h.node = a.node
 """
 
 
@@ -1745,6 +1815,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination": q_decontamination,
     "embedding_near_dup": q_embedding_near_dup,
     "pagerank": q_pagerank,
+    "hits": q_hits,
     "stratified_sample": q_stratified_sample,
     "hash_sample": q_hash_sample,
     "bigram_lm_score": q_bigram_lm_score,
@@ -1777,6 +1848,7 @@ def _custom_oracles() -> dict[str, str]:
         "decontamination": sql_decontamination("duckdb"),
         "embedding_near_dup": sql_embedding_near_dup("duckdb"),
         "pagerank": sql_pagerank("duckdb"),
+        "hits": sql_hits("duckdb"),
         "stratified_sample": sql_stratified_sample("duckdb"),
         "hash_sample": sql_hash_sample("duckdb"),
         "bigram_lm_score": sql_bigram_lm_score("duckdb"),

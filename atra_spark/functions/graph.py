@@ -87,3 +87,72 @@ def pagerank(
     nodes.unpersist()
     out_deg.unpersist()
     return pr
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg) — fixed iterations with
+    L1 normalization after each update, the web-graph's second
+    classic centrality next to :func:`pagerank`.
+
+    Per iteration: ``auth(v) = Σ_{(u,v)} hub(u)`` then L1-normalize,
+    ``hub(u) = Σ_{(u,v)} auth(v)`` then L1-normalize. Nodes without
+    the relevant edges score 0. Returns (node, hub, auth).
+
+    Same scale shape as pagerank: each half-update is ONE shuffle of a
+    narrow (node, double) relation keyed on the join side; the
+    normalizing mass rides along as a broadcast 1-row aggregate (no
+    driver round-trip). L1 (not L2) normalization keeps the SQL twin
+    free of sqrt-of-sum ulp drift.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    hub = nodes.select("node", F.lit(1.0 / n).alias("score"))
+    auth = None
+    for _ in range(int(iterations)):
+        raw_a = (
+            e.join(hub, e["src"] == hub["node"])
+            .select(F.col("dst").alias("node"), F.col("score").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("raw"))
+        )
+        mass_a = raw_a.agg(F.coalesce(F.sum("raw"), F.lit(1.0)).alias("m"))
+        auth = (
+            nodes.join(raw_a, on="node", how="left")
+            .crossJoin(F.broadcast(mass_a))
+            .select(
+                "node", (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("m")).alias("score")
+            )
+            .localCheckpoint(eager=True)
+        )
+        raw_h = (
+            e.join(auth, e["dst"] == auth["node"])
+            .select(F.col("src").alias("node"), F.col("score").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("raw"))
+        )
+        mass_h = raw_h.agg(F.coalesce(F.sum("raw"), F.lit(1.0)).alias("m"))
+        hub = (
+            nodes.join(raw_h, on="node", how="left")
+            .crossJoin(F.broadcast(mass_h))
+            .select(
+                "node", (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("m")).alias("score")
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = (
+        hub.select("node", F.col("score").alias("hub"))
+        .join(auth.select("node", F.col("score").alias("auth")), on="node")
+    )
+    nodes.unpersist()
+    return out

@@ -728,3 +728,32 @@ class TestMaterializeCorpus:
         good = ("tok%d " * 40) % tuple(range(40))
         train = spark.createDataFrame([(1, good)], "doc_id long, text string")
         assert materialize_corpus(train).count() == 1
+
+
+class TestHits:
+    def test_matches_numpy_iteration(self, spark):
+        from atra_spark.functions.graph import hits
+
+        edges = [(0, 1), (0, 2), (1, 2), (3, 2), (2, 0)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: (r["hub"], r["auth"]) for r in hits(df, iterations=5).collect()}
+
+        import numpy as np
+
+        nodes = sorted({x for e in edges for x in e})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        A = np.zeros((n, n))
+        for s, d in edges:
+            A[idx[s], idx[d]] = 1.0
+        h = np.full(n, 1.0 / n)
+        for _ in range(5):
+            a = A.T @ h
+            a /= a.sum() if a.sum() else 1.0
+            h = A @ a
+            h /= h.sum() if h.sum() else 1.0
+        for v in nodes:
+            assert abs(got[v][0] - h[idx[v]]) < 1e-12, ("hub", v)
+            assert abs(got[v][1] - a[idx[v]]) < 1e-12, ("auth", v)
+        # node 2 receives from 3 distinct hubs: the top authority
+        assert got[2][1] == max(x[1] for x in got.values())
