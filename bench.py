@@ -43,6 +43,8 @@ HEADLINE = [
     "dedup_clusters",
     "decontamination",
     "embedding_near_dup",
+    "pagerank",
+    "bigram_lm_score",
 ]
 
 
