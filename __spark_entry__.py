@@ -1803,6 +1803,269 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # custom (non-SQL Spark path) queries and their DuckDB oracles
+def _r6(col: F.Column) -> F.Column:
+    """HALF_UP 6dp — Spark twin of _rnd(expr, 6)."""
+    return F.floor(col * 1000000 + 0.5 + 1e-6).cast("double") / 1000000
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document chunk dedup (CCNet paragraph-dedup analog): keep
+    the globally-first occurrence of every 10-token chunk, reassemble
+    surviving text (atra_spark.functions.dedup.chunk_dedup). Oracle:
+    sql_chunk_dedup."""
+    from atra_spark.functions.dedup import chunk_dedup
+
+    _register(spark, sf_dir)
+    return chunk_dedup(spark.table("documents"), chunk_tokens=10)
+
+
+def sql_chunk_dedup(dialect: str) -> str:
+    """Twin of dedup.chunk_dedup: same 10-token chunking, 60-bit chunk
+    hash, packed (doc_id << 20 | chunk_idx) winner election, ordered
+    reassembly of kept chunks."""
+    if dialect == "spark":
+        chunks = r"""
+arr AS (SELECT doc_id, split(lower(trim(text)), '\\s+') AS toks FROM documents),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         concat_ws(' ', slice(toks, i * 10 + 1, 10)) AS chunk
+  FROM arr
+  LATERAL VIEW explode(sequence(0, CAST(ceil(size(toks) / 10.0) AS INT) - 1)) t AS i
+)"""
+        rebuilt = (
+            "concat_ws(' ', transform(sort_array(collect_list("
+            "CASE WHEN kept THEN struct(chunk_idx, chunk) END)), s -> s.chunk))"
+        )
+    else:
+        chunks = r"""
+arr AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         array_to_string(toks[CAST(i * 10 + 1 AS INT):CAST(i * 10 + 10 AS INT)], ' ') AS chunk
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS i
+    FROM arr
+  ) u
+)"""
+        rebuilt = "coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE kept), '')"
+    return f"""
+WITH {chunks.strip()},
+hashed AS (
+  SELECT doc_id, chunk_idx, chunk, {_hex_hash('chunk', dialect)} AS fp,
+         doc_id * 1048576 + chunk_idx AS pos_key
+  FROM chunks
+),
+win AS (SELECT fp, min(pos_key) AS w FROM hashed GROUP BY fp),
+flagged AS (
+  SELECT h.doc_id, h.chunk_idx, h.chunk, (h.pos_key = win.w) AS kept
+  FROM hashed h JOIN win ON h.fp = win.fp
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       {rebuilt} AS dedup_text
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+_BM25_TERMS = ("join", "spark", "window")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for a fixed bag-of-words query
+    (atra_spark.functions.retrieval.bm25_topk — Lucene idf variant,
+    k1=1.2 b=0.75). Oracle: sql_bm25_topk."""
+    from atra_spark.functions.retrieval import bm25_topk
+
+    _register(spark, sf_dir)
+    out = bm25_topk(spark.table("documents"), list(_BM25_TERMS), k=10)
+    return out.select("doc_id", _r6(F.col("score")).alias("score"))
+
+
+def sql_bm25_topk(dialect: str) -> str:
+    """Twin of retrieval.bm25_topk: same tokenizer, document lengths
+    over ALL docs (empty docs count with dl=0), Lucene idf, k1=1.2
+    b=0.75, top-10 by (score DESC, doc_id ASC)."""
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    if dialect == "spark":
+        dl = "CAST(size(filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')) AS DOUBLE)"
+    else:
+        dl = r"CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS DOUBLE)"
+    return f"""
+WITH {_tokens_cte(dialect).strip()},
+lens AS (SELECT doc_id, {dl} AS dl FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS ad FROM lens),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE tok IN ({terms})
+  GROUP BY doc_id, tok
+),
+dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+idf AS (
+  SELECT tok, ln(1.0 + ((SELECT nd FROM stats) - df + 0.5) / (df + 0.5)) AS idf
+  FROM dfreq
+),
+scored AS (
+  SELECT t.doc_id,
+         sum(i.idf * t.tf * (1.2 + 1.0)
+             / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / (SELECT ad FROM stats)))) AS score
+  FROM tf t JOIN idf i ON t.tok = i.tok JOIN lens l ON t.doc_id = l.doc_id
+  GROUP BY t.doc_id
+)
+SELECT doc_id, {_rnd('score', 6)} AS score
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's native session_window
+    (atra_spark.functions.sessions.sessionize, 30-minute gap) — the
+    analytics twin of the reference's per-origin last-access state.
+    Oracle: sql_event_sessions (lag/cumsum formulation)."""
+    from atra_spark.functions.sessions import sessionize
+
+    _register(spark, sf_dir)
+    out = sessionize(spark.table("events"), gap="30 minutes")
+    return out.select(
+        "user_id", "session_start", "session_end_ts", "n_events",
+        _r6(F.col("sum_value")).alias("sum_value"),
+    )
+
+
+def sql_event_sessions(dialect: str) -> str:
+    """Twin of sessions.sessionize: a session's end extends to
+    last_event + gap and the merge bound is INCLUSIVE (Spark's
+    UpdatingSessions merges when next_start <= current_end), so a new
+    session starts iff ts is STRICTLY greater than prev_ts + 30min."""
+    if dialect == "spark":
+        fmt_min = "date_format(min(ts), 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+        fmt_max = "date_format(max(ts), 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+    else:
+        fmt_min = "strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f')"
+        fmt_max = "strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f')"
+    return f"""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flags AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL '30' MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags
+)
+SELECT user_id,
+       {fmt_min} AS session_start,
+       {fmt_max} AS session_end_ts,
+       count(*) AS n_events,
+       {_rnd('sum(value)', 6)} AS sum_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (hashed-unigram bag model, target =
+    lang-'en' slice; atra_spark.functions.textstats.dsir_logweight,
+    arXiv:2302.03169). Oracle: sql_dsir_weights."""
+    from atra_spark.functions.textstats import dsir_logweight
+
+    _register(spark, sf_dir)
+    out = dsir_logweight(spark.table("documents"), buckets=64)
+    return out.select("doc_id", _r6(F.col("dsir_logweight")).alias("dsir_logweight"))
+
+
+def sql_dsir_weights(dialect: str) -> str:
+    """Twin of textstats.dsir_logweight: same 60-bit token hash % 64
+    buckets, add-1 smoothing over both distributions, per-doc sum of
+    log-likelihood ratios."""
+    if dialect == "spark":
+        toks = r"""
+toks AS (
+  SELECT doc_id, (lang = 'en') AS is_target, tok
+  FROM documents
+  LATERAL VIEW explode(split(lower(trim(text)), '\\s+')) t AS tok
+  WHERE tok <> ''
+)"""
+    else:
+        toks = r"""
+toks AS (
+  SELECT doc_id, is_target, tok FROM (
+    SELECT doc_id, (lang = 'en') AS is_target,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+  ) u WHERE tok <> ''
+)"""
+    return f"""
+WITH {toks.strip()},
+feat AS (
+  SELECT doc_id, is_target, {_hex_hash('tok', dialect)} % 64 AS bucket FROM toks
+),
+counts AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS DOUBLE) AS tc,
+         CAST(count(*) AS DOUBLE) AS rc
+  FROM feat GROUP BY bucket
+),
+tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM counts),
+ratios AS (
+  SELECT bucket,
+         ln(((tc + 1.0) / ((SELECT tt FROM tot) + 64.0))
+            / ((rc + 1.0) / ((SELECT rt FROM tot) + 64.0))) AS llr
+  FROM counts
+)
+SELECT f.doc_id, {_rnd('sum(r.llr)', 6)} AS dsir_logweight
+FROM feat f JOIN ratios r ON f.bucket = r.bucket
+GROUP BY f.doc_id
+"""
+
+
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality rollup for domain-level corpus filtering
+    (atra_spark.functions.textstats.source_quality_rollup). Oracle:
+    sql_source_quality."""
+    from atra_spark.functions.textstats import source_quality_rollup
+
+    _register(spark, sf_dir)
+    out = source_quality_rollup(spark.table("documents"), low_tokens=40)
+    return out.select(
+        "source", "n_docs",
+        _r6(F.col("avg_tokens")).alias("avg_tokens"),
+        _r6(F.col("low_quality_share")).alias("low_quality_share"),
+        "n_langs",
+    )
+
+
+def sql_source_quality(dialect: str) -> str:
+    """Twin of textstats.source_quality_rollup: per-source doc count,
+    mean non-empty-token count, sub-40-token share, distinct langs."""
+    if dialect == "spark":
+        ntok = "CAST(size(filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')) AS DOUBLE)"
+    else:
+        ntok = r"CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS DOUBLE)"
+    return f"""
+WITH base AS (SELECT source, lang, {ntok} AS ntok FROM documents)
+SELECT source,
+       count(*) AS n_docs,
+       {_rnd('avg(ntok)', 6)} AS avg_tokens,
+       {_rnd('sum(CASE WHEN ntok < 40 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)', 6)} AS low_quality_share,
+       count(DISTINCT lang) AS n_langs
+FROM base
+GROUP BY source
+"""
+
+
 _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
@@ -1829,6 +2092,11 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_seen": q_crawl_seen,
     "host_state_fold": q_host_state_fold,
     "state_lookup_index": q_state_lookup_index,
+    "chunk_dedup": q_chunk_dedup,
+    "bm25_topk": q_bm25_topk,
+    "event_sessions": q_event_sessions,
+    "dsir_weights": q_dsir_weights,
+    "source_quality": q_source_quality,
 }
 
 
@@ -1859,6 +2127,11 @@ def _custom_oracles() -> dict[str, str]:
         "tfidf_topk": sql_tfidf_topk("duckdb"),
         "host_state_fold": sql_host_state_fold_oracle(),
         "state_lookup_index": sql_state_lookup_oracle(),
+        "chunk_dedup": sql_chunk_dedup("duckdb"),
+        "bm25_topk": sql_bm25_topk("duckdb"),
+        "event_sessions": sql_event_sessions("duckdb"),
+        "dsir_weights": sql_dsir_weights("duckdb"),
+        "source_quality": sql_source_quality("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
             f"FROM read_parquet('{oracle_dir}/crawl_results.parquet')"

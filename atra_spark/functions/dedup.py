@@ -251,6 +251,85 @@ def simhash_near_pairs(
     return simhash_near_pairs_from_sigs(simhash(df, text_col, id_col), max_hamming)
 
 
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Sub-document (paragraph-level) dedup, CCNet-style: split each
+    document into consecutive ``chunk_tokens``-token chunks, keep only
+    the globally-FIRST occurrence of every distinct chunk (first =
+    lowest (doc_id, chunk_idx)), and reassemble the surviving text.
+    This removes boilerplate passages repeated across pages — the
+    within-corpus analog of the reference's per-page passage handling
+    (SURVEY.md §2; cf. duplicate_passage_pairs in textstats, which
+    DETECTS cross-doc passages, while this operator REMOVES them).
+
+    Everything is JVM expressions: chunking is slice() over the token
+    array (no Python), the winner election is ONE shuffle keyed on the
+    60-bit chunk hash — min over a PACKED bigint (doc_id << 20 |
+    chunk_idx) rather than min-of-struct, because a struct agg buffer
+    is var-length and demotes the whole aggregate to SortAggregate;
+    the packed key keeps it a map-side-combined HashAggregate (bound:
+    chunk_idx < 2^20, i.e. docs up to ~10M tokens at the default chunk
+    size — enforced nowhere because a 10M-token "document" is already
+    a corpus bug). The keep-join is on the same hash key so AQE reuses
+    the exchange. Reassembly is a groupBy(doc) with an order-restoring
+    sort_array(collect_list(struct(idx, chunk))) — the only holistic
+    agg, keyed on the doc id, one shuffle.
+
+    100 TB posture: cost is O(total chunks) through two hash-partitioned
+    exchanges; nothing is broadcast, no driver residency, no O(n^2)
+    pair space. Hot boilerplate chunks concentrate on their hash key
+    but the winner aggregate is algebraic (min), so map-side partial
+    aggregation absorbs the skew before the shuffle.
+
+    Returns (doc_id, n_chunks, n_kept, dedup_text).
+    """
+    c = int(chunk_tokens)
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(c))).cast("int")
+    idx = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = (
+        df.select(F.col(id_col).alias("id"), toks.alias("toks"), F.explode(idx).alias("chunk_idx"))
+        .select(
+            "id",
+            "chunk_idx",
+            F.concat_ws(" ", F.slice("toks", F.col("chunk_idx") * c + 1, c)).alias("chunk"),
+        )
+        .withColumn("fp", content_hash(F.col("chunk")))
+        .withColumn("pos_key", F.shiftleft(F.col("id"), 20) + F.col("chunk_idx"))
+    )
+    winners = chunks.groupBy("fp").agg(F.min("pos_key").alias("w"))
+    kept_flag = (
+        chunks.join(winners, on="fp")
+        .withColumn("kept", F.col("pos_key") == F.col("w"))
+        .drop("w", "pos_key")
+    )
+    return (
+        kept_flag.groupBy("id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("kept").cast("int")).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct(F.col("chunk_idx"), F.col("chunk")))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("dedup_text"),
+        )
+        .select(F.col("id").alias("doc_id"), "n_chunks", "n_kept", "dedup_text")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",

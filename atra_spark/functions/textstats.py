@@ -413,3 +413,113 @@ def bigram_lm_score(
         .groupBy("id")
         .agg(F.avg("lp").alias("lm_logprob"))
     )
+
+
+def dsir_logweight(
+    df: DataFrame,
+    target_cond: F.Column | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    buckets: int = 64,
+) -> DataFrame:
+    """DSIR-style importance weight per document (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169): model the target and raw corpora as bags of
+    HASHED unigram features, weight each raw document by its
+    log-likelihood ratio, then resample proportionally to the weight.
+    This is the principled replacement for hand-tuned quality
+    thresholds when steering a 100 TB crawl toward a target domain.
+
+    Features are ``content_hash(token) % buckets`` — the same 60-bit
+    md5 family as every other operator, so the DuckDB oracle runs the
+    identical arithmetic. Both distributions are add-1-smoothed over
+    the bucket space:
+
+        w(doc) = sum over tokens t of
+                 ln( p_target(bucket(t)) / p_raw(bucket(t)) )
+
+    ``target_cond`` selects the target slice (default: lang = 'en').
+
+    100 TB posture: the two distribution "models" are ``buckets`` rows
+    each — ONE map-side-combined aggregation over the token stream,
+    broadcast back as a literal-sized relation; scoring is a per-token
+    projection + one shuffle keyed on the doc id for the sum. Nothing
+    holistic, nothing driver-resident, no second pass over text.
+
+    Returns (doc_id, dsir_logweight) for documents with >= 1 token.
+    """
+    from .dedup import content_hash
+
+    if target_cond is None:
+        target_cond = F.col(lang_col) == "en"
+    b = int(buckets)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        target_cond.alias("is_target"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    feat = toks.select(
+        "id", "is_target", F.pmod(content_hash(F.col("tok")), F.lit(b)).alias("bucket")
+    )
+    counts = feat.groupBy("bucket").agg(
+        F.sum(F.col("is_target").cast("long")).alias("tc"),
+        F.count("*").alias("rc"),
+    )
+    totals = counts.agg(
+        F.sum("tc").cast("double").alias("tt"), F.sum("rc").cast("double").alias("rt")
+    )
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.log(
+            ((F.col("tc") + 1.0) / (F.col("tt") + float(b)))
+            / ((F.col("rc") + 1.0) / (F.col("rt") + float(b)))
+        ).alias("llr"),
+    )
+    return (
+        feat.join(F.broadcast(ratios), on="bucket")
+        .groupBy("id")
+        .agg(F.sum("llr").alias("dsir_logweight"))
+        .select(F.col("id").alias("doc_id"), "dsir_logweight")
+    )
+
+
+def source_quality_rollup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    low_tokens: int = 40,
+) -> DataFrame:
+    """Per-source (per-domain) quality rollup — the corpus-curation
+    aggregate behind domain-level filtering (drop/deprioritize whole
+    hosts whose pages are consistently short or junk, the FineWeb/
+    RefinedWeb domain-blocklist construction step; crawl-side twin of
+    the reference's per-host budget accounting, config/crawl.rs).
+
+    Pure algebraic groupBy on the source key: doc count, mean token
+    count, low-quality share, distinct languages. ONE map-side-combined
+    shuffle at any scale; output cardinality = #domains.
+
+    Returns (source, n_docs, avg_tokens, low_quality_share, n_langs).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ntok = F.size(F.filter(toks, lambda t: t != F.lit("")))
+    return (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.col(lang_col).alias("lang"),
+            ntok.cast("double").alias("ntok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg("ntok").alias("avg_tokens"),
+            (
+                F.sum((F.col("ntok") < float(low_tokens)).cast("long"))
+                / F.count("*")
+            ).alias("low_quality_share"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )

@@ -45,6 +45,10 @@ HEADLINE = [
     "embedding_near_dup",
     "pagerank",
     "bigram_lm_score",
+    "chunk_dedup",
+    "bm25_topk",
+    "event_sessions",
+    "dsir_weights",
 ]
 
 

@@ -286,3 +286,65 @@ class TestPipelineOperatorPlans:
         # id inequality only as a post-join filter — never a cross join
         assert "lsh_bucket" in plan
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRound4SessionOpsPlans:
+    """Plan shapes for chunk dedup, BM25, and sessionization."""
+
+    def test_chunk_dedup_winner_stays_hash_aggregate(self, spark):
+        from atra_spark.functions.dedup import chunk_dedup
+
+        df = spark.createDataFrame(
+            [(i, "w x y z " * 5) for i in range(8)], "doc_id long, text string"
+        )
+        plan = _plan(chunk_dedup(df))
+        # the packed-bigint winner election must NOT demote to
+        # SortAggregate (a min-of-struct buffer would); the only
+        # permissible non-hash agg is the reassembly collect_list,
+        # which plans as ObjectHashAggregate
+        assert "SortAggregate" not in plan
+        assert "HashAggregate" in plan
+
+    def test_bm25_small_relations_broadcast(self, spark):
+        from atra_spark.functions.retrieval import bm25_topk
+
+        df = spark.createDataFrame(
+            [(i, "spark join filler") for i in range(8)], "doc_id long, text string"
+        )
+        plan = _plan(bm25_topk(df, ["spark", "join"]))
+        # idf (per-query-term) and corpus stats are literal-sized:
+        # they must reach the score join as broadcasts, and the final
+        # top-k must be a TakeOrdered, not a global sort
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_bm25_query_term_filter_before_shuffle(self, spark):
+        from atra_spark.functions.retrieval import bm25_topk
+
+        df = spark.createDataFrame(
+            [(i, "spark join filler") for i in range(8)], "doc_id long, text string"
+        )
+        plan = _plan(bm25_topk(df, ["spark", "join"]), mode="simple")
+        # the isin literal predicate prunes the exploded token stream
+        # BEFORE the tf aggregation's exchange: the filter must sit
+        # below (after, in print order) the first Exchange
+        first_exchange = plan.find("Exchange")
+        assert first_exchange != -1
+        assert plan.find("IN (join,spark)", first_exchange) != -1 or \
+            plan.find("IN (spark,join)", first_exchange) != -1, \
+            "query-term filter must appear below the shuffle"
+
+    def test_sessionize_single_user_exchange(self, spark):
+        from atra_spark.functions.sessions import sessionize
+
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), 1, 1.0)],
+            "event_id long, ts timestamp_ntz, user_id long, value double",
+        )
+        plan = _plan(sessionize(df), mode="simple")
+        # native session_window: one hash exchange keyed on the user,
+        # session fragments pre-merged map-side
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "user_id" in plan[plan.find("Exchange"):]

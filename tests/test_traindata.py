@@ -757,3 +757,140 @@ class TestHits:
             assert abs(got[v][1] - a[idx[v]]) < 1e-12, ("auth", v)
         # node 2 receives from 3 distinct hubs: the top authority
         assert got[2][1] == max(x[1] for x in got.values())
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: chunk dedup, BM25 retrieval, sessionization, DSIR
+# ---------------------------------------------------------------------------
+from atra_spark.functions import retrieval, sessions  # noqa: E402
+
+
+class TestChunkDedup:
+    def test_cross_doc_repeated_chunk_removed_once(self, spark):
+        a = "a b c d e f g h i j"            # chunks(5): [a..e], [f..j]
+        b = "a b c d e x y z w v"            # chunk0 duplicates doc1's chunk0
+        df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+        out = {r["doc_id"]: r for r in dedup.chunk_dedup(df, chunk_tokens=5).collect()}
+        assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+        assert out[1]["dedup_text"] == a
+        assert out[2]["n_kept"] == 1 and out[2]["dedup_text"] == "x y z w v"
+
+    def test_within_doc_dup_and_order_preserved(self, spark):
+        t = "p q r s t p q r s t u v w x y"  # chunks(5): dup, dup, unique
+        df = spark.createDataFrame([(7, t)], "doc_id long, text string")
+        r = dedup.chunk_dedup(df, chunk_tokens=5).collect()[0]
+        assert r["n_chunks"] == 3 and r["n_kept"] == 2
+        assert r["dedup_text"] == "p q r s t u v w x y"
+
+    def test_short_tail_chunk_kept(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g"), (2, "f g")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in dedup.chunk_dedup(df, chunk_tokens=5).collect()}
+        # doc1's tail chunk "f g" wins (lower doc id); doc2 loses its only chunk
+        assert out[1]["dedup_text"] == "a b c d e f g"
+        assert out[2]["n_kept"] == 0 and out[2]["dedup_text"] == ""
+
+
+class TestBM25:
+    DOCS = [
+        (0, "spark spark spark filler filler filler"),
+        (1, "spark filler filler filler filler filler"),
+        (2, "filler filler filler filler filler filler"),
+        (3, "rare filler filler filler filler filler"),
+    ]
+
+    def test_tf_ranking_and_rare_term_idf(self, spark):
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        top = retrieval.bm25_topk(df, ["spark"], k=2).collect()
+        assert [r["doc_id"] for r in top] == [0, 1]
+        both = {
+            r["doc_id"]: r["score"]
+            for r in retrieval.bm25_topk(df, ["rare", "spark"], k=4).collect()
+        }
+        # equal tf, equal dl: the rarer term (df=1) must outscore (df=2)
+        assert both[3] > both[1]
+        assert 2 not in both  # no query term -> no row
+
+    def test_matches_pure_python(self, spark):
+        import math
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = {r["doc_id"]: r["score"] for r in retrieval.bm25_topk(df, ["spark"], k=10).collect()}
+        toks = {i: t.split() for i, t in self.DOCS}
+        n = len(toks)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        dfreq = sum(1 for v in toks.values() if "spark" in v)
+        idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        for i, v in toks.items():
+            tf = v.count("spark")
+            if not tf:
+                assert i not in got
+                continue
+            exp = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl))
+            assert got[i] == pytest.approx(exp, rel=1e-12)
+
+
+class TestSessionize:
+    def test_gap_boundary_merges_inclusive(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, base, 10, 1.0),
+            (2, base + dt.timedelta(minutes=29), 10, 2.0),  # merges: 29 < 30
+            # exactly +30 after prev: STILL merges (Spark's UpdatingSessions
+            # bound is inclusive: next_start <= current_end)
+            (3, base + dt.timedelta(minutes=59), 10, 4.0),
+            # +30min 1s after prev: strictly past the bound -> new session
+            (4, base + dt.timedelta(minutes=89, seconds=1), 10, 16.0),
+            (5, base + dt.timedelta(minutes=100), 20, 8.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long, value double"
+        )
+        out = sessions.sessionize(df, gap="30 minutes").collect()
+        u10 = sorted(
+            (r for r in out if r["user_id"] == 10), key=lambda r: r["session_start"]
+        )
+        assert len(u10) == 2
+        assert u10[0]["n_events"] == 3 and u10[0]["sum_value"] == pytest.approx(7.0)
+        assert u10[0]["session_start"].startswith("2024-01-01 00:00:00")
+        assert u10[0]["session_end_ts"].startswith("2024-01-01 00:59:00")
+        assert u10[1]["n_events"] == 1 and u10[1]["sum_value"] == pytest.approx(16.0)
+        assert len([r for r in out if r["user_id"] == 20]) == 1
+
+
+class TestDSIRWeights:
+    def test_target_vocab_scores_above_raw_vocab(self, spark):
+        # zebra/delta chosen to NOT bucket-collide with alpha/beta under
+        # md5 % 64 (alpha=59, beta=43, zebra=24, delta=17)
+        rows = (
+            [(i, "alpha beta alpha beta", "en") for i in range(10)]
+            + [(100 + i, "zebra delta zebra delta", "xx") for i in range(10)]
+            + [(200, "alpha beta alpha beta", "xx"), (201, "zebra delta zebra delta", "yy")]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        w = {
+            r["doc_id"]: r["dsir_logweight"]
+            for r in textstats.dsir_logweight(df).collect()
+        }
+        # target-typical doc gets a strictly higher importance weight
+        assert w[200] > w[201]
+        assert w[200] > 0 > w[201]
+
+
+class TestSourceQualityRollup:
+    def test_rollup_values(self, spark):
+        rows = [
+            (0, "one two three", "en", "good"),
+            (1, " ".join(["tok"] * 50), "de", "good"),
+            (2, "short", "en", "bad"),
+            (3, "also short", "en", "bad"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+        out = {r["source"]: r for r in textstats.source_quality_rollup(df, low_tokens=4).collect()}
+        assert out["good"]["n_docs"] == 2 and out["good"]["n_langs"] == 2
+        assert out["good"]["avg_tokens"] == pytest.approx((3 + 50) / 2)
+        assert out["good"]["low_quality_share"] == pytest.approx(0.5)
+        assert out["bad"]["low_quality_share"] == pytest.approx(1.0)
