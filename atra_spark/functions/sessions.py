@@ -60,3 +60,25 @@ def sessionize(
         )
         .drop("sw")
     )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of :func:`sessionize` — the IDENTICAL aggregation
+    after a watermark. In append mode each session is emitted exactly
+    once, when the watermark passes its (end + gap) bound so no later
+    event can still merge into it; session fragments live in the state
+    store between micro-batches (pinned by the cross-batch merge test).
+    Late events inside the watermark re-open their session; events
+    older than the watermark are dropped — the same late/dup posture as
+    the ingest stream (streaming/ingest.py).
+    """
+    return sessionize(
+        events.withWatermark(ts_col, watermark), gap, user_col, ts_col, value_col
+    )

@@ -561,3 +561,76 @@ class TestWarcReferenceFixtures:
         reassembled = b"".join(b for _, b in got)
         assert reassembled.endswith(payload)
         assert got[-1][0]["WARC-Segment-Total-Length"] == str(len(reassembled))
+
+
+class TestStreamingSessions:
+    """sessionize_stream: the batch session_window aggregation run
+    under Structured Streaming — session fragments must MERGE across
+    micro-batches via the state store, and append mode must emit each
+    session exactly once after the watermark passes it."""
+
+    def test_sessions_merge_across_microbatches(self, spark, tmp_path):
+        from datetime import datetime, timezone
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from atra_spark.functions.sessions import sessionize_stream
+
+        t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+        def ts(minutes):
+            return datetime.fromtimestamp(t0.timestamp() + minutes * 60, tz=timezone.utc)
+
+        # wave0: user 1 events at 0 and 10 min; wave1 (NEXT micro-batch):
+        # user 1 at 20 min — merges into the SAME session only if fragment
+        # state survives the batch boundary — and at 120 min (new session).
+        # waves 2-3: far-future flush events advance the watermark so the
+        # earlier sessions finalize and emit in append mode.
+        waves = [
+            [(1, ts(0), 1, 1.0), (2, ts(10), 1, 2.0)],
+            [(3, ts(20), 1, 4.0), (4, ts(120), 1, 8.0)],
+            [(90, ts(3000), 99, 0.0)],
+            [(91, ts(6000), 99, 0.0)],
+        ]
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        for i, wave in enumerate(waves):
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_id": pa.array([w[0] for w in wave], pa.int64()),
+                        "ts": pa.array([w[1] for w in wave], pa.timestamp("us", "UTC")),
+                        "user_id": pa.array([w[2] for w in wave], pa.int64()),
+                        "value": pa.array([w[3] for w in wave], pa.float64()),
+                    }
+                ),
+                str(landing / f"wave{i}.parquet"),
+            )
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(landing))
+        )
+        out = str(tmp_path / "out")
+        q = (
+            sessionize_stream(stream, gap="30 minutes", watermark="1 minute")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = sorted(
+            (r for r in spark.read.parquet(out).collect() if r["user_id"] == 1),
+            key=lambda r: r["session_start"],
+        )
+        assert len(rows) == 2, f"expected 2 finalized sessions, got {rows}"
+        first, second = rows
+        # the 0/10/20-min events ended up in ONE session spanning batches
+        assert first["n_events"] == 3 and first["sum_value"] == 7.0
+        assert first["session_start"].startswith("2024-01-01 00:00:00")
+        assert first["session_end_ts"].startswith("2024-01-01 00:20:00")
+        assert second["n_events"] == 1 and second["sum_value"] == 8.0
