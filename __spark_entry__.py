@@ -2031,6 +2031,120 @@ GROUP BY f.doc_id
 """
 
 
+def q_event_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window rollup per event type
+    (atra_spark.functions.sessions.window_rollup — built-in window()
+    bucketing, one map-side-combined exchange). Oracle:
+    sql_event_window_rollup."""
+    from atra_spark.functions.sessions import window_rollup
+
+    _register(spark, sf_dir)
+    out = window_rollup(spark.table("events"), duration="1 hour")
+    return out.select(
+        "window_start", "key", "n_events", _r6(F.col("sum_value")).alias("sum_value")
+    )
+
+
+def sql_event_window_rollup(dialect: str) -> str:
+    """Twin of sessions.window_rollup: Spark's epoch-aligned 1-hour
+    tumbling bucket == date_trunc('hour')."""
+    if dialect == "spark":
+        ws = "date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+    else:
+        ws = "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f')"
+    return f"""
+SELECT {ws} AS window_start,
+       event_type AS key,
+       count(*) AS n_events,
+       {_rnd('sum(value)', 6)} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of value per event type
+    (atra_spark.functions.sessions.value_percentiles — exact
+    PERCENTILE_CONT-interpolation aggregate, not approx). Oracle:
+    sql_value_percentiles."""
+    from atra_spark.functions.sessions import value_percentiles
+
+    _register(spark, sf_dir)
+    out = value_percentiles(spark.table("events"))
+    return out.select(
+        "key",
+        _r6(F.col("p50")).alias("p50"),
+        _r6(F.col("p95")).alias("p95"),
+        _r6(F.col("p99")).alias("p99"),
+    )
+
+
+def sql_value_percentiles(dialect: str) -> str:
+    """Twin of sessions.value_percentiles: linear-interpolation exact
+    percentiles (Spark percentile == DuckDB quantile_cont)."""
+    if dialect == "spark":
+        p = lambda q: f"percentile(value, {q})"  # noqa: E731
+    else:
+        p = lambda q: f"quantile_cont(value, {q})"  # noqa: E731
+    return f"""
+SELECT event_type AS key,
+       {_rnd(p(0.5), 6)} AS p50,
+       {_rnd(p(0.95), 6)} AS p95,
+       {_rnd(p(0.99), 6)} AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted host->host collapse of a URL edge table
+    (atra_spark.functions.graph.host_graph — Common-Crawl-style
+    domain-level webgraph; hosts via the engine's JVM host_col).
+    Edges synthesized deterministically from events. Oracle:
+    sql_host_graph."""
+    from atra_spark.functions.graph import host_graph
+
+    _register(spark, sf_dir)
+    ev = spark.table("events")
+    edges = ev.select(
+        F.concat(
+            F.lit("https://h"), (F.col("user_id") % 20).cast("string"),
+            F.lit(".example/p"), F.col("event_id").cast("string"),
+        ).alias("src"),
+        F.concat(
+            F.lit("https://h"), (F.col("event_id") % 17).cast("string"),
+            F.lit(".example/q"), F.col("event_id").cast("string"),
+        ).alias("dst"),
+    )
+    return host_graph(edges)
+
+
+def sql_host_graph(dialect: str) -> str:
+    """Twin of graph.host_graph over the same synthetic URL edges:
+    identical host regex (jvm_url._HOST_RE), lowercase, self-loop
+    drop, count-weighted collapse."""
+    host_re = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@?#]*@)?([^:/?#]+)"
+    concat_src = "'https://h' || CAST(user_id % 20 AS STRING) || '.example/p' || CAST(event_id AS STRING)"
+    concat_dst = "'https://h' || CAST(event_id % 17 AS STRING) || '.example/q' || CAST(event_id AS STRING)"
+    if dialect == "duckdb":
+        concat_src = concat_src.replace("AS STRING", "AS VARCHAR")
+        concat_dst = concat_dst.replace("AS STRING", "AS VARCHAR")
+    return f"""
+WITH edges AS (
+  SELECT {concat_src} AS src, {concat_dst} AS dst FROM events
+),
+hosts AS (
+  SELECT lower(regexp_extract(src, '{host_re}', 1)) AS src_host,
+         lower(regexp_extract(dst, '{host_re}', 1)) AS dst_host
+  FROM edges
+)
+SELECT src_host, dst_host, count(*) AS weight
+FROM hosts
+WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+GROUP BY src_host, dst_host
+"""
+
+
 def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality rollup for domain-level corpus filtering
     (atra_spark.functions.textstats.source_quality_rollup). Oracle:
@@ -2097,6 +2211,9 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_sessions": q_event_sessions,
     "dsir_weights": q_dsir_weights,
     "source_quality": q_source_quality,
+    "host_graph": q_host_graph,
+    "event_window_rollup": q_event_window_rollup,
+    "value_percentiles": q_value_percentiles,
 }
 
 
@@ -2132,6 +2249,9 @@ def _custom_oracles() -> dict[str, str]:
         "event_sessions": sql_event_sessions("duckdb"),
         "dsir_weights": sql_dsir_weights("duckdb"),
         "source_quality": sql_source_quality("duckdb"),
+        "host_graph": sql_host_graph("duckdb"),
+        "event_window_rollup": sql_event_window_rollup("duckdb"),
+        "value_percentiles": sql_value_percentiles("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
             f"FROM read_parquet('{oracle_dir}/crawl_results.parquet')"

@@ -82,3 +82,64 @@ def sessionize_stream(
     return sessionize(
         events.withWatermark(ts_col, watermark), gap, user_col, ts_col, value_col
     )
+
+
+def window_rollup(
+    events: DataFrame,
+    duration: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window rollup: (window_start, key, n_events,
+    sum_value) per fixed ``duration`` bucket — the fleet-metrics
+    aggregation the reference logs per crawl round (counters per
+    interval), generalized to any event stream.
+
+    Uses the built-in ``window()`` tumbling bucketing (pure column
+    math — each event maps to exactly one bucket, NO session state),
+    so it plans as one map-side-combined HashAggregate + one exchange
+    keyed on (bucket, key). Runs unchanged under Structured Streaming
+    with a watermark, same as :func:`sessionize_stream`.
+    """
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), duration).alias("w"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count("*").alias("n_events"), F.sum(value_col).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "key",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def value_percentiles(
+    events: DataFrame,
+    percentiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """EXACT linear-interpolation percentiles of ``value_col`` per key
+    (p50/p95/p99 by default) — the latency/size-distribution summary a
+    crawl operator reads per host class. Uses the built-in exact
+    ``percentile`` aggregate (same interpolation as SQL-standard
+    PERCENTILE_CONT), not approx_percentile, so an oracle can match it
+    bit-for-bit.
+
+    Scale note: exact percentiles are holistic — the agg buffers all
+    values per (key) group. That is the right trade for LOW-cardinality
+    keys (event types, status classes, host tiers: each group's values
+    fit an executor). For high-cardinality keys switch to
+    approx_percentile (t-digest, algebraic, map-side combined) and
+    accept the documented error bound; both are one exchange.
+    """
+    pcts = list(percentiles)
+    cols = [
+        F.expr(f"percentile({value_col}, {p})").alias(f"p{int(p * 100)}")
+        for p in pcts
+    ]
+    return events.groupBy(F.col(key_col).alias("key")).agg(*cols)

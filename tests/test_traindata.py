@@ -894,3 +894,153 @@ class TestSourceQualityRollup:
         assert out["good"]["avg_tokens"] == pytest.approx((3 + 50) / 2)
         assert out["good"]["low_quality_share"] == pytest.approx(0.5)
         assert out["bad"]["low_quality_share"] == pytest.approx(1.0)
+
+
+class TestHostGraph:
+    EDGES = [
+        ("https://a.example/1", "https://b.example/x"),
+        ("https://a.example/2", "https://b.example/y"),   # same host pair: weight 2
+        ("https://a.example/3", "https://A.EXAMPLE/nav"), # self-loop after lowering: dropped
+        ("https://b.example/1", "https://c.example/z"),
+        ("nonsense-not-a-url", "https://c.example/z"),    # unparseable src: dropped
+    ]
+
+    def test_collapse_weights_and_self_loops(self, spark):
+        from atra_spark.functions.graph import host_graph
+
+        df = spark.createDataFrame(self.EDGES, "src string, dst string")
+        got = {
+            (r["src_host"], r["dst_host"]): r["weight"]
+            for r in host_graph(df).collect()
+        }
+        assert got == {
+            ("a.example", "b.example"): 2,
+            ("b.example", "c.example"): 1,
+        }
+
+    def test_host_pagerank_matches_url_pagerank_on_host_ids(self, spark):
+        from atra_spark.functions.graph import host_graph, host_pagerank, pagerank
+
+        df = spark.createDataFrame(self.EDGES, "src string, dst string")
+        hp = {r["node"]: r["pr"] for r in host_pagerank(df, iterations=3).collect()}
+        # equivalent hand-collapsed unweighted graph
+        ref_edges = spark.createDataFrame(
+            [("a.example", "b.example"), ("b.example", "c.example")],
+            "src string, dst string",
+        )
+        ref = {r["node"]: r["pr"] for r in pagerank(ref_edges, iterations=3).collect()}
+        assert hp.keys() == ref.keys()
+        for k in ref:
+            assert hp[k] == pytest.approx(ref[k], rel=1e-12)
+        assert hp["c.example"] > hp["b.example"] > hp["a.example"] * 0  # sink ranks highest
+
+
+class TestWindowRollupAndPercentiles:
+    def test_tumbling_rollup(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, base + dt.timedelta(minutes=5), 1, "a", 1.0),
+            (2, base + dt.timedelta(minutes=55), 1, "a", 2.0),
+            (3, base + dt.timedelta(minutes=65), 1, "a", 4.0),   # next hour bucket
+            (4, base + dt.timedelta(minutes=10), 1, "b", 8.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+        )
+        from atra_spark.functions.sessions import window_rollup
+
+        got = {
+            (r["window_start"][:13], r["key"]): (r["n_events"], r["sum_value"])
+            for r in window_rollup(df).collect()
+        }
+        assert got[("2024-01-01 00", "a")] == (2, 3.0)
+        assert got[("2024-01-01 01", "a")] == (1, 4.0)
+        assert got[("2024-01-01 00", "b")] == (1, 8.0)
+
+    def test_exact_percentiles_match_numpy(self, spark):
+        import numpy as np
+
+        vals = [float(v) for v in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]]
+        df = spark.createDataFrame(
+            [(i, "t", v) for i, v in enumerate(vals)],
+            "event_id long, event_type string, value double",
+        )
+        from atra_spark.functions.sessions import value_percentiles
+
+        r = value_percentiles(df).collect()[0]
+        for col, q in (("p50", 50), ("p95", 95), ("p99", 99)):
+            assert r[col] == pytest.approx(
+                float(np.percentile(vals, q, method="linear")), rel=1e-12
+            )
+
+
+class TestIncrementalIngest:
+    """Cross-batch persistent dedup: the corpus fingerprint table must
+    carry membership across ingest calls, store reopens, and
+    compaction."""
+
+    @staticmethod
+    def _doc(seed):
+        # 36 tokens, space ratio ~0.17: passes the default quality gates
+        return " ".join(f"w{seed}x{j}" for j in range(36))
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cross_batch_dedup_and_provenance(self, spark, tmp_path):
+        from atra_spark.functions.pipeline import incremental_ingest
+        from atra_spark.sources.store import CheckpointStore
+
+        store = CheckpointStore(str(tmp_path / "s"), num_buckets=4)
+        ta, tb, tc = self._doc("a"), self._doc("b"), self._doc("c")
+        b1 = self._df(spark, [(1, ta), (2, tb)])
+        got1 = {r["doc_id"] for r in incremental_ingest(spark, store, b1, 1).collect()}
+        assert got1 == {1, 2}
+        # batch 2: doc3 duplicates ta (cross-batch), doc4/doc5 in-batch dups
+        b2 = self._df(spark, [(3, ta), (4, tc), (5, tc)])
+        got2 = {r["doc_id"] for r in incremental_ingest(spark, store, b2, 2).collect()}
+        assert got2 == {4}
+        fps = store.read_snapshot(spark, "corpus_fp").collect()
+        assert len(fps) == 3
+        by_doc = {r["doc_id"]: r["first_round"] for r in fps}
+        assert by_doc == {1: 1, 2: 1, 4: 2}
+
+    def test_membership_survives_reopen(self, spark, tmp_path):
+        from atra_spark.functions.pipeline import incremental_ingest
+        from atra_spark.sources.store import CheckpointStore
+
+        root = str(tmp_path / "s")
+        ta = self._doc("a")
+        incremental_ingest(
+            spark, CheckpointStore(root, num_buckets=4),
+            self._df(spark, [(1, ta)]), 1,
+        )
+        # NEW store object on the same root (process restart analog)
+        got = incremental_ingest(
+            spark, CheckpointStore(root, num_buckets=4),
+            self._df(spark, [(2, ta), (3, self._doc("b"))]), 2,
+        ).collect()
+        assert {r["doc_id"] for r in got} == {3}
+
+    def test_compaction_preserves_membership(self, spark, tmp_path):
+        from atra_spark.functions.pipeline import incremental_ingest
+        from atra_spark.sources.store import CheckpointStore
+
+        store = CheckpointStore(str(tmp_path / "s"), num_buckets=4)
+        for rnd, seed in ((1, "a"), (2, "b")):
+            incremental_ingest(
+                spark, store, self._df(spark, [(rnd, self._doc(seed))]),
+                rnd, compact_every=2,
+            )
+        snaps = store._load_manifest("corpus_fp")["snapshots"]
+        assert any(s.get("kind") != "delta" and s["round"] == 2 for s in snaps), \
+            "compact_every=2 must burn a base at round 2"
+        # membership intact after compaction
+        got = incremental_ingest(
+            spark, store,
+            self._df(spark, [(10, self._doc("a")), (11, self._doc("z"))]),
+            3, compact_every=99,
+        ).collect()
+        assert {r["doc_id"] for r in got} == {11}
