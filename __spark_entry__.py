@@ -2031,6 +2031,176 @@ GROUP BY f.doc_id
 """
 
 
+def q_weighted_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the collapsed host graph (rank flow
+    proportional to URL-edge multiplicity;
+    atra_spark.functions.graph.weighted_pagerank ∘ host_graph). Same
+    deterministic synthetic URL edges as host_graph. Oracle:
+    sql_weighted_host_pagerank (5 unrolled weighted iterations)."""
+    from atra_spark.functions.graph import host_graph, weighted_pagerank
+
+    _register(spark, sf_dir)
+    ev = spark.table("events")
+    edges = ev.select(
+        F.concat(
+            F.lit("https://h"), (F.col("user_id") % 20).cast("string"),
+            F.lit(".example/p"), F.col("event_id").cast("string"),
+        ).alias("src"),
+        F.concat(
+            F.lit("https://h"), (F.col("event_id") % 17).cast("string"),
+            F.lit(".example/q"), F.col("event_id").cast("string"),
+        ).alias("dst"),
+    )
+    hg = host_graph(edges)
+    out = weighted_pagerank(hg, damping=0.85, iterations=5,
+                            src="src_host", dst="dst_host")
+    return out.select("node", _r6(F.col("pr")).alias("pr"))
+
+
+def sql_weighted_host_pagerank(dialect: str) -> str:
+    """Twin of weighted_pagerank over the host collapse: contribution
+    = pr * w / wsum, dangling mass uniform, 5 unrolled iterations
+    (MATERIALIZED on DuckDB — each pr CTE is referenced twice)."""
+    host_re = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@?#]*@)?([^:/?#]+)"
+    concat_src = "'https://h' || CAST(user_id % 20 AS STRING) || '.example/p' || CAST(event_id AS STRING)"
+    concat_dst = "'https://h' || CAST(event_id % 17 AS STRING) || '.example/q' || CAST(event_id AS STRING)"
+    if dialect == "duckdb":
+        concat_src = concat_src.replace("AS STRING", "AS VARCHAR")
+        concat_dst = concat_dst.replace("AS STRING", "AS VARCHAR")
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
+    its = []
+    prev = "pr0"
+    for i in range(1, 6):
+        its.append(f"""dang{i} AS {mat}(
+  SELECT coalesce(sum(p.pr), 0.0) AS dang
+  FROM {prev} p LEFT JOIN wsum ON p.node = wsum.src_host
+  WHERE wsum.src_host IS NULL
+),
+contrib{i} AS {mat}(
+  SELECT e.dst_host AS node, sum(p.pr * e.w / wsum.ws) AS contrib
+  FROM hedges e JOIN {prev} p ON e.src_host = p.node
+       JOIN wsum ON wsum.src_host = e.src_host
+  GROUP BY e.dst_host
+),
+pr{i} AS {mat}(
+  SELECT nodes.node,
+         (1 - 0.85) / (SELECT n FROM nn)
+           + 0.85 * (coalesce(c.contrib, 0.0)
+                     + (SELECT dang FROM dang{i}) / (SELECT n FROM nn)) AS pr
+  FROM nodes LEFT JOIN contrib{i} c ON nodes.node = c.node
+)""")
+        prev = f"pr{i}"
+    chain = ",\n".join(its)
+    return f"""
+WITH uedges AS (
+  SELECT {concat_src} AS src, {concat_dst} AS dst FROM events
+),
+hosts AS (
+  SELECT lower(regexp_extract(src, '{host_re}', 1)) AS src_host,
+         lower(regexp_extract(dst, '{host_re}', 1)) AS dst_host
+  FROM uedges
+),
+hedges AS (
+  SELECT src_host, dst_host, CAST(count(*) AS DOUBLE) AS w
+  FROM hosts
+  WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+  GROUP BY src_host, dst_host
+),
+nodes AS (
+  SELECT src_host AS node FROM hedges UNION SELECT dst_host FROM hedges
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+wsum AS (SELECT src_host, sum(w) AS ws FROM hedges GROUP BY src_host),
+pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+{chain}
+SELECT node, {_rnd('pr', 6)} AS pr FROM {prev}
+"""
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations over adjacent token pairs
+    (atra_spark.functions.textstats.bigram_pmi, min_count=5). Oracle:
+    sql_bigram_pmi."""
+    from atra_spark.functions.textstats import bigram_pmi
+
+    _register(spark, sf_dir)
+    out = bigram_pmi(spark.table("documents"), min_count=5, top_k=50)
+    return out.select("prev", "cur", "pair_count", _r6(F.col("pmi")).alias("pmi"))
+
+
+def sql_bigram_pmi(dialect: str) -> str:
+    """Twin of textstats.bigram_pmi: same whitespace tokens, adjacent
+    pairs, min_count filter before the joins, pmi = ln((C/B)/((Ua/T)*
+    (Ub/T))), top-50 by (pmi DESC, prev, cur)."""
+    if dialect == "spark":
+        toks = r"""
+toks AS (
+  SELECT doc_id, pos, tok
+  FROM documents
+  LATERAL VIEW posexplode(split(lower(trim(text)), '\\s+')) t AS pos, tok
+)"""
+    else:
+        toks = r"""
+toks AS (
+  SELECT doc_id, CAST(generate_subscripts(arr, 1) - 1 AS INT) AS pos, unnest(arr) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr FROM documents) d
+)"""
+    return f"""
+WITH {toks.strip()},
+seq AS (
+  SELECT doc_id, tok AS prev,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS cur
+  FROM toks
+),
+pairs AS (SELECT prev, cur FROM seq WHERE cur IS NOT NULL),
+uni AS (SELECT tok, CAST(count(*) AS DOUBLE) AS u FROM toks GROUP BY tok),
+big AS (
+  SELECT prev, cur, CAST(count(*) AS DOUBLE) AS c
+  FROM pairs GROUP BY prev, cur HAVING count(*) >= 5
+),
+tot AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM pairs) AS bt,
+         (SELECT CAST(count(*) AS DOUBLE) FROM toks) AS ut
+)
+SELECT b.prev, b.cur, CAST(b.c AS BIGINT) AS pair_count,
+       {_rnd('ln((b.c / tot.bt) / ((ua.u / tot.ut) * (ub.u / tot.ut)))', 6)} AS pmi
+FROM big b
+JOIN uni ua ON b.prev = ua.tok
+JOIN uni ub ON b.cur = ub.tok
+CROSS JOIN tot
+ORDER BY ln((b.c / tot.bt) / ((ua.u / tot.ut) * (ub.u / tot.ut))) DESC, b.prev, b.cur
+LIMIT 50
+"""
+
+
+def q_zipf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 rank-frequency vocabulary table
+    (atra_spark.functions.textstats.zipf_table). Oracle:
+    sql_zipf_table."""
+    from atra_spark.functions.textstats import zipf_table
+
+    _register(spark, sf_dir)
+    return zipf_table(spark.table("documents"), top_k=100)
+
+
+def sql_zipf_table(dialect: str) -> str:
+    """Twin of textstats.zipf_table: term counts over non-empty
+    whitespace tokens, top-100 by (freq DESC, term), rank =
+    row_number in that order."""
+    return f"""
+WITH {_tokens_cte(dialect).strip()},
+counts AS (
+  SELECT tok AS term, count(*) AS freq FROM toks GROUP BY tok
+),
+top AS (
+  SELECT term, freq FROM counts ORDER BY freq DESC, term LIMIT 100
+)
+SELECT term, freq,
+       CAST(row_number() OVER (ORDER BY freq DESC, term) AS INT) AS rank
+FROM top
+"""
+
+
 def q_event_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window rollup per event type
     (atra_spark.functions.sessions.window_rollup — built-in window()
@@ -2214,6 +2384,9 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_graph": q_host_graph,
     "event_window_rollup": q_event_window_rollup,
     "value_percentiles": q_value_percentiles,
+    "weighted_host_pagerank": q_weighted_host_pagerank,
+    "bigram_pmi": q_bigram_pmi,
+    "zipf_table": q_zipf_table,
 }
 
 
@@ -2252,6 +2425,9 @@ def _custom_oracles() -> dict[str, str]:
         "host_graph": sql_host_graph("duckdb"),
         "event_window_rollup": sql_event_window_rollup("duckdb"),
         "value_percentiles": sql_value_percentiles("duckdb"),
+        "weighted_host_pagerank": sql_weighted_host_pagerank("duckdb"),
+        "bigram_pmi": sql_bigram_pmi("duckdb"),
+        "zipf_table": sql_zipf_table("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
             f"FROM read_parquet('{oracle_dir}/crawl_results.parquet')"

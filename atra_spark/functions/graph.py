@@ -214,3 +214,83 @@ def host_pagerank(
     hg = host_graph(edges, src=src, dst=dst)
     return pagerank(hg, damping=damping, iterations=iterations,
                     src="src_host", dst="dst_host")
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """PageRank with edge weights: a node distributes its rank over
+    out-edges PROPORTIONALLY to weight (rank flow = pr * w / out_wsum)
+    instead of uniformly. On the collapsed host graph the weight is
+    the URL-edge multiplicity, so heavily-interlinked hosts pass more
+    rank — the standard weighted formulation used for domain ranking.
+
+    Same execution shape as :func:`pagerank`: per iteration ONE
+    shuffle keyed on dst for the contribution sum; (node, pr) and
+    (src, out_wsum) are narrow cached relations; dangling mass
+    redistributed uniformly. Duplicate (src, dst) rows are combined by
+    summing their weights first, so callers can feed raw edge logs.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    out_w = e.groupBy("src").agg(F.sum("w").alias("wsum")).cache()
+    out_w.count()
+
+    d = float(damping)
+    pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    for _ in range(int(iterations)):
+        ranked = pr.join(out_w, pr["node"] == out_w["src"], "left").select(
+            pr["node"].alias("node"), "pr", "wsum"
+        )
+        # dangling mass as a broadcast 1-row aggregate — no driver
+        # round-trip per iteration (same pattern as pagerank above)
+        dang = ranked.filter(F.col("wsum").isNull()).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
+        )
+        contrib = (
+            e.join(pr, e["src"] == pr["node"])
+            .join(out_w, on="src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("pr") * F.col("w") / F.col("wsum")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        pr = (
+            nodes.join(contrib, on="node", how="left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dang") / F.lit(float(n))
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    nodes.unpersist()
+    out_w.unpersist()
+    return pr

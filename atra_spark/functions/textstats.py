@@ -523,3 +523,102 @@ def source_quality_rollup(
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    token pairs — the corpus-statistics pass behind multiword-term
+    discovery and tokenizer-merge audits (which frequent pairs behave
+    like single units):
+
+        pmi(a,b) = ln( (C(a,b)/B) / ((U(a)/T) * (U(b)/T)) )
+
+    with C = bigram counts (B total), U = unigram counts (T total),
+    filtered to pairs seen >= ``min_count`` times. Deterministic
+    ordering: pmi DESC, prev ASC, cur ASC.
+
+    Scale shape: two map-side-combined count aggregations (bigrams,
+    unigrams) + one join of the bigram relation to the (vocab-sized)
+    unigram relation on each side, then a global top-k (TakeOrdered).
+    The min_count filter applies BEFORE the joins, so only the
+    frequent-pair tail joins. All JVM.
+    """
+    toks_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks_arr.alias("toks"))
+    n = F.size("toks")
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("toks", 1, n - 1),
+            F.slice("toks", 2, n - 1),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pairs = base.select(F.explode(bigrams).alias("b")).select(
+        F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur")
+    )
+    uni = base.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
+        F.count("*").cast("double").alias("u")
+    )
+    big = (
+        pairs.groupBy("prev", "cur")
+        .agg(F.count("*").cast("double").alias("c"))
+        .filter(F.col("c") >= float(min_count))
+    )
+    totals = pairs.agg(F.count("*").cast("double").alias("bt")).crossJoin(
+        base.select(F.explode("toks").alias("t")).agg(
+            F.count("*").cast("double").alias("ut")
+        )
+    )
+    return (
+        big.join(uni.select(F.col("tok").alias("prev"), F.col("u").alias("ua")), on="prev")
+        .join(uni.select(F.col("tok").alias("cur"), F.col("u").alias("ub")), on="cur")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "prev",
+            "cur",
+            F.col("c").cast("long").alias("pair_count"),
+            F.log(
+                (F.col("c") / F.col("bt"))
+                / ((F.col("ua") / F.col("ut")) * (F.col("ub") / F.col("ut")))
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("prev"), F.asc("cur"))
+        .limit(int(top_k))
+    )
+
+
+def zipf_table(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Rank-frequency vocabulary table (term, freq, rank) for the
+    corpus, top ``top_k`` — the Zipf-curve health check for a crawled
+    corpus (a deviating head exposes boilerplate floods; a truncated
+    tail exposes over-aggressive dedup). Rank ties break by term so
+    the relation is deterministic.
+
+    ONE map-side-combined count aggregation over the token stream;
+    ranking the (tiny) top slice is a TakeOrdered followed by a
+    row_number over an already-top_k-sized relation — never a global
+    sort of the vocabulary.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(int(top_k))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    return counts.withColumn("rank", F.row_number().over(w))

@@ -1044,3 +1044,93 @@ class TestIncrementalIngest:
             3, compact_every=99,
         ).collect()
         assert {r["doc_id"] for r in got} == {11}
+
+
+class TestWeightedPageRank:
+    def test_matches_numpy_weighted_iteration(self, spark):
+        edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 1.0), (2, 0, 1.0), (3, 0, 2.0)]
+        df = spark.createDataFrame(edges, "src long, dst long, weight double")
+        from atra_spark.functions.graph import weighted_pagerank
+
+        got = {r["node"]: r["pr"] for r in weighted_pagerank(df, iterations=4).collect()}
+
+        nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+        idx = {n: i for i, n in enumerate(nodes)}
+        n = len(nodes)
+        wsum = {}
+        for s, _, w in edges:
+            wsum[s] = wsum.get(s, 0.0) + w
+        pr = np.full(n, 1.0 / n)
+        d = 0.85
+        for _ in range(4):
+            new = np.full(n, (1 - d) / n)
+            dang = sum(pr[idx[v]] for v in nodes if v not in wsum)
+            for s, t, w in edges:
+                new[idx[t]] += d * pr[idx[s]] * w / wsum[s]
+            new += d * dang / n
+            pr = new
+        for v in nodes:
+            assert got[v] == pytest.approx(pr[idx[v]], rel=1e-9), v
+
+    def test_duplicate_edges_sum_weights(self, spark):
+        from atra_spark.functions.graph import weighted_pagerank
+
+        a = spark.createDataFrame(
+            [(0, 1, 1.0), (0, 1, 2.0), (0, 2, 1.0)], "src long, dst long, weight double"
+        )
+        b = spark.createDataFrame(
+            [(0, 1, 3.0), (0, 2, 1.0)], "src long, dst long, weight double"
+        )
+        ra = {r["node"]: r["pr"] for r in weighted_pagerank(a, iterations=3).collect()}
+        rb = {r["node"]: r["pr"] for r in weighted_pagerank(b, iterations=3).collect()}
+        for k in rb:
+            assert ra[k] == pytest.approx(rb[k], rel=1e-12)
+
+
+class TestPmiAndZipf:
+    DOCS = [(i, "hot dog hot dog cold cat " + f"u{i}") for i in range(6)]
+
+    def test_pmi_favors_exclusive_pair(self, spark):
+        from atra_spark.functions.textstats import bigram_pmi
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        rows = bigram_pmi(df, min_count=5, top_k=10).collect()
+        got = {(r["prev"], r["cur"]): r for r in rows}
+        # "cold cat" is a deterministic 1:1 collocation (cold only ever
+        # precedes cat); "dog hot" happens between repetitions too
+        assert ("cold", "cat") in got
+        assert got[("cold", "cat")]["pmi"] > got[("hot", "dog")]["pmi"] - 1e-9
+        # min_count: the unique trailing u{i} tokens never appear
+        assert all(not p[1].startswith("u") for p in got)
+
+    def test_pmi_matches_pure_python(self, spark):
+        import math
+
+        from atra_spark.functions.textstats import bigram_pmi
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = {(r["prev"], r["cur"]): r["pmi"] for r in bigram_pmi(df, min_count=2).collect()}
+        toks = {i: t.split() for i, t in self.DOCS}
+        uni: dict = {}
+        big: dict = {}
+        for v in toks.values():
+            for t in v:
+                uni[t] = uni.get(t, 0) + 1
+            for a, b in zip(v, v[1:]):
+                big[(a, b)] = big.get((a, b), 0) + 1
+        T = sum(uni.values())
+        B = sum(big.values())
+        for k, c in big.items():
+            if c >= 2:
+                exp = math.log((c / B) / ((uni[k[0]] / T) * (uni[k[1]] / T)))
+                assert got[k] == pytest.approx(exp, rel=1e-12), k
+
+    def test_zipf_rank_order(self, spark):
+        from atra_spark.functions.textstats import zipf_table
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        rows = zipf_table(df, top_k=4).collect()
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4]
+        assert rows[0]["term"] in ("hot", "dog") and rows[0]["freq"] == 12
+        freqs = [r["freq"] for r in rows]
+        assert freqs == sorted(freqs, reverse=True)
