@@ -2201,6 +2201,56 @@ FROM top
 """
 
 
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host URL path-template mining (crawler-trap detection;
+    atra_spark.functions.jvm_url.url_templates) over deterministic
+    synthetic URLs from events. Oracle: sql_url_templates."""
+    from atra_spark.functions.jvm_url import url_templates
+
+    _register(spark, sf_dir)
+    ev = spark.table("events")
+    urls = ev.select(
+        F.concat(
+            F.lit("https://h"), (F.col("user_id") % 10).cast("string"),
+            F.lit(".example/"), F.col("event_type"),
+            F.lit("/page"), (F.col("event_id") % 1000).cast("string"),
+            F.lit("?sess="), F.col("event_id").cast("string"),
+        ).alias("url")
+    )
+    return url_templates(urls, min_urls=2)
+
+
+def sql_url_templates(dialect: str) -> str:
+    """Twin of jvm_url.url_templates: same strip-authority /
+    strip-query / digits->{n} regexps, same (host, template)
+    collapse."""
+    host_re = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@?#]*@)?([^:/?#]+)"
+    auth_re = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*"
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+WITH urls AS (
+  SELECT 'https://h' || CAST(user_id % 10 AS {cast}) || '.example/' || event_type
+         || '/page' || CAST(event_id % 1000 AS {cast})
+         || '?sess=' || CAST(event_id AS {cast}) AS url
+  FROM events
+),
+parts AS (
+  SELECT lower(regexp_extract(url, '{host_re}', 1)) AS host,
+         regexp_replace(
+           regexp_replace(regexp_replace(url, '{auth_re}', ''), '[?#].*$', ''),
+           '[0-9]+', '{{n}}') AS template,
+         url
+  FROM urls
+)
+SELECT host, template, count(*) AS n_urls,
+       count(DISTINCT url) AS n_distinct_urls
+FROM parts
+WHERE host <> ''
+GROUP BY host, template
+HAVING count(*) >= 2
+"""
+
+
 def q_event_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window rollup per event type
     (atra_spark.functions.sessions.window_rollup — built-in window()
@@ -2387,6 +2437,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_host_pagerank": q_weighted_host_pagerank,
     "bigram_pmi": q_bigram_pmi,
     "zipf_table": q_zipf_table,
+    "url_templates": q_url_templates,
 }
 
 
@@ -2428,6 +2479,7 @@ def _custom_oracles() -> dict[str, str]:
         "weighted_host_pagerank": sql_weighted_host_pagerank("duckdb"),
         "bigram_pmi": sql_bigram_pmi("duckdb"),
         "zipf_table": sql_zipf_table("duckdb"),
+        "url_templates": sql_url_templates("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
             f"FROM read_parquet('{oracle_dir}/crawl_results.parquet')"

@@ -108,3 +108,47 @@ def robots_allowed_col(url: Column, disallow: Column) -> Column:
     p = path_col(url)
     dis = F.coalesce(disallow, F.array().cast("array<string>"))
     return ~F.exists(dis, lambda pref: p.startswith(pref))
+
+
+def url_templates(
+    df: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 2,
+) -> "DataFrame":
+    """Per-host URL path templates: strip scheme/authority and query,
+    collapse digit runs to ``{n}``, count URLs per (host, template).
+    The crawl-ops trap detector — calendar pages, paginated facets and
+    session-id mills show up as ONE template with a huge n_urls and
+    near-zero content diversity, and the frontier's per-host budget
+    (config/crawl.rs) is the knob the finding feeds.
+
+    Pure JVM regexp column math + one map-side-combined groupBy keyed
+    on (host, template); output cardinality ≈ #distinct page types,
+    orders of magnitude below #URLs. ``n_distinct_urls`` is an exact
+    distinct (two-level agg) — at extreme scale swap for
+    approx_count_distinct, same plan shape.
+
+    Returns (host, template, n_urls, n_distinct_urls), filtered to
+    templates with >= ``min_urls`` URLs.
+    """
+    u = F.col(url_col)
+    path = F.regexp_replace(
+        F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", ""),
+        r"[?#].*$",
+        "",
+    )
+    template = F.regexp_replace(path, "[0-9]+", "{n}")
+    return (
+        df.select(
+            host_col(u).alias("host"),
+            template.alias("template"),
+            u.alias("_u"),
+        )
+        .filter(F.col("host").isNotNull())
+        .groupBy("host", "template")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("_u").alias("n_distinct_urls"),
+        )
+        .filter(F.col("n_urls") >= int(min_urls))
+    )

@@ -348,3 +348,40 @@ class TestRound4SessionOpsPlans:
         # session fragments pre-merged map-side
         assert plan.count("Exchange hashpartitioning") == 1
         assert "user_id" in plan[plan.find("Exchange"):]
+
+
+class TestGraphAndCorpusStatsPlans:
+    def test_host_graph_single_exchange(self, spark):
+        from atra_spark.functions.graph import host_graph
+
+        df = spark.createDataFrame(
+            [("https://a.example/1", "https://b.example/2")] * 4,
+            "src string, dst string",
+        )
+        plan = _plan(host_graph(df), mode="simple")
+        # host extraction + self-loop filter are pure projections; the
+        # collapse is ONE map-side-combined exchange on the host pair
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert plan.count("HashAggregate") == 2  # partial + final
+
+    def test_bigram_pmi_topk_is_take_ordered(self, spark):
+        from atra_spark.functions.textstats import bigram_pmi
+
+        df = spark.createDataFrame(
+            [(i, "a b a b c d") for i in range(4)], "doc_id long, text string"
+        )
+        plan = _plan(bigram_pmi(df, min_count=2, top_k=5), mode="simple")
+        # global top-k must not be a full sort
+        assert "TakeOrderedAndProject" in plan
+        # the min_count predicate prunes the bigram relation BEFORE the
+        # unigram joins (it appears as a post-agg filter, not post-join)
+        assert "(c#" in plan or ">= 2.0" in plan
+
+    def test_zipf_topk_is_take_ordered(self, spark):
+        from atra_spark.functions.textstats import zipf_table
+
+        df = spark.createDataFrame(
+            [(i, "x y z") for i in range(4)], "doc_id long, text string"
+        )
+        plan = _plan(zipf_table(df, top_k=3), mode="simple")
+        assert "TakeOrderedAndProject" in plan

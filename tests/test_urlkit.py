@@ -270,3 +270,34 @@ class TestFastPathEquivalence:
         slow = self._slow(monkeypatch)
         for u in urls:
             assert got[u] == slow(u), u
+
+
+class TestUrlTemplates:
+    def test_trap_template_collapses(self, spark):
+        from atra_spark.functions.jvm_url import url_templates
+
+        urls = (
+            [(f"https://trap.example/cal/2024/{m:02d}/{d:02d}?sid={m*d}",) for m in range(1, 4) for d in range(1, 6)]
+            + [("https://ok.example/about",), ("https://ok.example/contact",)]
+        )
+        df = spark.createDataFrame(urls, "url string")
+        got = {
+            (r["host"], r["template"]): (r["n_urls"], r["n_distinct_urls"])
+            for r in url_templates(df, min_urls=1).collect()
+        }
+        # the 15 calendar URLs collapse to ONE template
+        assert got[("trap.example", "/cal/{n}/{n}/{n}")] == (15, 15)
+        assert got[("ok.example", "/about")] == (1, 1)
+        # query strings never leak into templates
+        assert all("sid" not in t for _, t in got)
+
+    def test_min_urls_filter_and_dup_urls(self, spark):
+        from atra_spark.functions.jvm_url import url_templates
+
+        df = spark.createDataFrame(
+            [("https://a.example/p1",), ("https://a.example/p1",), ("https://a.example/q",)],
+            "url string",
+        )
+        got = {r["template"]: r for r in url_templates(df, min_urls=2).collect()}
+        assert list(got) == ["/p{n}"]
+        assert got["/p{n}"]["n_urls"] == 2 and got["/p{n}"]["n_distinct_urls"] == 1
