@@ -1915,9 +1915,13 @@ scored AS (
   GROUP BY t.doc_id
 )
 SELECT doc_id, {_rnd('score', 6)} AS score
-FROM scored
-ORDER BY score DESC, doc_id
-LIMIT 10
+FROM (
+  -- inner top-k on the RAW score: in both dialects a bare ORDER BY
+  -- score in the outer query would resolve to the ROUNDED alias and
+  -- could pick a different boundary doc than the DataFrame path
+  -- (which orders unrounded and rounds after LIMIT)
+  SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+) topk
 """
 
 
@@ -1949,19 +1953,23 @@ def sql_event_sessions(dialect: str) -> str:
         fmt_max = "strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f')"
     return f"""
 WITH ordered AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 ),
 flags AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL '30' MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM ordered
 ),
 sess AS (
   SELECT user_id, ts, value,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         -- same (ts, event_id) order as the lag above: with ts-only
+         -- ordering, tied timestamps at a session boundary could put
+         -- the new_s=0 peer before the new_s=1 row and assign it the
+         -- old session id
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM flags
 )

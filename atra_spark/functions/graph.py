@@ -265,9 +265,15 @@ def weighted_pagerank(
         dang = ranked.filter(F.col("wsum").isNull()).agg(
             F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
         )
+        # reuse ranked (pr ⋈ out_w) for the contribution join — the
+        # same relation the dangling aggregate consumes (pagerank
+        # above does the same; a fresh pr ⋈ out_w here would evaluate
+        # that join twice per iteration)
         contrib = (
-            e.join(pr, e["src"] == pr["node"])
-            .join(out_w, on="src")
+            e.join(
+                ranked.filter(F.col("wsum").isNotNull()),
+                e["src"] == ranked["node"],
+            )
             .select(
                 F.col("dst").alias("node"),
                 (F.col("pr") * F.col("w") / F.col("wsum")).alias("c"),

@@ -154,7 +154,15 @@ def incremental_ingest(
     )
     store.write_delta(fp_table, fps, round_no)
     snaps = store._load_manifest(fp_table)["snapshots"]
-    n_deltas = sum(1 for s in snaps if s.get("kind") == "delta")
+    # count only deltas NEWER than the last base: stale delta entries
+    # below a base are already folded into it and stay in the manifest
+    # for time travel — counting them would trigger a full-table
+    # compaction on EVERY batch after the first one (O(|corpus|)/batch)
+    bases = [s["round"] for s in snaps if s.get("kind") != "delta"]
+    last_base = max(bases) if bases else -(1 << 62)
+    n_deltas = sum(
+        1 for s in snaps if s.get("kind") == "delta" and s["round"] > last_base
+    )
     if n_deltas >= int(compact_every):
         store.compact_table(spark, fp_table)
     return survivors.drop("_fp")

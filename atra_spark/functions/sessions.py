@@ -138,8 +138,9 @@ def value_percentiles(
     accept the documented error bound; both are one exchange.
     """
     pcts = list(percentiles)
+    # round, not int(): float representation makes int(0.29*100) == 28
     cols = [
-        F.expr(f"percentile({value_col}, {p})").alias(f"p{int(p * 100)}")
+        F.expr(f"percentile({value_col}, {p})").alias(f"p{round(p * 100)}")
         for p in pcts
     ]
     return events.groupBy(F.col(key_col).alias("key")).agg(*cols)

@@ -456,7 +456,11 @@ def dsir_logweight(
     b = int(buckets)
     toks = df.select(
         F.col(id_col).alias("id"),
-        target_cond.alias("is_target"),
+        # NULL-condition rows (e.g. NULL lang) count as NOT-target:
+        # without the coalesce, a bucket fed only by NULL-cond tokens
+        # sums tc to NULL and silently drops its llr from every doc
+        # containing it (the oracle's CASE WHEN counts 0)
+        F.coalesce(target_cond.cast("boolean"), F.lit(False)).alias("is_target"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
     feat = toks.select(
@@ -571,10 +575,10 @@ def bigram_pmi(
         .agg(F.count("*").cast("double").alias("c"))
         .filter(F.col("c") >= float(min_count))
     )
+    # unigram total from the already-aggregated vocab relation — NOT a
+    # second explode of the corpus token stream
     totals = pairs.agg(F.count("*").cast("double").alias("bt")).crossJoin(
-        base.select(F.explode("toks").alias("t")).agg(
-            F.count("*").cast("double").alias("ut")
-        )
+        uni.agg(F.sum("u").alias("ut"))
     )
     return (
         big.join(uni.select(F.col("tok").alias("prev"), F.col("u").alias("ua")), on="prev")

@@ -932,7 +932,8 @@ class TestHostGraph:
         assert hp.keys() == ref.keys()
         for k in ref:
             assert hp[k] == pytest.approx(ref[k], rel=1e-12)
-        assert hp["c.example"] > hp["b.example"] > hp["a.example"] * 0  # sink ranks highest
+        # sink ranks highest, then the relay, then the pure source
+        assert hp["c.example"] > hp["b.example"] > hp["a.example"]
 
 
 class TestWindowRollupAndPercentiles:
@@ -1134,3 +1135,44 @@ class TestPmiAndZipf:
         assert rows[0]["term"] in ("hot", "dog") and rows[0]["freq"] == 12
         freqs = [r["freq"] for r in rows]
         assert freqs == sorted(freqs, reverse=True)
+
+
+class TestReviewRegressions:
+    """Pins for defects caught in the round-4 self-review."""
+
+    def test_dsir_null_lang_counts_as_raw(self, spark):
+        from atra_spark.functions.textstats import dsir_logweight
+
+        rows = (
+            [(i, "alpha beta", "en") for i in range(5)]
+            + [(100, "alpha beta", None), (101, "zebra delta", None)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        w = {r["doc_id"]: r["dsir_logweight"] for r in dsir_logweight(df).collect()}
+        # NULL-lang docs are raw-only; their tokens' llr must be REAL
+        # numbers, not NULL-poisoned (both docs present, ordered)
+        assert 100 in w and 101 in w
+        assert w[100] is not None and w[101] is not None
+        assert w[100] > w[101]
+
+    def test_incremental_ingest_compaction_cadence(self, spark, tmp_path):
+        """After the FIRST compaction, stale deltas below the base must
+        not re-trigger compaction on every subsequent batch."""
+        from atra_spark.functions.pipeline import incremental_ingest
+        from atra_spark.sources.store import CheckpointStore
+
+        store = CheckpointStore(str(tmp_path / "s"), num_buckets=4)
+        for rnd, seed in ((1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")):
+            doc = " ".join(f"w{seed}{j}" for j in range(36))
+            incremental_ingest(
+                spark, store,
+                spark.createDataFrame([(rnd, doc)], "doc_id long, text string"),
+                rnd, compact_every=2,
+            )
+        snaps = store._load_manifest("corpus_fp")["snapshots"]
+        base_rounds = sorted(s["round"] for s in snaps if s.get("kind") != "delta")
+        # cadence: bases at rounds 2 and 4 only — NOT at 3 and 5
+        assert base_rounds == [2, 4], snaps
+        # membership still exact across the whole history
+        fps = store.read_snapshot(spark, "corpus_fp").collect()
+        assert sorted(r["doc_id"] for r in fps) == [1, 2, 3, 4, 5]
