@@ -2209,6 +2209,40 @@ FROM top
 """
 
 
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl priority per user (host analog):
+    staleness = time-since-last-event in units of the key's observed
+    average event gap (atra_spark.functions.sessions.recrawl_priority).
+    Oracle: sql_recrawl_priority."""
+    from atra_spark.functions.sessions import recrawl_priority
+
+    _register(spark, sf_dir)
+    return recrawl_priority(spark.table("events"))
+
+
+def sql_recrawl_priority(dialect: str) -> str:
+    """Twin of sessions.recrawl_priority: second-truncated epoch
+    arithmetic, avg_gap = span/(n-1), staleness = (corpus_max - last)
+    / avg_gap, keys with n < 2 or zero span excluded."""
+    if dialect == "spark":
+        s = "unix_timestamp(date_format(ts, 'yyyy-MM-dd HH:mm:ss'))"
+    else:
+        s = "CAST(epoch(date_trunc('second', ts)) AS BIGINT)"
+    return f"""
+WITH obs AS (SELECT user_id AS key, {s} AS s FROM events),
+per_key AS (
+  SELECT key, count(*) AS n_events, min(s) AS first_s, max(s) AS last_s
+  FROM obs GROUP BY key
+),
+mx AS (SELECT max(s) AS max_s FROM obs)
+SELECT key, n_events,
+       {_rnd('(last_s - first_s) / CAST(n_events - 1 AS DOUBLE)', 6)} AS avg_gap_s,
+       {_rnd('((SELECT max_s FROM mx) - last_s) / ((last_s - first_s) / CAST(n_events - 1 AS DOUBLE))', 6)} AS staleness
+FROM per_key
+WHERE n_events >= 2 AND last_s > first_s
+"""
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host URL path-template mining (crawler-trap detection;
     atra_spark.functions.jvm_url.url_templates) over deterministic
@@ -2446,6 +2480,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_pmi": q_bigram_pmi,
     "zipf_table": q_zipf_table,
     "url_templates": q_url_templates,
+    "recrawl_priority": q_recrawl_priority,
 }
 
 
@@ -2488,6 +2523,7 @@ def _custom_oracles() -> dict[str, str]:
         "bigram_pmi": sql_bigram_pmi("duckdb"),
         "zipf_table": sql_zipf_table("duckdb"),
         "url_templates": sql_url_templates("duckdb"),
+        "recrawl_priority": sql_recrawl_priority("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
             f"FROM read_parquet('{oracle_dir}/crawl_results.parquet')"

@@ -144,3 +144,56 @@ def value_percentiles(
         for p in pcts
     ]
     return events.groupBy(F.col(key_col).alias("key")).agg(*cols)
+
+
+def recrawl_priority(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Freshness-driven recrawl priority per key (host analog) — the
+    adaptive companion to the engine's fixed recrawl cooldown
+    (plans/recover.py, SURVEY §2.8 recrawl re-trigger): estimate each
+    key's change cadence from its observed event history and score how
+    many cadence intervals it has gone unseen.
+
+        avg_gap   = (last_seen - first_seen) / (n_events - 1)
+        staleness = (corpus_max_ts - last_seen) / avg_gap
+
+    A key that updates hourly and is 5 hours stale scores 5; a daily
+    key 5 hours stale scores ~0.2 — crawl the first. Keys with < 2
+    events or a zero observed span carry no cadence estimate and are
+    excluded (the caller's cold-start policy owns them).
+
+    Timestamps are reduced to SECOND resolution before arithmetic
+    (TIMESTAMP_NTZ cannot cast to epoch in Spark; a formatted
+    round-trip at second precision is engine-portable and the cadence
+    math doesn't need microseconds). All algebraic aggregates: ONE
+    map-side-combined shuffle on the key + a broadcast 1-row corpus
+    max. Output cardinality = #keys.
+
+    Returns (key, n_events, avg_gap_s, staleness) rounded to 6dp.
+    """
+    ts_s = F.unix_timestamp(F.date_format(F.col(ts_col), "yyyy-MM-dd HH:mm:ss"))
+    per_key = (
+        events.select(F.col(key_col).alias("key"), ts_s.alias("s"))
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("s").alias("first_s"),
+            F.max("s").alias("last_s"),
+        )
+        .filter((F.col("n_events") >= 2) & (F.col("last_s") > F.col("first_s")))
+    )
+    corpus_max = events.select(ts_s.alias("s")).agg(F.max("s").alias("max_s"))
+    gap = (F.col("last_s") - F.col("first_s")) / (F.col("n_events") - 1)
+    rnd6 = lambda c: F.floor(c * 1000000 + 0.5 + 1e-6).cast("double") / 1000000  # noqa: E731
+    return (
+        per_key.crossJoin(F.broadcast(corpus_max))
+        .select(
+            "key",
+            "n_events",
+            rnd6(gap).alias("avg_gap_s"),
+            rnd6((F.col("max_s") - F.col("last_s")) / gap).alias("staleness"),
+        )
+    )

@@ -1176,3 +1176,33 @@ class TestReviewRegressions:
         # membership still exact across the whole history
         fps = store.read_snapshot(spark, "corpus_fp").collect()
         assert sorted(r["doc_id"] for r in fps) == [1, 2, 3, 4, 5]
+
+
+class TestRecrawlPriority:
+    def test_cadence_and_staleness(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # key 1: hourly cadence, last seen 5h before corpus max -> staleness 5
+        for i in range(4):
+            rows.append((len(rows), base + dt.timedelta(hours=i), 1, 0.0))
+        # key 2: daily cadence, last seen 1 day before corpus max -> staleness 1
+        for i in range(3):
+            rows.append((len(rows), base + dt.timedelta(days=i + 1), 2, 0.0))
+        # corpus max = key 2's last event (day 3 = hour 72); key 1 last at hour 3
+        # key 3: single event -> excluded
+        rows.append((len(rows), base, 3, 0.0))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long, value double"
+        )
+        from atra_spark.functions.sessions import recrawl_priority
+
+        got = {r["key"]: r for r in recrawl_priority(df).collect()}
+        assert set(got) == {1, 2}
+        assert got[1]["avg_gap_s"] == pytest.approx(3600.0)
+        assert got[1]["staleness"] == pytest.approx((72 - 3) * 3600 / 3600.0)  # 69 gaps stale
+        assert got[2]["avg_gap_s"] == pytest.approx(86400.0)
+        assert got[2]["staleness"] == pytest.approx(0.0)
+        # the hourly key far outranks the daily key
+        assert got[1]["staleness"] > got[2]["staleness"]
