@@ -634,3 +634,68 @@ class TestStreamingSessions:
         assert first["session_start"].startswith("2024-01-01 00:00:00")
         assert first["session_end_ts"].startswith("2024-01-01 00:20:00")
         assert second["n_events"] == 1 and second["sum_value"] == 8.0
+
+
+class TestStreamingWindowRollup:
+    """window_rollup under Structured Streaming: tumbling buckets emit
+    once the watermark passes; counts accumulate across micro-batches
+    into the same bucket."""
+
+    def test_buckets_accumulate_across_microbatches(self, spark, tmp_path):
+        from datetime import datetime, timezone
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from atra_spark.functions.sessions import window_rollup
+
+        t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+        def ts(minutes):
+            return datetime.fromtimestamp(t0.timestamp() + minutes * 60, tz=timezone.utc)
+
+        waves = [
+            [(1, ts(5), "a", 1.0)],
+            [(2, ts(40), "a", 2.0)],   # SAME 1-hour bucket, next batch
+            [(3, ts(70), "a", 4.0)],   # next bucket
+            [(90, ts(3000), "z", 0.0)],  # watermark flush
+            [(91, ts(6000), "z", 0.0)],
+        ]
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        for i, wave in enumerate(waves):
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_id": pa.array([w[0] for w in wave], pa.int64()),
+                        "ts": pa.array([w[1] for w in wave], pa.timestamp("us", "UTC")),
+                        "event_type": pa.array([w[2] for w in wave], pa.string()),
+                        "value": pa.array([w[3] for w in wave], pa.float64()),
+                    }
+                ),
+                str(landing / f"wave{i}.parquet"),
+            )
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(landing))
+        )
+        out = str(tmp_path / "out")
+        q = (
+            window_rollup(stream.withWatermark("ts", "1 minute"), duration="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = {
+            (r["window_start"][:13], r["key"]): (r["n_events"], r["sum_value"])
+            for r in spark.read.parquet(out).collect()
+            if r["key"] == "a"
+        }
+        # events from batches 0 and 1 accumulated into ONE hour bucket
+        assert rows[("2024-01-01 00", "a")] == (2, 3.0)
+        assert rows[("2024-01-01 01", "a")] == (1, 4.0)
