@@ -2209,6 +2209,35 @@ FROM top
 """
 
 
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webdataset-style shard packing of the documents table by
+    n_chars (10 kB shards, doc_id order) — distributed two-phase
+    prefix sum (atra_spark.functions.multimodal.shard_pack). Oracle:
+    sql_shard_pack (single-window cumsum twin)."""
+    from atra_spark.functions.multimodal import shard_pack
+
+    _register(spark, sf_dir)
+    return shard_pack(spark.table("documents"), size_col="n_chars",
+                      shard_bytes=10_000, order_col="doc_id")
+
+
+def sql_shard_pack(dialect: str) -> str:
+    """Twin of multimodal.shard_pack: global byte prefix sum in doc_id
+    order; shard = floor(start/10000), offset = start % 10000."""
+    return """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+SELECT doc_id,
+       CAST(floor((cum - n_chars) / 10000.0) AS BIGINT) AS shard_id,
+       CAST((cum - n_chars) % 10000 AS BIGINT) AS offset_in_shard,
+       CAST(n_chars AS BIGINT) AS size
+FROM c
+"""
+
+
 def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Freshness-driven recrawl priority per user (host analog):
     staleness = time-since-last-event in units of the key's observed
@@ -2481,6 +2510,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_table": q_zipf_table,
     "url_templates": q_url_templates,
     "recrawl_priority": q_recrawl_priority,
+    "shard_pack": q_shard_pack,
 }
 
 
@@ -2524,6 +2554,7 @@ def _custom_oracles() -> dict[str, str]:
         "zipf_table": sql_zipf_table("duckdb"),
         "url_templates": sql_url_templates("duckdb"),
         "recrawl_priority": sql_recrawl_priority("duckdb"),
+        "shard_pack": sql_shard_pack("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
             f"FROM read_parquet('{oracle_dir}/crawl_results.parquet')"

@@ -144,3 +144,58 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             payload = magic + b"\x01" * 128
         rows.append((i, kind, None, payload, None, None, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def shard_pack(
+    df: DataFrame,
+    size_col: str,
+    shard_bytes: int = 1 << 30,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Webdataset-style shard packing: assign every item to a
+    size-bounded shard by GLOBAL byte position in a deterministic
+    order, emitting (order_col, shard_id, offset_in_shard, size) — the
+    index a training loader reads to stream shard files without
+    unpacking them. Items keep ``order_col`` order inside and across
+    shards; an item whose bytes straddle a boundary belongs to the
+    shard its FIRST byte lands in (shards are approximately
+    ``shard_bytes``, never re-split an item).
+
+    This is a global prefix sum, and the naive Spark spelling —
+    ``Window.orderBy(order_col)`` with no partition key — collapses
+    the whole table into ONE task. Implemented instead as the
+    distributed two-phase prefix sum: range-partition on the order
+    key, cumsum WITHIN each partition (a window keyed on the
+    partition id), then add per-partition base offsets computed on the
+    tiny #partitions-row relation and broadcast back. The result is a
+    pure function of the global order — wherever the sampled range
+    boundaries fall, the cumulative sums are identical — so a
+    single-window SQL oracle reproduces it exactly.
+    """
+    ordered = df.repartitionByRange(F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    from pyspark.sql import Window
+
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ordered.withColumn("_cum_in", F.sum(size_col).over(w_in))
+    # per-partition totals -> running base offset (tiny relation:
+    # one row per partition, window over it is trivially cheap)
+    totals = local.groupBy("_pid").agg(F.max("_cum_in").alias("_tot"))
+    w_base = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = totals.withColumn("_base", F.coalesce(F.sum("_tot").over(w_base), F.lit(0)))
+    packed = local.join(F.broadcast(bases.select("_pid", "_base")), on="_pid")
+    start = F.col("_base") + F.col("_cum_in") - F.col(size_col)
+    return packed.select(
+        F.col(order_col),
+        F.floor(start / F.lit(int(shard_bytes))).cast("long").alias("shard_id"),
+        (start % F.lit(int(shard_bytes))).cast("long").alias("offset_in_shard"),
+        F.col(size_col).cast("long").alias("size"),
+    )

@@ -1206,3 +1206,35 @@ class TestRecrawlPriority:
         assert got[2]["staleness"] == pytest.approx(0.0)
         # the hourly key far outranks the daily key
         assert got[1]["staleness"] > got[2]["staleness"]
+
+
+class TestShardPack:
+    def test_matches_python_prefix_sum(self, spark):
+        rows = [(i, (i * 37) % 900 + 100) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, nbytes long")
+        got = {
+            r["doc_id"]: (r["shard_id"], r["offset_in_shard"], r["size"])
+            for r in multimodal.shard_pack(
+                df, size_col="nbytes", shard_bytes=1000
+            ).collect()
+        }
+        cum = 0
+        for i, nb in rows:
+            assert got[i] == (cum // 1000, cum % 1000, nb), i
+            cum += nb
+
+    def test_invariant_under_input_partitioning(self, spark):
+        rows = [(i, 300) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, nbytes long")
+        a = sorted(map(tuple, multimodal.shard_pack(df, "nbytes", 1000).collect()))
+        b = sorted(map(tuple, multimodal.shard_pack(df.repartition(7), "nbytes", 1000).collect()))
+        c = sorted(map(tuple, multimodal.shard_pack(df.coalesce(1), "nbytes", 1000).collect()))
+        assert a == b == c
+
+    def test_items_never_split_and_order_preserved(self, spark):
+        df = spark.createDataFrame([(1, 700), (2, 700), (3, 700)], "doc_id long, nbytes long")
+        got = {r["doc_id"]: r for r in multimodal.shard_pack(df, "nbytes", 1000).collect()}
+        # item 2 STARTS in shard 0 (offset 700) even though it straddles
+        assert (got[1]["shard_id"], got[1]["offset_in_shard"]) == (0, 0)
+        assert (got[2]["shard_id"], got[2]["offset_in_shard"]) == (0, 700)
+        assert (got[3]["shard_id"], got[3]["offset_in_shard"]) == (1, 400)
