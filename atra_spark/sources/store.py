@@ -20,7 +20,11 @@ latest base snapshot with the delta chain through a per-table
 combiner (the ``seen`` table's combiner is ``compose_seen``, the
 window-function fold of the RocksDB merge operator). Compaction
 (``compact_table``) burns the fold into a new base so the chain never
-grows unboundedly. Per-round write cost is therefore proportional to
+grows unboundedly; ``expire_snapshots`` is the matching maintenance
+procedure for HISTORY growth (delete rounds no reader can need,
+keeping the latest base + its deltas and a bounded time-travel tail —
+an explicit call, like Iceberg's, so lineage/dump tooling keeps its
+default reach). Per-round write cost is therefore proportional to
 the round's updates, not |table| — the RocksDB blind-merge economics
 of link_state/state/raw.rs:249-351 on snapshot storage.
 
@@ -196,6 +200,45 @@ class CheckpointStore:
 
     def drop(self, table: str) -> None:
         shutil.rmtree(os.path.join(self.root, table), ignore_errors=True)
+
+    def expire_snapshots(self, table: str, keep_last_n: int = 2) -> list[int]:
+        """Iceberg ``expire_snapshots`` analog: delete snapshot files
+        and manifest entries no reader can need, bounding storage on a
+        long crawl (the manifest otherwise grows one entry — and one
+        parquet directory — per round, forever).
+
+        Protected, never expired:
+        - the latest BASE and every entry after it (the composed
+          current state reads through exactly these);
+        - the newest ``keep_last_n`` rounds (bounded time travel for
+          operators; resume needs at least the latest).
+
+        Everything older is removed from disk and manifest atomically
+        (manifest commit is the same write-temp + rename as every
+        other mutation; a crash between file deletion and manifest
+        commit leaves only ALREADY-DELETED entries in the manifest,
+        which the next expire call re-prunes). Returns the expired
+        round numbers.
+        """
+        manifest = self._load_manifest(table)
+        snaps = manifest["snapshots"]
+        if not snaps:
+            return []
+        bases = [s["round"] for s in snaps if s.get("kind") != "delta"]
+        last_base = max(bases) if bases else -(1 << 62)
+        keep_tail = {s["round"] for s in snaps[-max(int(keep_last_n), 1):]}
+        expired = [
+            s for s in snaps
+            if s["round"] < last_base and s["round"] not in keep_tail
+        ]
+        if not expired:
+            return []
+        for s in expired:
+            shutil.rmtree(s["path"], ignore_errors=True)
+        gone = {s["round"] for s in expired}
+        manifest["snapshots"] = [s for s in snaps if s["round"] not in gone]
+        self._commit_manifest(table, manifest)
+        return sorted(gone)
 
     # -- driver-side stats (no Spark job) ------------------------------------
     def count_rows(self, table: str, round_no: int | None = None) -> int | None:

@@ -352,3 +352,64 @@ class TestRoundLoopSeenEconomics:
 
         n_processed = seen.filter(F.col("kind") == KIND_PROCESSED_AND_STORED).count()
         assert n_processed > 0
+
+
+class TestExpireSnapshots:
+    def test_expire_keeps_current_state_and_tail(self, spark, tmp_path):
+        from atra_spark.sources.store import CheckpointStore
+
+        store = CheckpointStore(str(tmp_path / "s"), num_buckets=2)
+        store.register_combiner("t", lambda base, deltas: (
+            (base.unionByName(deltas[0][1]) if base is not None else deltas[0][1])
+            if len(deltas) == 1 else None
+        ))
+        # rounds: base 1, base 2, base 3, delta 4
+        for rnd in (1, 2, 3):
+            store.write_snapshot("t", spark.createDataFrame([(rnd,)], "v long"), rnd)
+        store.write_delta("t", spark.createDataFrame([(4,)], "v long"), 4)
+
+        expired = store.expire_snapshots("t", keep_last_n=2)
+        # last base (3) + its delta (4) protected; keep_last_n covers
+        # them too; rounds 1 and 2 expire
+        assert expired == [1, 2]
+        snaps = store._load_manifest("t")["snapshots"]
+        assert [s["round"] for s in snaps] == [3, 4]
+        # current composed state unaffected
+        got = sorted(r["v"] for r in store.read_snapshot(spark, "t").collect())
+        assert got == [3, 4]
+        # expired rounds gone from disk AND manifest
+        import os
+        assert not os.path.exists(os.path.join(str(tmp_path / "s"), "t", "r00001"))
+        assert store.read_snapshot(spark, "t", 1) is None
+
+    def test_expire_never_breaks_delta_chain(self, spark, tmp_path):
+        """Deltas after the last base must survive ANY keep_last_n."""
+        from atra_spark.sources.store import CheckpointStore
+        from atra_spark.operators.seen import compose_seen  # noqa: F401
+
+        store = CheckpointStore(str(tmp_path / "s"), num_buckets=2)
+        store.register_combiner("t", lambda base, deltas: _union_all(base, deltas))
+
+        def _union_all(base, deltas):
+            dfs = ([base] if base is not None else []) + [d for _, d in deltas]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            return out
+
+        store.write_snapshot("t", spark.createDataFrame([(1,)], "v long"), 1)
+        for rnd in (2, 3, 4, 5):
+            store.write_delta("t", spark.createDataFrame([(rnd,)], "v long"), rnd)
+        expired = store.expire_snapshots("t", keep_last_n=1)
+        assert expired == []  # base 1 is the LAST base: everything protected
+        got = sorted(r["v"] for r in store.read_snapshot(spark, "t").collect())
+        assert got == [1, 2, 3, 4, 5]
+
+    def test_expire_idempotent(self, spark, tmp_path):
+        from atra_spark.sources.store import CheckpointStore
+
+        store = CheckpointStore(str(tmp_path / "s"), num_buckets=2)
+        for rnd in (1, 2, 3):
+            store.write_snapshot("t", spark.createDataFrame([(rnd,)], "v long"), rnd)
+        assert store.expire_snapshots("t", keep_last_n=1) == [1, 2]
+        assert store.expire_snapshots("t", keep_last_n=1) == []
