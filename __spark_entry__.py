@@ -2231,7 +2231,7 @@ WITH c AS (
   FROM documents
 )
 SELECT doc_id,
-       CAST(floor((cum - n_chars) / 10000.0) AS BIGINT) AS shard_id,
+       CAST((cum - n_chars) // 10000 AS BIGINT) AS shard_id,
        CAST((cum - n_chars) % 10000 AS BIGINT) AS offset_in_shard,
        CAST(n_chars AS BIGINT) AS size
 FROM c
@@ -2254,7 +2254,10 @@ def sql_recrawl_priority(dialect: str) -> str:
     arithmetic, avg_gap = span/(n-1), staleness = (corpus_max - last)
     / avg_gap, keys with n < 2 or zero span excluded."""
     if dialect == "spark":
-        s = "unix_timestamp(date_format(ts, 'yyyy-MM-dd HH:mm:ss'))"
+        # tz-free field arithmetic: a date_format->unix_timestamp
+        # round-trip would re-parse the wall clock in the session tz
+        s = ("(unix_date(CAST(ts AS DATE)) * 86400 + hour(ts) * 3600 "
+             "+ minute(ts) * 60 + second(ts))")
     else:
         s = "CAST(epoch(date_trunc('second', ts)) AS BIGINT)"
     return f"""

@@ -182,7 +182,14 @@ def shard_pack(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ordered.withColumn("_cum_in", F.sum(size_col).over(w_in))
+    # materialized ONCE: `local` feeds both the per-partition totals
+    # and the final join. Left lazy, the two subtrees would each
+    # replan the range exchange, whose sampled boundaries are only
+    # guaranteed identical when exchange reuse fires — partition ids
+    # must not depend on an optimizer heuristic for CORRECTNESS.
+    local = ordered.withColumn(
+        "_cum_in", F.sum(size_col).over(w_in)
+    ).localCheckpoint()
     # per-partition totals -> running base offset (tiny relation:
     # one row per partition, window over it is trivially cheap)
     totals = local.groupBy("_pid").agg(F.max("_cum_in").alias("_tot"))
@@ -192,10 +199,19 @@ def shard_pack(
     )
     bases = totals.withColumn("_base", F.coalesce(F.sum("_tot").over(w_base), F.lit(0)))
     packed = local.join(F.broadcast(bases.select("_pid", "_base")), on="_pid")
-    start = F.col("_base") + F.col("_cum_in") - F.col(size_col)
-    return packed.select(
-        F.col(order_col),
-        F.floor(start / F.lit(int(shard_bytes))).cast("long").alias("shard_id"),
-        (start % F.lit(int(shard_bytes))).cast("long").alias("offset_in_shard"),
-        F.col(size_col).cast("long").alias("size"),
+    # integer DIV, not floor(double /): past 2^53 cumulative bytes a
+    # double-precision quotient can land one shard off while the exact
+    # long modulo still reflects the true offset — an internally
+    # inconsistent index entry
+    b = int(shard_bytes)
+    return (
+        packed.withColumn(
+            "_start", (F.col("_base") + F.col("_cum_in") - F.col(size_col)).cast("long")
+        )
+        .select(
+            F.col(order_col),
+            F.expr(f"_start DIV {b}").alias("shard_id"),
+            (F.col("_start") % F.lit(b)).alias("offset_in_shard"),
+            F.col(size_col).cast("long").alias("size"),
+        )
     )

@@ -165,17 +165,28 @@ def recrawl_priority(
     events or a zero observed span carry no cadence estimate and are
     excluded (the caller's cold-start policy owns them).
 
-    Timestamps are reduced to SECOND resolution before arithmetic
-    (TIMESTAMP_NTZ cannot cast to epoch in Spark; a formatted
-    round-trip at second precision is engine-portable and the cadence
-    math doesn't need microseconds). All algebraic aggregates: ONE
-    map-side-combined shuffle on the key + a broadcast 1-row corpus
-    max. Output cardinality = #keys.
+    Timestamps are reduced to SECOND resolution before arithmetic,
+    built from tz-FREE field extraction (unix_date of the date part +
+    hour/minute/second): TIMESTAMP_NTZ cannot cast to epoch in Spark,
+    and a date_format->unix_timestamp round-trip would re-interpret
+    the wall clock in the SESSION timezone — a DST-transition span
+    would skew gaps by ±3600 s and diverge from the oracle's tz-free
+    epoch(). Field arithmetic is wall-clock-as-UTC in every session.
+    All algebraic aggregates: ONE map-side-combined shuffle on the
+    key; the corpus max derives from the per-key aggregate (#keys
+    rows), never a second scan of the event stream. Output
+    cardinality = #keys.
 
     Returns (key, n_events, avg_gap_s, staleness) rounded to 6dp.
     """
-    ts_s = F.unix_timestamp(F.date_format(F.col(ts_col), "yyyy-MM-dd HH:mm:ss"))
-    per_key = (
+    t = F.col(ts_col)
+    ts_s = (
+        F.unix_date(t.cast("date")) * 86400
+        + F.hour(t) * 3600
+        + F.minute(t) * 60
+        + F.second(t)
+    ).cast("long")
+    grouped = (
         events.select(F.col(key_col).alias("key"), ts_s.alias("s"))
         .groupBy("key")
         .agg(
@@ -183,9 +194,15 @@ def recrawl_priority(
             F.min("s").alias("first_s"),
             F.max("s").alias("last_s"),
         )
-        .filter((F.col("n_events") >= 2) & (F.col("last_s") > F.col("first_s")))
+        # two consumers (per_key + corpus max) and Spark has no
+        # auto-CSE across them: materialize the #keys-row aggregate
+        # once so the event scan never runs twice
+        .localCheckpoint()
     )
-    corpus_max = events.select(ts_s.alias("s")).agg(F.max("s").alias("max_s"))
+    per_key = grouped.filter(
+        (F.col("n_events") >= 2) & (F.col("last_s") > F.col("first_s"))
+    )
+    corpus_max = grouped.agg(F.max("last_s").alias("max_s"))
     gap = (F.col("last_s") - F.col("first_s")) / (F.col("n_events") - 1)
     rnd6 = lambda c: F.floor(c * 1000000 + 0.5 + 1e-6).cast("double") / 1000000  # noqa: E731
     return (

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..sources.store import CheckpointStore
 
-_UNION_TABLES = {"results", "edges", "metrics", "order"}
+from ..sources.store import UNION_LOG_TABLES as _UNION_TABLES
 
 
 def view_table(

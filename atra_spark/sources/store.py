@@ -43,6 +43,11 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# append-log tables: every round is live data (read via read_union) —
+# the snapshot-expiry maintenance MUST refuse them (plans/view.py
+# imports this set for its union-vs-snapshot read dispatch)
+UNION_LOG_TABLES = {"results", "edges", "metrics", "order"}
+
 
 class CheckpointStore:
     def __init__(self, root: str, num_buckets: int = 32) -> None:
@@ -211,7 +216,15 @@ class CheckpointStore:
         - the latest BASE and every entry after it (the composed
           current state reads through exactly these);
         - the newest ``keep_last_n`` rounds (bounded time travel for
-          operators; resume needs at least the latest).
+          operators; resume needs at least the latest) — AND the base
+          each of them composes from: a kept DELTA without its serving
+          base would silently time-travel to delta-only state, so the
+          cut point is the latest base at or below the oldest kept
+          round, and everything from that base onward survives.
+
+        Append-log tables (``UNION_LOG_TABLES``, read via
+        ``read_union``) are refused — every round of a log IS live
+        data; expiring them would destroy it.
 
         Everything older is removed from disk and manifest atomically
         (manifest commit is the same write-temp + rename as every
@@ -220,6 +233,11 @@ class CheckpointStore:
         which the next expire call re-prunes). Returns the expired
         round numbers.
         """
+        if table in UNION_LOG_TABLES:
+            raise ValueError(
+                f"table {table!r} is an append log (read_union): every round "
+                "is live data and cannot be expired"
+            )
         manifest = self._load_manifest(table)
         snaps = manifest["snapshots"]
         if not snaps:
@@ -227,10 +245,14 @@ class CheckpointStore:
         bases = [s["round"] for s in snaps if s.get("kind") != "delta"]
         last_base = max(bases) if bases else -(1 << 62)
         keep_tail = {s["round"] for s in snaps[-max(int(keep_last_n), 1):]}
-        expired = [
-            s for s in snaps
-            if s["round"] < last_base and s["round"] not in keep_tail
-        ]
+        oldest_kept = min(keep_tail | {last_base})
+        serving = [b for b in bases if b <= oldest_kept]
+        # cut at the base that serves the oldest kept round; if none
+        # exists (delta-only history), everything is protected
+        cut = max(serving) if serving else -(1 << 62)
+        if not bases:
+            cut = -(1 << 62)
+        expired = [s for s in snaps if s["round"] < cut]
         if not expired:
             return []
         for s in expired:

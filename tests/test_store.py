@@ -413,3 +413,44 @@ class TestExpireSnapshots:
             store.write_snapshot("t", spark.createDataFrame([(rnd,)], "v long"), rnd)
         assert store.expire_snapshots("t", keep_last_n=1) == [1, 2]
         assert store.expire_snapshots("t", keep_last_n=1) == []
+
+
+class TestExpireContractRegressions:
+    """Pins for the round-4 review findings on expire_snapshots."""
+
+    def _union_combiner(self):
+        def fn(base, deltas):
+            dfs = ([base] if base is not None else []) + [d for _, d in deltas]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            return out
+        return fn
+
+    def test_kept_delta_keeps_its_serving_base(self, spark, tmp_path):
+        """Manifest [base@5, delta@6, base@7]: round 6 is in the keep
+        tail, so base@5 (its serving base) must survive — a delta-only
+        time travel would silently drop base 5's rows."""
+        from atra_spark.sources.store import CheckpointStore
+
+        store = CheckpointStore(str(tmp_path / "s"), num_buckets=2)
+        store.register_combiner("t", self._union_combiner())
+        store.write_snapshot("t", spark.createDataFrame([(5,)], "v long"), 5)
+        store.write_delta("t", spark.createDataFrame([(6,)], "v long"), 6)
+        store.write_snapshot("t", spark.createDataFrame([(5,), (6,), (7,)], "v long"), 7)
+        expired = store.expire_snapshots("t", keep_last_n=2)
+        assert expired == []  # base@5 serves kept round 6: nothing expirable
+        got = sorted(r["v"] for r in store.read_snapshot(spark, "t", 6).collect())
+        assert got == [5, 6], "time travel to round 6 must include base 5"
+
+    def test_union_log_tables_refused(self, spark, tmp_path):
+        from atra_spark.sources.store import CheckpointStore
+
+        store = CheckpointStore(str(tmp_path / "s"), num_buckets=2)
+        for rnd in (1, 2, 3):
+            store.write_snapshot("results", spark.createDataFrame([(rnd,)], "v long"), rnd)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="append log"):
+            store.expire_snapshots("results", keep_last_n=1)
+        # all rounds intact
+        assert [s["round"] for s in store._load_manifest("results")["snapshots"]] == [1, 2, 3]
