@@ -2209,6 +2209,85 @@ FROM top
 """
 
 
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-population quality tiers (score = non-empty token count,
+    deterministic id tiebreak; atra_spark.functions.textstats.
+    quality_deciles — the data-mixing bucket construction). Oracle:
+    sql_quality_deciles."""
+    from atra_spark.functions.textstats import quality_deciles
+
+    _register(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    scored = spark.table("documents").select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: t != F.lit(""))).cast("double").alias("q"),
+    )
+    out = quality_deciles(scored, score_col="q", id_col="doc_id", n_buckets=10)
+    return out.select(F.col("id").alias("doc_id"), "score", "decile")
+
+
+def sql_quality_deciles(dialect: str) -> str:
+    """Twin of textstats.quality_deciles: ntile(10) over
+    (score DESC, doc_id)."""
+    if dialect == "spark":
+        ntok = "CAST(size(filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')) AS DOUBLE)"
+    else:
+        ntok = r"CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS DOUBLE)"
+    return f"""
+WITH scored AS (SELECT doc_id, {ntok} AS score FROM documents)
+SELECT doc_id, score,
+       CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) AS INT) AS decile
+FROM scored
+"""
+
+
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus selection: best documents by quality score
+    until a 10k-token budget (atra_spark.functions.textstats.
+    select_token_budget — distributed prefix sum in quality order).
+    Oracle: sql_token_budget_selection."""
+    from atra_spark.functions.textstats import select_token_budget
+
+    _register(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    scored = spark.table("documents").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("q"),
+        F.size(F.filter(toks, lambda t: t != F.lit(""))).alias("ntok"),
+    )
+    out = select_token_budget(
+        scored, budget_tokens=10_000, score_col="q", tokens_col="ntok", id_col="doc_id"
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "score", "n_tokens",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+def sql_token_budget_selection(dialect: str) -> str:
+    """Twin of textstats.select_token_budget: cumsum over
+    (score DESC, doc_id), keep rows STARTING inside the budget."""
+    if dialect == "spark":
+        ntok = "CAST(size(filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')) AS BIGINT)"
+    else:
+        ntok = r"CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT)"
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS score, {ntok} AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, score, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, score, n_tokens, cum_tokens
+FROM c
+WHERE cum_tokens - n_tokens < 10000
+"""
+
+
 def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Webdataset-style shard packing of the documents table by
     n_chars (10 kB shards, doc_id order) — distributed two-phase
@@ -2514,6 +2593,8 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_templates": q_url_templates,
     "recrawl_priority": q_recrawl_priority,
     "shard_pack": q_shard_pack,
+    "quality_deciles": q_quality_deciles,
+    "token_budget_selection": q_token_budget_selection,
 }
 
 
@@ -2558,6 +2639,8 @@ def _custom_oracles() -> dict[str, str]:
         "url_templates": sql_url_templates("duckdb"),
         "recrawl_priority": sql_recrawl_priority("duckdb"),
         "shard_pack": sql_shard_pack("duckdb"),
+        "quality_deciles": sql_quality_deciles("duckdb"),
+        "token_budget_selection": sql_token_budget_selection("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
             f"FROM read_parquet('{oracle_dir}/crawl_results.parquet')"

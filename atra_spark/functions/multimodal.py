@@ -163,42 +163,14 @@ def shard_pack(
 
     This is a global prefix sum, and the naive Spark spelling —
     ``Window.orderBy(order_col)`` with no partition key — collapses
-    the whole table into ONE task. Implemented instead as the
-    distributed two-phase prefix sum: range-partition on the order
-    key, cumsum WITHIN each partition (a window keyed on the
-    partition id), then add per-partition base offsets computed on the
-    tiny #partitions-row relation and broadcast back. The result is a
-    pure function of the global order — wherever the sampled range
-    boundaries fall, the cumulative sums are identical — so a
-    single-window SQL oracle reproduces it exactly.
+    the whole table into ONE task. Uses the shared two-phase
+    distributed prefix sum (``functions/prefix.py``), whose result is
+    a pure function of the global order, so a single-window SQL
+    oracle reproduces it exactly.
     """
-    ordered = df.repartitionByRange(F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    from pyspark.sql import Window
+    from .prefix import distributed_prefix_sum
 
-    w_in = (
-        Window.partitionBy("_pid")
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # materialized ONCE: `local` feeds both the per-partition totals
-    # and the final join. Left lazy, the two subtrees would each
-    # replan the range exchange, whose sampled boundaries are only
-    # guaranteed identical when exchange reuse fires — partition ids
-    # must not depend on an optimizer heuristic for CORRECTNESS.
-    local = ordered.withColumn(
-        "_cum_in", F.sum(size_col).over(w_in)
-    ).localCheckpoint()
-    # per-partition totals -> running base offset (tiny relation:
-    # one row per partition, window over it is trivially cheap)
-    totals = local.groupBy("_pid").agg(F.max("_cum_in").alias("_tot"))
-    w_base = (
-        Window.orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bases = totals.withColumn("_base", F.coalesce(F.sum("_tot").over(w_base), F.lit(0)))
-    packed = local.join(F.broadcast(bases.select("_pid", "_base")), on="_pid")
+    packed = distributed_prefix_sum(df, order_col, size_col, out_col="_cum")
     # integer DIV, not floor(double /): past 2^53 cumulative bytes a
     # double-precision quotient can land one shard off while the exact
     # long modulo still reflects the true offset — an internally
@@ -206,7 +178,7 @@ def shard_pack(
     b = int(shard_bytes)
     return (
         packed.withColumn(
-            "_start", (F.col("_base") + F.col("_cum_in") - F.col(size_col)).cast("long")
+            "_start", (F.col("_cum") - F.col(size_col)).cast("long")
         )
         .select(
             F.col(order_col),

@@ -626,3 +626,72 @@ def zipf_table(
     )
     w = Window.orderBy(F.desc("freq"), F.asc("term"))
     return counts.withColumn("rank", F.row_number().over(w))
+
+
+def quality_deciles(
+    df: DataFrame,
+    score_col: str = "lm_logprob",
+    id_col: str = "id",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Quality-stratified bucketing: assign every document to one of
+    ``n_buckets`` equal-population tiers by a quality score (the
+    FineWeb-style bucket construction behind data-mixing recipes and
+    curriculum schedules — sample mixture weights per tier instead of
+    a single hard threshold).
+
+    ntile over (score DESC, id) — the id tiebreak makes the relation
+    deterministic. A global ORDER BY window is a single task; that is
+    the right trade HERE because ntile's input is the (doc_id, score)
+    projection — two narrow columns, not the corpus — and bucket
+    boundaries are global by definition. At extreme scale compute
+    approximate boundary quantiles first (approx_percentile on the
+    score) and bucket by range instead; same output contract.
+
+    Returns (id, score, decile) with decile in [1, n_buckets].
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(score_col).alias("score"),
+    ).withColumn("decile", F.ntile(int(n_buckets)).over(w))
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str,
+    tokens_col: str,
+    id_col: str = "id",
+) -> DataFrame:
+    """Budgeted corpus selection: take documents in DESCENDING quality
+    order until the cumulative token count reaches ``budget_tokens`` —
+    "give me the best N-token training set", the final step of a
+    data-mixing recipe. A document is kept iff it STARTS inside the
+    budget (same straddle rule as shard packing: the boundary doc is
+    included, the budget is approximate by at most one document).
+
+    Needs a global running total in quality order — computed with the
+    shared two-phase distributed prefix sum (``functions/prefix.py``),
+    never a single-task global window over the corpus. Quality order
+    is made total with the id tiebreak by packing (score, id) into a
+    sortable rank key.
+
+    Returns the kept (id, score, n_tokens, cum_tokens) rows.
+    """
+    from .prefix import distributed_prefix_sum
+
+    # total order: score DESC then id ASC, packed into one orderable
+    # struct column (range partitioner accepts any orderable type)
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(score_col).alias("score"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    ).withColumn("_rk", F.struct((-F.col("score")).alias("neg"), F.col("id").alias("id")))
+    cum = distributed_prefix_sum(keyed, "_rk", "n_tokens", out_col="cum_tokens")
+    return (
+        cum.filter(F.col("cum_tokens") - F.col("n_tokens") < int(budget_tokens))
+        .select("id", "score", "n_tokens", "cum_tokens")
+    )

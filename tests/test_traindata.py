@@ -1238,3 +1238,42 @@ class TestShardPack:
         assert (got[1]["shard_id"], got[1]["offset_in_shard"]) == (0, 0)
         assert (got[2]["shard_id"], got[2]["offset_in_shard"]) == (0, 700)
         assert (got[3]["shard_id"], got[3]["offset_in_shard"]) == (1, 400)
+
+
+class TestQualityDecilesAndBudget:
+    def test_deciles_equal_population_and_order(self, spark):
+        from atra_spark.functions.textstats import quality_deciles
+
+        df = spark.createDataFrame(
+            [(i, float(100 - i)) for i in range(20)], "id long, q double"
+        )
+        got = {r["id"]: r["decile"] for r in quality_deciles(df, "q", "id").collect()}
+        # descending score: ids 0,1 (highest q) -> decile 1; ids 18,19 -> 10
+        assert got[0] == got[1] == 1
+        assert got[18] == got[19] == 10
+        assert sorted(got.values()) == sorted([d for d in range(1, 11) for _ in range(2)])
+
+    def test_budget_selection_matches_python(self, spark):
+        from atra_spark.functions.textstats import select_token_budget
+
+        rows = [(i, float((i * 13) % 50), (i * 7) % 90 + 10) for i in range(40)]
+        df = spark.createDataFrame(rows, "id long, q double, ntok long")
+        got = {r["id"]: r["cum_tokens"] for r in select_token_budget(
+            df, budget_tokens=800, score_col="q", tokens_col="ntok", id_col="id"
+        ).collect()}
+        cum = 0
+        expected = {}
+        for i, q, n in sorted(rows, key=lambda r: (-r[1], r[0])):
+            if cum < 800:
+                expected[i] = cum + n
+            cum += n
+        assert got == expected
+
+    def test_budget_invariant_under_partitioning(self, spark):
+        from atra_spark.functions.textstats import select_token_budget
+
+        rows = [(i, float(i % 7), 50) for i in range(30)]
+        df = spark.createDataFrame(rows, "id long, q double, ntok long")
+        a = sorted(map(tuple, select_token_budget(df, 500, "q", "ntok", "id").collect()))
+        b = sorted(map(tuple, select_token_budget(df.repartition(9), 500, "q", "ntok", "id").collect()))
+        assert a == b and len(a) == 10  # 500/50
