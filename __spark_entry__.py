@@ -368,6 +368,67 @@ FROM bands a JOIN bands b
 """
 
 
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimate vs true Jaccard for every LSH candidate pair
+    (atra_spark.functions.dedup.minhash_calibration — the sketch-
+    tuning surface). Oracle: sql_minhash_calibration."""
+    from atra_spark.functions.dedup import minhash_calibration
+
+    _register(spark, sf_dir)
+    return minhash_calibration(spark.table("documents"))
+
+
+def sql_minhash_calibration(dialect: str) -> str:
+    """Twin of dedup.minhash_calibration: candidate pairs from the
+    band join, est = matching signature components / 8, true = exact
+    shingle Jaccard computed only for the candidate pairs."""
+    min_parts = []
+    for i in range(8):
+        salted = "'s" + str(i) + "|' || sh"
+        min_parts.append(f"min({_hex_hash(salted, dialect)}) AS h{i}")
+    mins = ",\n         ".join(min_parts)
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, h{2*b} AS x, h{2*b+1} AS y FROM sig"
+        for b in range(4)
+    )
+    est = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    return f"""
+WITH {_shingles_cte(dialect)},
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN shingles x ON x.doc_id = c.doc_a
+  JOIN shingles y ON y.doc_id = c.doc_b AND y.sh = x.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       {_rnd('(' + est + ') / 8.0', 4)} AS est_j,
+       {_rnd('coalesce(i.i, 0) / CAST(na.n_sh + nb.n_sh - coalesce(i.i, 0) AS DOUBLE)', 4)} AS true_j
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes na ON na.doc_id = c.doc_a
+JOIN sizes nb ON nb.doc_id = c.doc_b
+"""
+
+
 def sql_cosine_topk(dialect: str) -> str:
     """Brute-force cosine top-k vs query vec_id=0 (ANN baseline).
 
@@ -2595,6 +2656,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_pack": q_shard_pack,
     "quality_deciles": q_quality_deciles,
     "token_budget_selection": q_token_budget_selection,
+    "minhash_calibration": q_minhash_calibration,
 }
 
 
@@ -2641,6 +2703,7 @@ def _custom_oracles() -> dict[str, str]:
         "shard_pack": sql_shard_pack("duckdb"),
         "quality_deciles": sql_quality_deciles("duckdb"),
         "token_budget_selection": sql_token_budget_selection("duckdb"),
+        "minhash_calibration": sql_minhash_calibration("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
             f"FROM read_parquet('{oracle_dir}/crawl_results.parquet')"

@@ -164,6 +164,70 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_calibration(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Sketch-calibration surface: for every LSH candidate pair, the
+    MinHash ESTIMATE of Jaccard (matching signature components / k)
+    next to the TRUE shingle Jaccard — the table an operator reads to
+    pick num_hashes/bands/threshold for a corpus (is the sketch biased
+    here? how wide is the estimate spread at the dedup threshold?).
+
+    Cost shape: candidates come from the banded join (never O(n^2));
+    the true Jaccard is computed ONLY for candidate pairs — the
+    shingle relation is semi-joined down to candidate docs before the
+    intersection count, so the expensive exact computation touches the
+    (tiny) candidate neighborhood, not the corpus.
+
+    Returns (doc_a, doc_b, est_j, true_j) HALF_UP-rounded to 4dp.
+    """
+    n = int(num_hashes)
+    cand = minhash_lsh_candidates(df, text_col, id_col, n, rows_per_band, k)
+    sig = minhash_signatures(df, text_col, id_col, n, k)
+    sa = sig.select(F.col("id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(n)])
+    sb = sig.select(F.col("id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(n)])
+    est = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(n)
+    ) / float(n)
+
+    sh = shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.join(cand.select(F.col("doc_a").alias("id")).distinct(), on="id").select(
+        F.col("id").alias("doc_a"), "sh"
+    )
+    sh_b = sh.join(cand.select(F.col("doc_b").alias("id")).distinct(), on="id").select(
+        F.col("id").alias("doc_b"), "sh"
+    )
+    inter = (
+        cand.join(sh_a, on="doc_a")
+        .join(sh_b, on=["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    rnd4 = lambda c: F.floor(c * 10000 + 0.5 + 1e-6).cast("double") / 10000  # noqa: E731
+    return (
+        cand.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .join(inter, on=["doc_a", "doc_b"], how="left")
+        .join(sizes.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na")), on="doc_a")
+        .join(sizes.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("nb")), on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            rnd4(est).alias("est_j"),
+            rnd4(
+                F.coalesce(F.col("i"), F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0)))
+            ).alias("true_j"),
+        )
+    )
+
+
 SIMHASH_BITS = 60  # md5-prefix token hash is 60 bits; so is the signature
 
 

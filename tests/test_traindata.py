@@ -1277,3 +1277,21 @@ class TestQualityDecilesAndBudget:
         a = sorted(map(tuple, select_token_budget(df, 500, "q", "ntok", "id").collect()))
         b = sorted(map(tuple, select_token_budget(df.repartition(9), 500, "q", "ntok", "id").collect()))
         assert a == b and len(a) == 10  # 500/50
+
+
+class TestMinhashCalibration:
+    def test_exact_dup_estimates_one_and_true_matches_python(self, spark, docs_df):
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["est_j"], r["true_j"])
+            for r in dedup.minhash_calibration(docs_df).collect()
+        }
+        # exact dups (0,2): every signature component matches, true j = 1
+        assert got[(0, 2)] == (1.0, 1.0)
+        # every candidate's true_j equals the pure-python jaccard at 4dp
+        import math
+
+        for (a, b), (_, tj) in got.items():
+            want = _jaccard(_shingles(dict(DOCS)[a]), _shingles(dict(DOCS)[b]))
+            assert tj == math.floor(want * 10000 + 0.5 + 1e-6) / 10000, (a, b)
+        # estimates live in [0, 1] on the 8-hash grid
+        assert all(0.0 <= e <= 1.0 and round(e * 8, 6) % 1 == 0 for e, _ in got.values())
