@@ -2614,7 +2614,113 @@ GROUP BY source
 """
 
 
+def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT keys — the CDX lookup key over the rotated WARC archive
+    (sources/warc.build_cdx; urlkit.surt_key documents the rule
+    subset) — computed by the fully-JVM ``surt_col`` plan for one
+    deterministically constructed URL per document. The construction
+    exercises every rule: uppercase host/path, a ``www.`` label, a
+    non-default port every 7th doc, unsorted/odd query params every
+    3rd. Oracle: the construction rule itself (sitemap-style
+    constructive truth — the expected surt is built directly from
+    (source, doc_id), not by mirroring the implementation)."""
+    from atra_spark.functions.jvm_url import surt_col
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        F.lit(".Example"),
+        F.when(F.col("doc_id") % 7 == 0, ":8080").otherwise(""),
+        F.lit("/Doc/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, "?b=2&a=1")
+        .when(F.col("doc_id") % 3 == 1, "?z")
+        .otherwise(""),
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), surt_col(url).alias("surt")
+    )
+
+
+def sql_surt_keys(dialect: str) -> str:
+    """Constructive twin of q_surt_keys: scheme/userinfo dropped,
+    lowercased, ``www.`` stripped, host labels reversed (source has no
+    dots, so the reversal is 'example,' || source), non-default port
+    kept before ')', query params sorted ('?b=2&a=1' -> '?a=1&b=2')."""
+    return """
+SELECT doc_id,
+       'https://WWW.' || source || '.Example'
+         || CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+         || '/Doc/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1'
+                 WHEN doc_id % 3 = 1 THEN '?z' ELSE '' END AS url,
+       'example,' || source
+         || CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+         || ')/doc/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2'
+                 WHEN doc_id % 3 = 1 THEN '?z' ELSE '' END AS surt
+FROM documents
+"""
+
+
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end archive loop through REAL WARC files: synthesize a
+    pages table from documents, export_warc it (rotated .warc files,
+    labeled xxh128 digests, plans/export.py), read it back with the
+    distributed WARC source (sources/warc.read_warc_pages), and report
+    per-url byte length + md5 of the RECOVERED payload. Oracle: the
+    roundtrip invariant itself — payloads come back byte-identical, so
+    octet_length/md5 computed directly on documents.text is the truth.
+    The scratch archive stays on disk until the session ends (the
+    returned plan re-reads it lazily at collect time)."""
+    import datetime as _dt
+
+    from atra_spark.plans.export import export_warc
+    from atra_spark.sources.warc import read_warc_pages
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 120)
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example/doc"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.lit(_dt.datetime(2024, 1, 1)).alias("fetched_at"),
+        F.encode("text", "utf-8").alias("html"),
+    )
+    out = tempfile.mkdtemp(prefix="atra_warc_rt_")
+    results = pages.select("url", "fetched_at", F.lit(200).alias("status"))
+    export_warc(results, pages.select("url", "html"), out).collect()
+    back = read_warc_pages(spark, out)
+    return back.select(
+        "url",
+        F.octet_length("html").alias("n_bytes"),
+        F.md5("html").alias("payload_md5"),
+        "http_status",
+        "mime",
+    )
+
+
+def sql_warc_roundtrip(dialect: str) -> str:
+    """Expected output of the WARC export->read-back loop, constructed
+    directly from the documents table (DuckDB md5/octet_length hash the
+    same UTF-8 bytes Spark's encode(text,'utf-8') produced)."""
+    return """
+SELECT 'https://' || source || '.example/doc' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       md5(text) AS payload_md5,
+       CAST(200 AS INT) AS http_status,
+       'text/html' AS mime
+FROM documents
+WHERE doc_id < 120
+"""
+
+
 _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "surt_keys": q_surt_keys,
+    "warc_roundtrip": q_warc_roundtrip,
     "simhash": q_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
     "minhash_lsh_df": q_minhash_lsh_df,
@@ -2663,6 +2769,8 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 def _custom_oracles() -> dict[str, str]:
     oracle_dir = _ensure_crawl_oracle()
     return {
+        "surt_keys": sql_surt_keys("duckdb"),
+        "warc_roundtrip": sql_warc_roundtrip("duckdb"),
         "simhash": sql_simhash("duckdb"),
         "simhash_near_pairs": sql_simhash_near_pairs("duckdb"),
         # the DF LSH candidate set equals the band-pair SQL's (xxhash64

@@ -152,3 +152,44 @@ def url_templates(
         )
         .filter(F.col("n_urls") >= int(min_urls))
     )
+
+
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@?#]*@)?([^/?#]+)"
+
+
+def surt_col(url: Column) -> Column:
+    """Sort-friendly URI Reordering Transform key, fully JVM-side —
+    the CDX lookup key over the rotated WARC store (see
+    urlkit.surt_key for the documented rule subset; pytest pins the
+    two implementations equal on the canonicalization vector corpus).
+    Whole-stage-codegen regexp/array math: reverse(split(host)) +
+    sorted query params — no Python worker in the index-build path.
+    NULL for non-authority URLs."""
+    hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":\d+$", ""), r"^www\d*\.", ""
+    )
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    portpart = F.when(port.isin("", "80", "443"), "").otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    rest = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(url, _SCHEME_AUTH_RE, ""), r"#.*$", ""
+        )
+    )
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    qsorted = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda x: x != "")), "&"
+    )
+    key = F.concat(
+        rev,
+        portpart,
+        F.lit(")"),
+        path,
+        F.when(qsorted == "", "").otherwise(F.concat(F.lit("?"), qsorted)),
+    )
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(key)

@@ -141,9 +141,23 @@ def iter_warc_records(data: bytes):
 
     Yields (headers: dict[str, str], body: bytes) per record; raises
     ValueError on grammar violations (the NotAHeader analog)."""
+    for _off, _length, headers, body in iter_warc_spans(data):
+        yield headers, body
+
+
+def iter_warc_spans(data: bytes):
+    """Span-tracked variant of :func:`iter_warc_records` — the single
+    implementation of the record grammar. Yields
+    ``(offset, length, headers, body)`` where ``offset`` is the byte
+    position of the record's version line and ``length`` the full
+    record span including the CRLF CRLF tail — exactly the numbers a
+    CDX index needs for random access (``data[offset:offset+length]``
+    re-parses as one record; the reference's skip-pointer economics,
+    atra/src/stores/warc.rs:119-140)."""
     pos = 0
     version = WARC_VERSION.encode() + b"\r\n"
     while pos < len(data):
+        start = pos
         if not data.startswith(version, pos):
             raise ValueError(
                 f"not a header at byte {pos}: {data[pos:pos + 16]!r}"
@@ -166,7 +180,7 @@ def iter_warc_records(data: bytes):
         if data[pos : pos + 4] != b"\r\n\r\n":
             raise ValueError(f"missing record tail at byte {pos}")
         pos += 4
-        yield headers, body
+        yield start, pos - start, headers, body
 
 
 class _RotatingWarcWriter:

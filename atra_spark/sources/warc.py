@@ -1,0 +1,332 @@
+"""Distributed WARC archive source + CDX(J) index build.
+
+The reference's WARC store is write-mostly with skip-pointer point
+reads (atra/src/stores/warc.rs:119-140, warc/src/reader.rs:380-470).
+At Common-Crawl scale the archive is ALSO a batch input: reprocessing
+jobs re-read `.warc` files into the pages table, and random access
+goes through a CDX index keyed by SURT. This module is that read path
+as a Spark source:
+
+- one task per WARC file — files are the export sink's rotation unit
+  (plans/export.py `_RotatingWarcWriter`), so they are the natural
+  split unit; a file list DataFrame is repartitioned across the
+  cluster and each task parses whole records with the span-tracked
+  grammar (`plans.export.iter_warc_spans` — single implementation of
+  the record grammar, shared with the writer's tests);
+- continuation chains (payloads the writer segmented at 1 GB,
+  warc_ext/write.rs:219-230) reassemble through ONE shuffle keyed on
+  the origin record id; unsegmented responses — the overwhelming
+  majority — take a zero-shuffle fast path;
+- the CDX index derives from the same scan with `with_payload=False`,
+  so index builds never move payload bytes, and is range-partitioned
+  by SURT so each output shard is a sorted, binary-searchable run
+  (the Common-Crawl `cdx-*.gz` layout).
+
+Cluster posture: paths here are plain `open()` because the sandbox is
+a shared local fs; on a real cluster the file list comes from the
+object store's listing and `_read_file` swaps to the storage seam
+(operators/seen_index.LocalBucketStorage is the pattern) — the plan
+shapes (per-file tasks, one reassembly shuffle, range-partitioned
+index write) are unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.jvm_url import surt_col
+from ..plans.export import iter_warc_spans
+
+_RECORD_COLS = (
+    "warc_file string, offset long, length long, record_id string, "
+    "warc_type string, url string, warc_date string, payload_digest string, "
+    "block_digest string, segment_number int, segment_origin_id string, "
+    "segment_total_length long, http_status int, mime string, body binary"
+)
+
+_PAGE_COLS = (
+    "url string, warc_ts timestamp, html binary, http_status int, "
+    "mime string, payload_digest string, warc_file string, offset long, "
+    "n_segments int"
+)
+
+
+def list_warc_files(warc_dir: str) -> list[str]:
+    """Deterministic (sorted) `.warc` listing under a directory."""
+    return sorted(
+        os.path.join(warc_dir, f)
+        for f in os.listdir(warc_dir)
+        if f.endswith(".warc")
+    )
+
+
+def _parse_http_head(body: bytes) -> tuple[int | None, str | None, bytes]:
+    """Split a stored `application/http;msgtype=response` block into
+    (status, content-type, payload). The writer packs status line +
+    headers + CRLFCRLF + payload (plans/export._http_header_block,
+    mirroring the reference's meta.headers capture, result.rs:32-90)."""
+    sep = body.find(b"\r\n\r\n")
+    if sep < 0:
+        return None, None, body
+    head, payload = body[:sep], body[sep + 4 :]
+    lines = head.split(b"\r\n")
+    status: int | None = None
+    first = lines[0].split()
+    if len(first) >= 2 and first[0].startswith(b"HTTP/"):
+        try:
+            status = int(first[1])
+        except ValueError:
+            status = None
+    mime: str | None = None
+    for ln in lines[1:]:
+        k, _, v = ln.partition(b":")
+        if k.strip().lower() == b"content-type":
+            mime = v.strip().decode("latin-1").split(";")[0].strip()
+            break
+    return status, mime, payload
+
+
+def scan_warc_records(
+    spark: SparkSession,
+    paths: str | list[str],
+    with_payload: bool = True,
+) -> DataFrame:
+    """Every WARC record in the archive as one row — the raw scan both
+    `read_warc_pages` and `build_cdx` derive from.
+
+    `with_payload=False` keeps offsets/digests/HTTP metadata but drops
+    the body bytes inside the scan task, so downstream exchanges (the
+    CDX range partitioning) never carry payloads."""
+    files = list_warc_files(paths) if isinstance(paths, str) else sorted(paths)
+    if not files:
+        return spark.createDataFrame([], _RECORD_COLS)
+    fdf = spark.createDataFrame([(p,) for p in files], "warc_file string")
+    par = min(len(files), spark.sparkContext.defaultParallelism)
+    fdf = fdf.repartition(par, "warc_file")
+    keep_body = bool(with_payload)
+
+    def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split()[0] for c in _RECORD_COLS.split(", ")]
+        for pdf in batches:
+            rows = []
+            for path in pdf["warc_file"]:
+                with open(path, "rb") as f:
+                    data = f.read()
+                for off, length, hdrs, body in iter_warc_spans(data):
+                    status, mime, _ = _parse_http_head(body)
+                    seg = hdrs.get("WARC-Segment-Number")
+                    tot = hdrs.get("WARC-Segment-Total-Length")
+                    rows.append(
+                        (
+                            path,
+                            off,
+                            length,
+                            hdrs.get("WARC-Record-ID"),
+                            hdrs.get("WARC-Type"),
+                            hdrs.get("WARC-Target-URI"),
+                            hdrs.get("WARC-Date"),
+                            hdrs.get("WARC-Payload-Digest"),
+                            hdrs.get("WARC-Block-Digest"),
+                            int(seg) if seg else None,
+                            hdrs.get("WARC-Segment-Origin-ID"),
+                            int(tot) if tot else None,
+                            status,
+                            mime,
+                            bytes(body) if keep_body else None,
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return fdf.mapInPandas(parse, _RECORD_COLS)
+
+
+def read_warc_pages(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """The archive as a pages table: (url, warc_ts, html, http_status,
+    mime, payload_digest, warc_file, offset, n_segments) — html is the
+    HTTP payload with the stored header block stripped, byte-identical
+    to what the crawl wrote (roundtrip pinned in tests).
+
+    Unsegmented responses (no WARC-Segment-Number) convert in the scan
+    task — zero shuffle. Segmented chains group on the origin record
+    id (the response's own record id; continuations carry it as
+    WARC-Segment-Origin-ID, warc_ext/write.rs:262-287) — one shuffle
+    sized by the rare multi-GB payloads only."""
+    rec = scan_warc_records(spark, paths, with_payload=True)
+    plain = rec.filter(
+        (F.col("warc_type") == "response") & F.col("segment_number").isNull()
+    )
+
+    def strip(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in range(len(pdf)):
+                status, mime, payload = _parse_http_head(bytes(pdf["body"].iat[i]))
+                out.append(
+                    (
+                        pdf["url"].iat[i],
+                        pd.Timestamp(pdf["warc_date"].iat[i]).tz_localize(None),
+                        payload,
+                        status,
+                        mime,
+                        pdf["payload_digest"].iat[i],
+                        pdf["warc_file"].iat[i],
+                        pdf["offset"].iat[i],
+                        1,
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out, columns=[c.split()[0] for c in _PAGE_COLS.split(", ")]
+                )
+
+    pages = plain.mapInPandas(strip, _PAGE_COLS)
+
+    # chain key: the response record's OWN id; continuations point at
+    # it. No driver-side emptiness probe — the grouped branch stays in
+    # the same lazy plan and costs nothing when no record is segmented.
+    seg = rec.filter(F.col("segment_number").isNotNull())
+    chained = seg.withColumn(
+        "chain_id",
+        F.when(
+            F.col("warc_type") == "response", F.col("record_id")
+        ).otherwise(F.col("segment_origin_id")),
+    )
+
+    def reassemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("segment_number")
+        head = pdf.iloc[0]
+        body = b"".join(bytes(b) for b in pdf["body"])
+        tot = pdf["segment_total_length"].dropna()  # present on the last chunk
+        if len(tot) and int(tot.iloc[0]) != len(body):
+            raise ValueError(
+                f"segment chain {head['chain_id']}: total-length "
+                f"{int(tot.iloc[0])} != reassembled {len(body)}"
+            )
+        status, mime, payload = _parse_http_head(body)
+        return pd.DataFrame(
+            [
+                (
+                    head["url"],
+                    pd.Timestamp(head["warc_date"]).tz_localize(None),
+                    payload,
+                    status,
+                    mime,
+                    head["payload_digest"],
+                    head["warc_file"],
+                    head["offset"],
+                    len(pdf),
+                )
+            ],
+            columns=[c.split()[0] for c in _PAGE_COLS.split(", ")],
+        )
+
+    joined = chained.groupBy("chain_id").applyInPandas(
+        reassemble, _PAGE_COLS
+    )
+    return pages.unionByName(joined)
+
+
+_CDX_COLS = (
+    "surt string, ts14 string, url string, mime string, http_status int, "
+    "digest string, length long, offset long, filename string"
+)
+
+
+def build_cdx(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """CDX index over the archive: one row per response record,
+    (surt, ts14, url, mime, http_status, digest, length, offset,
+    filename). `length`/`offset` are the record's byte span in
+    `filename` — `data[offset:offset+length]` re-parses as exactly one
+    record (pinned in tests), giving O(1) random access to any page:
+    the skip-pointer read path, served from an index instead of the
+    store's in-band pointers (atra/src/stores/warc.rs:119-140).
+
+    Payload bytes never leave the scan task (`with_payload=False`),
+    so the index build moves ~100 bytes per record no matter how big
+    the archive is. For segmented payloads the index row is the chain
+    head (the `response` record); readers follow Segment-Origin-ID for
+    the rest, as the WARC spec prescribes."""
+    rec = scan_warc_records(spark, paths, with_payload=False)
+    return (
+        rec.filter(F.col("warc_type") == "response")
+        .filter(
+            F.col("segment_number").isNull() | (F.col("segment_number") == 1)
+        )
+        .select(
+            surt_col(F.col("url")).alias("surt"),
+            F.date_format(
+                F.to_timestamp("warc_date"), "yyyyMMddHHmmss"
+            ).alias("ts14"),
+            "url",
+            "mime",
+            "http_status",
+            F.col("payload_digest").alias("digest"),
+            "length",
+            "offset",
+            F.col("warc_file").alias("filename"),
+        )
+    )
+
+
+def write_cdxj(
+    cdx: DataFrame, out_dir: str, shards: int | None = None
+) -> DataFrame:
+    """Materialize the index as sorted CDXJ shard files: range-
+    partition by (surt, ts14) so shard k's keys all precede shard
+    k+1's, sort within each shard, write one `.cdxj` text file per
+    partition (`surt ts14 {json}` lines — the Common-Crawl cdx-NNNNN
+    layout, binary-searchable per shard + a tiny shard-boundary
+    manifest built from the returned report)."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    if shards:
+        cdx = cdx.repartitionByRange(shards, "surt", "ts14")
+    else:
+        cdx = cdx.repartitionByRange("surt", "ts14")
+    cdx = cdx.sortWithinPartitions("surt", "ts14")
+
+    def write_part(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import uuid as _uuid
+
+        path = None
+        f = None
+        n = 0
+        first_key = last_key = None
+        for pdf in batches:
+            if f is None:
+                path = os.path.join(
+                    out_dir, f"cdx-{_uuid.uuid4().hex[:12]}.cdxj"
+                )
+                f = open(path, "w", encoding="utf-8")
+            for r in pdf.itertuples(index=False):
+                meta = {
+                    "url": r.url,
+                    "mime": r.mime,
+                    "status": str(r.http_status),
+                    "digest": r.digest,
+                    "length": str(int(r.length)),
+                    "offset": str(int(r.offset)),
+                    "filename": os.path.basename(r.filename),
+                }
+                f.write(f"{r.surt} {r.ts14} {json.dumps(meta, sort_keys=True)}\n")
+                if first_key is None:
+                    first_key = f"{r.surt} {r.ts14}"
+                last_key = f"{r.surt} {r.ts14}"
+                n += 1
+        if f is not None:
+            f.close()
+            yield pd.DataFrame(
+                [(path, n, first_key, last_key)],
+                columns=["path", "records", "first_key", "last_key"],
+            )
+
+    return cdx.mapInPandas(
+        write_part,
+        "path string, records int, first_key string, last_key string",
+    )

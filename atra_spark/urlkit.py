@@ -321,6 +321,43 @@ def origin(url: str) -> str | None:
     return registrable_domain(h) or h
 
 
+def surt_key(url: str) -> str | None:
+    """Sort-friendly URI Reordering Transform key — the CDX lookup key
+    used by Common-Crawl-style archive indexes over the WARC store the
+    reference rotates (atra/src/stores/warc.rs:119-140). Documented
+    rule subset (the IA default canonicalizer's core, applied
+    identically by the JVM twin ``functions.jvm_url.surt_col`` and the
+    DuckDB oracle):
+
+    1. drop scheme, userinfo, and fragment; lowercase everything;
+    2. strip ONE leading ``www`` / ``www<digits>`` host label;
+    3. reverse the remaining host labels, join with ``,``;
+    4. keep a non-default port (not 80/443) as ``:port`` before ``)``;
+    5. path verbatim (``/`` if empty); query params split on ``&``,
+       empties dropped, sorted bytewise, rejoined with ``&``.
+
+    ``com,example)/p/1?a=1&b=2`` for ``https://www.Example.com/p/1?b=2&a=1``.
+    """
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    host = (parts.hostname or "").lower()
+    if not host:
+        return None
+    host = _re_mod.sub(r"^www\d*\.", "", host)
+    rev = ",".join(reversed(host.split(".")))
+    try:
+        port = parts.port
+    except ValueError:
+        port = None
+    portpart = f":{port}" if port not in (None, 80, 443) else ""
+    path = (parts.path or "/").lower()
+    params = sorted(p for p in parts.query.lower().split("&") if p)
+    q = "?" + "&".join(params) if params else ""
+    return f"{rev}{portpart}){path}{q}"
+
+
 @dataclass(frozen=True)
 class Depth:
     """Depth triple (atra/src/url/depth.rs:27-34)."""

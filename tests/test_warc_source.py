@@ -1,0 +1,206 @@
+"""WARC archive read path: distributed scan, continuation reassembly,
+CDX index build, and SURT keys (sources/warc.py, jvm_url.surt_col).
+
+The roundtrip property pinned here is the one a reprocessing user
+relies on: export_warc -> read_warc_pages returns payloads
+byte-identical to the pages table that was exported, and
+build_cdx offsets give O(1) random access into the archive
+(atra/src/stores/warc.rs:119-140's skip-pointer economics served from
+an index)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from atra_spark.functions.jvm_url import surt_col
+from atra_spark.plans.export import export_warc, iter_warc_spans
+from atra_spark.sources.warc import (
+    build_cdx,
+    list_warc_files,
+    read_warc_pages,
+    scan_warc_records,
+    write_cdxj,
+)
+from atra_spark.urlkit import surt_key
+
+import datetime
+
+TS = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+
+def _export(spark, tmp_path, rows, **kw):
+    pages = spark.createDataFrame(
+        rows, "url string, fetched_at timestamp, html binary"
+    )
+    results = pages.select("url", "fetched_at", F.lit(200).alias("status"))
+    out = str(tmp_path / "warc")
+    export_warc(results, pages.select("url", "html"), out, **kw).collect()
+    return pages, out
+
+
+class TestWarcScan:
+    def test_offsets_give_random_access(self, spark, tmp_path):
+        rows = [
+            (f"https://h{i % 3}.example/p{i}", TS, f"<html>{i:04d}</html>".encode())
+            for i in range(12)
+        ]
+        _, out = _export(spark, tmp_path, rows)
+        rec = scan_warc_records(spark, out).collect()
+        assert len(rec) == 12
+        blobs = {p: open(p, "rb").read() for p in list_warc_files(out)}
+        for r in rec:
+            span = blobs[r["warc_file"]][r["offset"] : r["offset"] + r["length"]]
+            parsed = list(iter_warc_spans(span))
+            assert len(parsed) == 1  # the span is exactly one record
+            _, _, hdrs, body = parsed[0]
+            assert hdrs["WARC-Record-ID"] == r["record_id"]
+            assert hdrs["WARC-Target-URI"] == r["url"]
+            assert body == bytes(r["body"])
+        assert {r["http_status"] for r in rec} == {200}
+        assert {r["mime"] for r in rec} == {"text/html"}
+
+    def test_scan_without_payload_drops_body_only(self, spark, tmp_path):
+        rows = [("https://h.example/a", TS, b"<html>aaa</html>")]
+        _, out = _export(spark, tmp_path, rows)
+        r = scan_warc_records(spark, out, with_payload=False).collect()[0]
+        assert r["body"] is None
+        assert r["http_status"] == 200 and r["length"] > 0
+
+
+class TestWarcPagesRoundtrip:
+    def test_payloads_byte_identical(self, spark, tmp_path):
+        rows = [
+            (f"https://h.example/p{i}", TS, f"<html><p>doc {i}</p></html>".encode())
+            for i in range(8)
+        ]
+        pages, out = _export(spark, tmp_path, rows)
+        back = read_warc_pages(spark, out)
+        got = {r["url"]: r for r in back.collect()}
+        assert set(got) == {u for (u, _, _) in rows}
+        for u, _, html in rows:
+            r = got[u]
+            assert bytes(r["html"]) == html  # the byte-identical invariant
+            assert r["http_status"] == 200
+            assert r["mime"] == "text/html"
+            assert r["n_segments"] == 1
+        # stored payload digest matches a recompute over the full body
+        from atra_spark.functions.digest import labeled_xxh128_digest
+        from atra_spark.plans.export import _http_header_block
+
+        u, _, html = rows[0]
+        body = _http_header_block(200, None, len(html), "text/html") + html
+        assert got[u]["payload_digest"] == labeled_xxh128_digest(body)
+
+    def test_segmented_chain_reassembles(self, spark, tmp_path):
+        big = b"<html>" + b"x" * 5000 + b"</html>"
+        rows = [
+            ("https://h.example/big", TS, big),
+            ("https://h.example/small", TS, b"<html>s</html>"),
+        ]
+        _, out = _export(spark, tmp_path, rows, max_segment_bytes=2048)
+        got = {r["url"]: r for r in read_warc_pages(spark, out).collect()}
+        assert bytes(got["https://h.example/big"]["html"]) == big
+        assert got["https://h.example/big"]["n_segments"] >= 3
+        assert got["https://h.example/small"]["n_segments"] == 1
+        assert bytes(got["https://h.example/small"]["html"]) == b"<html>s</html>"
+
+
+class TestCdx:
+    def test_index_lookup_and_sorted_shards(self, spark, tmp_path):
+        rows = [
+            (f"https://www.h{i % 4}.example/p{i}?b=2&a={i}", TS, f"<html>{i}</html>".encode())
+            for i in range(16)
+        ]
+        _, out = _export(spark, tmp_path, rows)
+        cdx = build_cdx(spark, out)
+        idx = {r["url"]: r for r in cdx.collect()}
+        assert len(idx) == 16
+        # every index row random-accesses its record
+        for u, r in idx.items():
+            data = open(r["filename"], "rb").read()
+            _, _, hdrs, _ = next(
+                iter(iter_warc_spans(data[r["offset"] : r["offset"] + r["length"]]))
+            )
+            assert hdrs["WARC-Target-URI"] == u
+            assert hdrs["WARC-Payload-Digest"] == r["digest"]
+        # surt key: www stripped, host reversed, query sorted
+        r0 = idx["https://www.h0.example/p0?b=2&a=0"]
+        assert r0["surt"] == "example,h0)/p0?a=0&b=2"
+        assert r0["ts14"] == "20240101000000"
+
+        shard_dir = str(tmp_path / "cdxj")
+        report = sorted(
+            write_cdxj(cdx, shard_dir, shards=3).collect(),
+            key=lambda r: r["first_key"],
+        )
+        # each shard file is sorted; shard ranges do not overlap
+        prev_last = None
+        total = 0
+        for rep in report:
+            lines = open(rep["path"], encoding="utf-8").read().splitlines()
+            keys = [" ".join(ln.split(" ", 2)[:2]) for ln in lines]
+            assert keys == sorted(keys)
+            assert rep["first_key"] == keys[0] and rep["last_key"] == keys[-1]
+            if prev_last is not None:
+                assert prev_last <= rep["first_key"]
+            prev_last = rep["last_key"]
+            total += len(lines)
+            meta = json.loads(lines[0].split(" ", 2)[2])
+            assert set(meta) == {
+                "url", "mime", "status", "digest", "length", "offset", "filename",
+            }
+        assert total == 16
+
+    def test_segmented_chain_indexes_head_only(self, spark, tmp_path):
+        big = b"<html>" + b"y" * 5000 + b"</html>"
+        _, out = _export(
+            spark, tmp_path, [("https://h.example/big", TS, big)],
+            max_segment_bytes=2048,
+        )
+        rows = build_cdx(spark, out).collect()
+        assert len(rows) == 1  # one line per page, not per segment
+        data = open(rows[0]["filename"], "rb").read()
+        _, _, hdrs, _ = next(
+            iter(iter_warc_spans(
+                data[rows[0]["offset"] : rows[0]["offset"] + rows[0]["length"]]
+            ))
+        )
+        assert hdrs["WARC-Type"] == "response"
+        assert hdrs.get("WARC-Segment-Number") == "1"
+
+
+SURT_VECTORS = [
+    ("https://www.Example.com/p/1?b=2&a=1", "com,example)/p/1?a=1&b=2"),
+    ("http://example.com", "com,example)/"),
+    ("https://sub.www2.example.co.uk/A/B#frag", "uk,co,example,www2,sub)/a/b"),
+    ("https://www3.example.org:8443/x?z&y=", "org,example:8443)/x?y=&z"),
+    ("http://example.com:80/q", "com,example)/q"),
+    ("https://example.com:443/q?", "com,example)/q"),
+    ("https://www.example.com/%7Euser/Page.HTML", "com,example)/%7euser/page.html"),
+]
+
+
+class TestSurt:
+    @pytest.mark.parametrize("url,expected", SURT_VECTORS)
+    def test_python_vectors(self, url, expected):
+        assert surt_key(url) == expected
+
+    def test_jvm_equals_python(self, spark):
+        urls = [u for u, _ in SURT_VECTORS] + [
+            "https://h0.example/p?x=1&x=0",  # duplicate param names sort
+            "https://example.com/a?single",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = {
+            r["url"]: r["s"]
+            for r in df.select("url", surt_col(F.col("url")).alias("s")).collect()
+        }
+        for u in urls:
+            assert got[u] == surt_key(u), u
+
+    def test_non_authority_is_null(self, spark):
+        df = spark.createDataFrame([("mailto:x@example.com",)], "url string")
+        assert df.select(surt_col(F.col("url")).alias("s")).collect()[0]["s"] is None
+        assert surt_key("mailto:x@example.com") is None
