@@ -2614,6 +2614,62 @@ GROUP BY source
 """
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table
+    (functions/similarity.kmeans_assign): k=8, 3 iterations, centroids
+    seeded from the 8 lowest vec_ids. Oracle: the same iterations
+    unrolled as chained CTEs (the pagerank/hits pattern), with the
+    shared _rnd distance rounding making the discrete argmin immune to
+    double summation-order noise in both engines."""
+    from atra_spark.functions.similarity import kmeans_assign
+
+    _register(spark, sf_dir)
+    return kmeans_assign(spark.table("embeddings"), k=8, n_iter=3)
+
+
+def sql_kmeans(dialect: str, k: int = 8, n_iter: int = 3) -> str:
+    """Unrolled-iteration twin of kmeans_assign: a{i} assigns against
+    c{i} (argmin of 6dp-rounded squared L2, tie-break lowest cid),
+    c{i+1} averages the assigned members per dimension."""
+    if dialect == "spark":
+        comps = "SELECT vec_id, posexplode(embedding) AS (pos, v) FROM embeddings"
+    else:
+        comps = (
+            "SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS pos, "
+            "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings"
+        )
+    parts = [
+        f"comps AS ({comps})",
+        "c0 AS (SELECT vec_id AS cid, pos, CAST(v AS DOUBLE) AS v "
+        f"FROM comps WHERE vec_id < {k})",
+    ]
+    for i in range(n_iter + 1):
+        diff = "(CAST(comps.v AS DOUBLE) - c.v)"
+        dist = _rnd(f"sum({diff} * {diff})", 6)
+        parts.append(
+            f"d{i} AS (SELECT comps.vec_id, c.cid, {dist} AS dist "
+            f"FROM comps JOIN c{i} c ON comps.pos = c.pos "
+            "GROUP BY comps.vec_id, c.cid)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cid, dist FROM ("
+            "SELECT vec_id, cid, dist, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY dist, cid) AS rn "
+            f"FROM d{i}) t WHERE rn = 1)"
+        )
+        if i < n_iter:
+            parts.append(
+                f"c{i + 1} AS (SELECT a.cid, comps.pos, "
+                "avg(CAST(comps.v AS DOUBLE)) AS v "
+                f"FROM a{i} a JOIN comps ON comps.vec_id = a.vec_id "
+                "GROUP BY a.cid, comps.pos)"
+            )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vec_id, cid AS cluster, dist FROM a{n_iter}"
+    )
+
+
 def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURT keys — the CDX lookup key over the rotated WARC archive
     (sources/warc.build_cdx; urlkit.surt_key documents the rule
@@ -2719,6 +2775,7 @@ WHERE doc_id < 120
 
 
 _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kmeans_clusters": q_kmeans,
     "surt_keys": q_surt_keys,
     "warc_roundtrip": q_warc_roundtrip,
     "simhash": q_simhash,
@@ -2769,6 +2826,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 def _custom_oracles() -> dict[str, str]:
     oracle_dir = _ensure_crawl_oracle()
     return {
+        "kmeans_clusters": sql_kmeans("duckdb"),
         "surt_keys": sql_surt_keys("duckdb"),
         "warc_roundtrip": sql_warc_roundtrip("duckdb"),
         "simhash": sql_simhash("duckdb"),

@@ -237,3 +237,96 @@ def lsh_bucketed_topk(
     bucketed = add_lsh_bucket(df, len(query), n_planes, seed, vec_col)
     cands = bucketed.filter(F.col("lsh_bucket").isin(*sorted(probes)))
     return cosine_topk(cands, query, k, vec_col, id_col)
+
+
+# --------------------------------------------------------------------------
+# k-means corpus clustering (Lloyd's iterations)
+# --------------------------------------------------------------------------
+def _round_col(col: F.Column, dp: int) -> F.Column:
+    scale = 10 ** dp
+    return F.floor(col * scale + 0.5 + 1e-6).cast("double") / scale
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the
+    corpus-clustering pass a data-mixing pipeline runs to stratify
+    documents by semantic neighborhood (cluster-balanced sampling,
+    per-cluster quality review). Returns the FINAL assignment
+    ``(vec_id, cluster, dist)`` after ``n_iter`` iterations; ``dist``
+    is the squared L2 distance to the winning centroid, HALF_UP-rounded
+    to ``round_dp``.
+
+    Deterministic by construction: centroids initialize from the k
+    lowest-id vectors, and the argmin compares distances AFTER rounding
+    (tie-break: lowest centroid id). The rounding is not cosmetic —
+    double summation order varies across partitionings (AQE can
+    re-split the reduce), so raw-bit argmin would make the assignment
+    of near-equidistant points flip between runs; rounding + id
+    tie-break pins it (same epsilon policy as the oracle SQL's _rnd).
+
+    100 TB plan per iteration: the k×dim centroid table is broadcast
+    (k is small by definition), the distance/argmin is JVM
+    zip_with/aggregate + one window partitioned by vec_id (no shuffle
+    beyond the window's hash on vec_id), and the centroid update
+    shuffles only the narrow (cid, pos, val) relation with map-side
+    partial averages — never per-cluster vector lists. Driver holds
+    nothing; the loop materializes k×dim numbers per iteration.
+    """
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cent = (
+        vecs.orderBy("vec_id")
+        .limit(k)  # TakeOrderedAndProject — no global sort materialized
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cvec"))
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        d = F.aggregate(
+            F.zip_with("v", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = vecs.crossJoin(F.broadcast(c)).select(
+            "vec_id", "cid", _round_col(d, round_dp).alias("dist")
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    for _ in range(n_iter):
+        assigned = assign(cent).select("vec_id", "cid")
+        cent = (
+            assigned.join(vecs, "vec_id")
+            .select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("val"))  # map-side partial avg
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "val"))
+                ).alias("s")
+            )
+            .select(
+                "cid", F.transform("s", lambda x: x["val"]).alias("cvec")
+            )
+        )
+        # flat lineage: k×dim doubles — safe and cheap to pin locally
+        cent = cent.localCheckpoint(eager=False)
+
+    return assign(cent).select(
+        "vec_id", F.col("cid").alias("cluster"), "dist"
+    )

@@ -1295,3 +1295,71 @@ class TestMinhashCalibration:
             assert tj == math.floor(want * 10000 + 0.5 + 1e-6) / 10000, (a, b)
         # estimates live in [0, 1] on the 8-hash grid
         assert all(0.0 <= e <= 1.0 and round(e * 8, 6) % 1 == 0 for e, _ in got.values())
+
+
+class TestKmeans:
+    """Lloyd's k-means (similarity.kmeans_assign) vs a straight numpy
+    implementation of the same spec: init = k lowest ids, argmin of
+    6dp-rounded squared L2 with lowest-cid tie-break, mean update."""
+
+    def _numpy_kmeans(self, vecs: np.ndarray, k: int, n_iter: int):
+        ids = np.arange(len(vecs))
+        cent = {i: vecs[i].astype(np.float64) for i in range(k)}
+
+        def assign(cent):
+            out = {}
+            for i in ids:
+                best = None
+                for cid in sorted(cent):
+                    d = float(((vecs[i] - cent[cid]) ** 2).sum())
+                    d = np.floor(d * 1e6 + 0.5 + 1e-6) / 1e6
+                    if best is None or d < best[1]:
+                        best = (cid, d)
+                out[i] = best
+            return out
+
+        for _ in range(n_iter):
+            a = assign(cent)
+            cent = {
+                cid: vecs[[i for i in ids if a[i][0] == cid]].mean(axis=0)
+                for cid in {v[0] for v in a.values()}
+            }
+        return assign(cent)
+
+    def test_matches_numpy(self, spark):
+        rng = np.random.RandomState(7)
+        # 3 well-separated blobs + noise so updates genuinely move
+        blobs = np.concatenate(
+            [rng.randn(20, 6) * 0.3 + c for c in (0.0, 4.0, -4.0)]
+        ).astype(np.float64)
+        df = spark.createDataFrame(
+            [(int(i), [float(x) for x in blobs[i]]) for i in range(len(blobs))],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r["vec_id"]: (r["cluster"], r["dist"])
+            for r in similarity.kmeans_assign(df, k=4, n_iter=3).collect()
+        }
+        want = self._numpy_kmeans(blobs, k=4, n_iter=3)
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i][0] == want[i][0], f"vec {i} cluster"
+            assert got[i][1] == pytest.approx(want[i][1], abs=2e-6)
+        # the separated blobs actually resolve: >1 cluster survives
+        assert len({c for c, _ in got.values()}) >= 3
+
+    def test_deterministic_across_partitionings(self, spark):
+        rng = np.random.RandomState(11)
+        vecs = rng.randn(40, 5)
+        rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(40)]
+        a = similarity.kmeans_assign(
+            spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+            k=5, n_iter=2,
+        ).collect()
+        b = similarity.kmeans_assign(
+            spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+            .repartition(7),
+            k=5, n_iter=2,
+        ).collect()
+        key = lambda r: (r["vec_id"], r["cluster"], r["dist"])
+        assert sorted(map(key, a)) == sorted(map(key, b))
