@@ -2774,8 +2774,65 @@ WHERE doc_id < 120
 """
 
 
+def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest-dedup'd archive loop: 160 pages whose payloads repeat in
+    groups of 4 (html = text of doc_id % 40) are exported with
+    export_warc(dedup_payloads=True) — each distinct payload stored
+    once, the rest as WARC revisit records — then read back with
+    revisit resolution. Oracle: the dedup rule itself — within a
+    payload group the canonical is the first by (fetched_at, url)
+    (equal timestamps here, so min(url)), everything else is a
+    revisit, and ALL of them recover the same bytes."""
+    from atra_spark.plans.export import export_warc
+    from atra_spark.sources.warc import read_warc_pages
+
+    import datetime as _dt
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    src = docs.filter(F.col("doc_id") < 160).select("doc_id", "source")
+    grp = docs.filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("gid"), F.col("text").alias("gtext")
+    )
+    pages = src.join(grp, src.doc_id % 40 == grp.gid).select(
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example/doc"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.lit(_dt.datetime(2024, 1, 1)).alias("fetched_at"),
+        F.encode("gtext", "utf-8").alias("html"),
+    )
+    out = tempfile.mkdtemp(prefix="atra_warc_rev_")
+    results = pages.select("url", "fetched_at", F.lit(200).alias("status"))
+    export_warc(
+        results, pages.select("url", "html"), out, dedup_payloads=True
+    ).collect()
+    back = read_warc_pages(spark, out)
+    return back.select(
+        "url", F.md5("html").alias("payload_md5"), "is_revisit"
+    )
+
+
+def sql_warc_revisit(dialect: str) -> str:
+    """Constructive twin of q_warc_revisit: expected recovered bytes
+    and revisit flags straight from the documents table (texts of
+    doc_id < 40 are pairwise distinct, so digest groups == gid)."""
+    return """
+WITH p AS (
+  SELECT 'https://' || a.source || '.example/doc' || CAST(a.doc_id AS VARCHAR) AS url,
+         a.doc_id % 40 AS gid, b.text AS gtext
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id % 40
+  WHERE a.doc_id < 160
+)
+SELECT url, md5(gtext) AS payload_md5,
+       url <> min(url) OVER (PARTITION BY gid) AS is_revisit
+FROM p
+"""
+
+
 _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans,
+    "warc_revisit": q_warc_revisit,
     "surt_keys": q_surt_keys,
     "warc_roundtrip": q_warc_roundtrip,
     "simhash": q_simhash,
@@ -2827,6 +2884,7 @@ def _custom_oracles() -> dict[str, str]:
     oracle_dir = _ensure_crawl_oracle()
     return {
         "kmeans_clusters": sql_kmeans("duckdb"),
+        "warc_revisit": sql_warc_revisit("duckdb"),
         "surt_keys": sql_surt_keys("duckdb"),
         "warc_roundtrip": sql_warc_roundtrip("duckdb"),
         "simhash": sql_simhash("duckdb"),

@@ -129,6 +129,53 @@ def warc_records(
         yield _warc_headers(fields) + chunk + b"\r\n\r\n"
 
 
+REVISIT_PROFILE = "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+
+
+def warc_revisit_record(
+    url: str,
+    ts,
+    payload_digest: str,
+    refers_to_url: str,
+    refers_to_date,
+    n_payload: int,
+    content_type: str = "text/html",
+    status: int = 200,
+    headers: dict | None = None,
+) -> bytes:
+    """A WARC 1.1 ``revisit`` record (identical-payload-digest
+    profile): the block is the HTTP header block ONLY — the payload is
+    not re-stored — with WARC-Refers-To-Target-URI/-Date naming the
+    record that holds the bytes and WARC-Payload-Digest equal to the
+    original's, so digest-based readers treat both alike. Record id is
+    uuid5 over ``url#date`` (uuid5 over the bare url — the response-
+    record rule, write.rs:80-86 — would collide when the same URL is
+    both canonical and revisited)."""
+    date = ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None else "1970-01-01T00:00:00Z"
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}#{date}").urn
+    ref_date = (
+        refers_to_date.strftime("%Y-%m-%dT%H:%M:%SZ")
+        if refers_to_date is not None
+        else "1970-01-01T00:00:00Z"
+    )
+    block = _http_header_block(status, headers, n_payload, content_type)
+    fields = [
+        ("WARC-Type", "revisit"),
+        ("WARC-Record-ID", f"<{rid}>"),
+        ("WARC-Date", date),
+        ("WARC-Target-URI", url),
+        ("Content-Type", "application/http;msgtype=response"),
+        ("WARC-Profile", REVISIT_PROFILE),
+        ("WARC-Refers-To-Target-URI", refers_to_url),
+        ("WARC-Refers-To-Date", ref_date),
+        ("WARC-Payload-Digest", payload_digest),
+        ("WARC-Block-Digest", _labeled_digest(block)),
+        ("WARC-Truncated", "length"),
+        ("Content-Length", str(len(block))),
+    ]
+    return _warc_headers(fields) + block + b"\r\n\r\n"
+
+
 def iter_warc_records(data: bytes):
     """Content-length-driven WARC reader — the ``WarcCursor`` analog
     (warc/src/reader.rs:380-470): parse the version line + header
@@ -225,13 +272,26 @@ def export_warc(
     out_dir: str,
     rotate_bytes: int = ROTATE_BYTES,
     max_segment_bytes: int = MAX_SEGMENT_BYTES,
+    dedup_payloads: bool = False,
 ) -> DataFrame:
     """Write size-rotated ``.warc`` files per partition under
     ``out_dir``; payloads over ``max_segment_bytes`` become
     continuation-record chains. ``results`` supplies metadata (url,
     fetched_at, status, headers); payload bytes come from the pages
     table. Returns a report DataFrame (path, records, bytes) — the
-    per-file lineage of the export."""
+    per-file lineage of the export.
+
+    ``dedup_payloads=True`` enables digest-based payload dedup (the
+    Common-Crawl archive convention): within the export, rows sharing
+    a payload digest store the bytes ONCE — the first by (fetched_at,
+    url) writes the full ``response`` record, every other occurrence
+    writes a ``revisit`` record (identical-payload-digest profile)
+    pointing at it. Cost: one extra Arrow-batched digest pass and ONE
+    shuffle keyed on the digest (the window that elects the canonical
+    row); revisit rows drop their payload bytes at the window, so the
+    written archive — and every downstream byte — shrinks by the
+    duplicate mass. At cluster scale pre-bucketing results by digest
+    makes the window exchange-free, the seen-index alignment pattern."""
     os.makedirs(out_dir, exist_ok=True)
     res = results.filter(F.col("status") == 200)
     if "headers" not in res.columns:
@@ -239,6 +299,45 @@ def export_warc(
     rows = res.select("url", "fetched_at", "status", "headers").join(
         pages.select("url", "html"), on="url", how="inner"
     )
+
+    if dedup_payloads:
+        from pyspark.sql import Window
+
+        in_cols = "url string, fetched_at timestamp, status int, " \
+                  "headers map<string,string>, html binary"
+
+        def add_digest(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                digs = []
+                for i in range(len(pdf)):
+                    hdrs = pdf["headers"].iat[i]
+                    if hdrs is not None and not isinstance(hdrs, dict):
+                        hdrs = dict(hdrs)
+                    payload = bytes(pdf["html"].iat[i])
+                    body = (
+                        _http_header_block(
+                            int(pdf["status"].iat[i]), hdrs, len(payload), "text/html"
+                        )
+                        + payload
+                    )
+                    digs.append(_labeled_digest(body))
+                pdf = pdf.assign(payload_digest=digs)
+                yield pdf
+
+        rows = rows.mapInPandas(add_digest, in_cols + ", payload_digest string")
+        w = Window.partitionBy("payload_digest").orderBy("fetched_at", "url")
+        rows = (
+            rows.withColumn("n_payload", F.octet_length("html"))
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("refers_to_url", F.first("url").over(w))
+            .withColumn("refers_to_date", F.first("fetched_at").over(w))
+            .withColumn(
+                "html",
+                F.when(F.col("rn") > 1, F.lit(None).cast("binary")).otherwise(
+                    F.col("html")
+                ),
+            )
+        )
 
     def write_partition(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import socket
@@ -251,12 +350,28 @@ def export_warc(
                 hdrs = pdf["headers"].iat[i] if "headers" in pdf.columns else None
                 if hdrs is not None and not isinstance(hdrs, dict):
                     hdrs = dict(hdrs)
+                status = int(pdf["status"].iat[i]) if "status" in pdf.columns else 200
+                if "rn" in pdf.columns and int(pdf["rn"].iat[i]) > 1:
+                    w.write_record(
+                        warc_revisit_record(
+                            pdf["url"].iat[i],
+                            pdf["fetched_at"].iat[i],
+                            pdf["payload_digest"].iat[i],
+                            pdf["refers_to_url"].iat[i],
+                            pdf["refers_to_date"].iat[i],
+                            int(pdf["n_payload"].iat[i]),
+                            "text/html",
+                            status,
+                            hdrs,
+                        )
+                    )
+                    continue
                 for rec in warc_records(
                     pdf["url"].iat[i],
                     pdf["fetched_at"].iat[i],
                     bytes(pdf["html"].iat[i]),
                     "text/html",
-                    int(pdf["status"].iat[i]) if "status" in pdf.columns else 200,
+                    status,
                     hdrs,
                     max_segment_bytes,
                 ):

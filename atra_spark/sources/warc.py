@@ -45,7 +45,8 @@ _RECORD_COLS = (
     "warc_file string, offset long, length long, record_id string, "
     "warc_type string, url string, warc_date string, payload_digest string, "
     "block_digest string, segment_number int, segment_origin_id string, "
-    "segment_total_length long, http_status int, mime string, body binary"
+    "segment_total_length long, warc_profile string, refers_to_uri string, "
+    "refers_to_date string, http_status int, mime string, body binary"
 )
 
 _PAGE_COLS = (
@@ -134,6 +135,9 @@ def scan_warc_records(
                             int(seg) if seg else None,
                             hdrs.get("WARC-Segment-Origin-ID"),
                             int(tot) if tot else None,
+                            hdrs.get("WARC-Profile"),
+                            hdrs.get("WARC-Refers-To-Target-URI"),
+                            hdrs.get("WARC-Refers-To-Date"),
                             status,
                             mime,
                             bytes(body) if keep_body else None,
@@ -145,17 +149,30 @@ def scan_warc_records(
     return fdf.mapInPandas(parse, _RECORD_COLS)
 
 
-def read_warc_pages(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+def read_warc_pages(
+    spark: SparkSession,
+    paths: str | list[str],
+    resolve_revisits: bool = True,
+) -> DataFrame:
     """The archive as a pages table: (url, warc_ts, html, http_status,
-    mime, payload_digest, warc_file, offset, n_segments) — html is the
-    HTTP payload with the stored header block stripped, byte-identical
-    to what the crawl wrote (roundtrip pinned in tests).
+    mime, payload_digest, warc_file, offset, n_segments, is_revisit) —
+    html is the HTTP payload with the stored header block stripped,
+    byte-identical to what the crawl wrote (roundtrip pinned in tests).
 
     Unsegmented responses (no WARC-Segment-Number) convert in the scan
     task — zero shuffle. Segmented chains group on the origin record
     id (the response's own record id; continuations carry it as
     WARC-Segment-Origin-ID, warc_ext/write.rs:262-287) — one shuffle
-    sized by the rare multi-GB payloads only."""
+    sized by the rare multi-GB payloads only.
+
+    ``resolve_revisits`` (default): ``revisit`` records — payload
+    stored once under a digest-equal canonical, plans/export.py
+    ``dedup_payloads`` — come back as full rows with the canonical's
+    bytes, via one equi-join on (Refers-To-Target-URI, Refers-To-Date)
+    that is entirely JVM-side (the revisit branch needs no pandas pass:
+    status/mime were parsed in the scan). A revisit whose canonical is
+    missing from the given paths keeps a NULL html rather than being
+    dropped — the caller decides."""
     rec = scan_warc_records(spark, paths, with_payload=True)
     plain = rec.filter(
         (F.col("warc_type") == "response") & F.col("segment_number").isNull()
@@ -228,7 +245,46 @@ def read_warc_pages(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     joined = chained.groupBy("chain_id").applyInPandas(
         reassemble, _PAGE_COLS
     )
-    return pages.unionByName(joined)
+    resolved = pages.unionByName(joined).withColumn("is_revisit", F.lit(False))
+    if not resolve_revisits:
+        return resolved
+
+    rev = rec.filter(F.col("warc_type") == "revisit").select(
+        "url",
+        F.to_timestamp("warc_date").alias("warc_ts"),
+        "http_status",
+        "mime",
+        "payload_digest",
+        "warc_file",
+        "offset",
+        F.col("refers_to_uri").alias("_ru"),
+        F.to_timestamp("refers_to_date").alias("_rts"),
+    )
+    canon = resolved.select(
+        F.col("url").alias("_cu"),
+        F.col("warc_ts").alias("_cts"),
+        F.col("html").alias("_chtml"),
+    )
+    rev_resolved = (
+        rev.join(
+            canon,
+            (F.col("_ru") == F.col("_cu")) & (F.col("_rts") == F.col("_cts")),
+            "left",
+        )
+        .select(
+            "url",
+            "warc_ts",
+            F.col("_chtml").alias("html"),
+            "http_status",
+            "mime",
+            "payload_digest",
+            "warc_file",
+            "offset",
+            F.lit(1).alias("n_segments"),
+            F.lit(True).alias("is_revisit"),
+        )
+    )
+    return resolved.unionByName(rev_resolved)
 
 
 _CDX_COLS = (
@@ -253,7 +309,7 @@ def build_cdx(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     the rest, as the WARC spec prescribes."""
     rec = scan_warc_records(spark, paths, with_payload=False)
     return (
-        rec.filter(F.col("warc_type") == "response")
+        rec.filter(F.col("warc_type").isin("response", "revisit"))
         .filter(
             F.col("segment_number").isNull() | (F.col("segment_number") == 1)
         )
@@ -263,7 +319,12 @@ def build_cdx(spark: SparkSession, paths: str | list[str]) -> DataFrame:
                 F.to_timestamp("warc_date"), "yyyyMMddHHmmss"
             ).alias("ts14"),
             "url",
-            "mime",
+            # the Common-Crawl CDX convention: revisit rows are marked
+            # by mime, and their digest still names the payload, so a
+            # digest-keyed lookup finds the canonical copy
+            F.when(
+                F.col("warc_type") == "revisit", F.lit("warc/revisit")
+            ).otherwise(F.col("mime")).alias("mime"),
             "http_status",
             F.col("payload_digest").alias("digest"),
             "length",

@@ -204,3 +204,74 @@ class TestSurt:
         df = spark.createDataFrame([("mailto:x@example.com",)], "url string")
         assert df.select(surt_col(F.col("url")).alias("s")).collect()[0]["s"] is None
         assert surt_key("mailto:x@example.com") is None
+
+
+class TestRevisitDedup:
+    """Digest-based payload dedup: export_warc(dedup_payloads=True)
+    stores each distinct payload once (first by fetched_at, url) and
+    writes WARC 1.1 revisit records (identical-payload-digest profile)
+    for the rest; the reader resolves them back to full pages."""
+
+    # payloads comfortably larger than a revisit record's header
+    # overhead (~450 B) so the dedup'd archive is measurably smaller
+    ROWS = [
+        (
+            f"https://h.example/p{i:02d}",
+            TS,
+            (f"<html>group {i % 4} " + "x" * 2000 + "</html>").encode(),
+        )
+        for i in range(12)
+    ]
+
+    def _export(self, spark, tmp_path, dedup):
+        pages = spark.createDataFrame(
+            self.ROWS, "url string, fetched_at timestamp, html binary"
+        )
+        results = pages.select("url", "fetched_at", F.lit(200).alias("status"))
+        out = str(tmp_path / ("dedup" if dedup else "plain"))
+        rep = export_warc(
+            results, pages.select("url", "html"), out, dedup_payloads=dedup
+        ).collect()
+        return out, sum(r["bytes"] for r in rep)
+
+    def test_archive_shrinks_and_record_mix(self, spark, tmp_path):
+        plain_out, plain_bytes = self._export(spark, tmp_path, dedup=False)
+        dedup_out, dedup_bytes = self._export(spark, tmp_path, dedup=True)
+        assert dedup_bytes < plain_bytes  # duplicate mass not re-stored
+        blob = b"".join(
+            open(p, "rb").read() for p in list_warc_files(dedup_out)
+        )
+        assert blob.count(b"WARC-Type: response") == 4
+        assert blob.count(b"WARC-Type: revisit") == 8
+        assert blob.count(b"WARC-Profile: ") == 8
+        assert blob.count(b"WARC-Truncated: length") == 8
+
+    def test_reader_resolves_revisits(self, spark, tmp_path):
+        out, _ = self._export(spark, tmp_path, dedup=True)
+        got = {r["url"]: r for r in read_warc_pages(spark, out).collect()}
+        assert len(got) == 12
+        for u, _, html in self.ROWS:
+            assert bytes(got[u]["html"]) == html, u
+        # canonical per group = lowest url (equal timestamps)
+        for g in range(4):
+            urls = sorted(u for u, _, h in self.ROWS if f"group {g}".encode() in h)
+            assert got[urls[0]]["is_revisit"] is False
+            for u in urls[1:]:
+                assert got[u]["is_revisit"] is True
+                # revisit digest equals the canonical's
+                assert got[u]["payload_digest"] == got[urls[0]]["payload_digest"]
+        responses_only = read_warc_pages(spark, out, resolve_revisits=False)
+        assert responses_only.count() == 4
+
+    def test_cdx_marks_revisits(self, spark, tmp_path):
+        out, _ = self._export(spark, tmp_path, dedup=True)
+        rows = build_cdx(spark, out).collect()
+        assert len(rows) == 12
+        mimes = [r["mime"] for r in rows]
+        assert mimes.count("warc/revisit") == 8
+        assert mimes.count("text/html") == 4
+        by_digest = {}
+        for r in rows:
+            by_digest.setdefault(r["digest"], []).append(r["mime"])
+        for ms in by_digest.values():  # each digest group has ONE stored copy
+            assert ms.count("text/html") == 1
