@@ -282,7 +282,10 @@ def kmeans_assign(
     vecs = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ).persist()  # scanned 2*n_iter+1 times (assign + update per
+    # iteration + the final assign); without the cache every scan
+    # replays the full upstream lineage. Blocks free with the session
+    # (or unpersist the returned plan's source when done).
     cent = (
         vecs.orderBy("vec_id")
         .limit(k)  # TakeOrderedAndProject — no global sort materialized

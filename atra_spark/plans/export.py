@@ -64,6 +64,19 @@ def _warc_headers(fields: list[tuple[str, str]]) -> bytes:
     ).encode()
 
 
+def _utc_warc_date(ts, session_tz: str = "UTC") -> str:
+    """WARC-Date: a real UTC instant, not local wall time with a fake
+    ``Z``. Spark->Arrow hands mapInPandas tz-NAIVE timestamps rendered
+    in the session timezone, so the writer must be told that zone to
+    recover the instant; tz-aware inputs (direct warc_records calls)
+    convert from their own zone."""
+    if ts is None:
+        return "1970-01-01T00:00:00Z"
+    t = pd.Timestamp(ts)
+    t = t.tz_localize(session_tz) if t.tzinfo is None else t
+    return t.tz_convert("UTC").strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
 def warc_records(
     url: str,
     ts,
@@ -72,6 +85,7 @@ def warc_records(
     status: int = 200,
     headers: dict | None = None,
     max_segment: int = MAX_SEGMENT_BYTES,
+    session_tz: str = "UTC",
 ) -> Iterator[bytes]:
     """WARC records for one response — 1:1 with warc_ext/write.rs:200-305:
 
@@ -83,7 +97,7 @@ def warc_records(
     last adds WARC-Segment-Total-Length. Every record carries a
     per-chunk block digest."""
     rid = uuid.uuid5(uuid.NAMESPACE_URL, url).urn
-    date = ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None else "1970-01-01T00:00:00Z"
+    date = _utc_warc_date(ts, session_tz)
     body = _http_header_block(status, headers, len(payload), content_type) + payload
     payload_digest = _labeled_digest(body)
     common = [
@@ -142,22 +156,23 @@ def warc_revisit_record(
     content_type: str = "text/html",
     status: int = 200,
     headers: dict | None = None,
+    session_tz: str = "UTC",
+    occurrence: int = 2,
 ) -> bytes:
     """A WARC 1.1 ``revisit`` record (identical-payload-digest
     profile): the block is the HTTP header block ONLY — the payload is
     not re-stored — with WARC-Refers-To-Target-URI/-Date naming the
     record that holds the bytes and WARC-Payload-Digest equal to the
     original's, so digest-based readers treat both alike. Record id is
-    uuid5 over ``url#date`` (uuid5 over the bare url — the response-
-    record rule, write.rs:80-86 — would collide when the same URL is
-    both canonical and revisited)."""
-    date = ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None else "1970-01-01T00:00:00Z"
-    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}#{date}").urn
-    ref_date = (
-        refers_to_date.strftime("%Y-%m-%dT%H:%M:%SZ")
-        if refers_to_date is not None
-        else "1970-01-01T00:00:00Z"
-    )
+    uuid5 over ``url#date#occurrence`` — the bare url (the response-
+    record rule, write.rs:80-86) would collide with the canonical, and
+    url#date alone would collide when the same (url, fetched_at) row
+    appears more than once in a dedup group; ``occurrence`` is the
+    row's rank within its digest group, so every record id is unique
+    AND deterministic."""
+    date = _utc_warc_date(ts, session_tz)
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}#{date}#{int(occurrence)}").urn
+    ref_date = _utc_warc_date(refers_to_date, session_tz)
     block = _http_header_block(status, headers, n_payload, content_type)
     fields = [
         ("WARC-Type", "revisit"),
@@ -283,16 +298,22 @@ def export_warc(
 
     ``dedup_payloads=True`` enables digest-based payload dedup (the
     Common-Crawl archive convention): within the export, rows sharing
-    a payload digest store the bytes ONCE — the first by (fetched_at,
-    url) writes the full ``response`` record, every other occurrence
-    writes a ``revisit`` record (identical-payload-digest profile)
-    pointing at it. Cost: one extra Arrow-batched digest pass and ONE
-    shuffle keyed on the digest (the window that elects the canonical
-    row); revisit rows drop their payload bytes at the window, so the
-    written archive — and every downstream byte — shrinks by the
-    duplicate mass. At cluster scale pre-bucketing results by digest
-    makes the window exchange-free, the seen-index alignment pattern."""
+    a PAYLOAD digest (entity bytes only, so per-fetch header noise like
+    Date/Set-Cookie never defeats the dedup) store the bytes ONCE —
+    the first by (fetched_at, url) writes the full ``response`` record,
+    every other occurrence writes a ``revisit`` record
+    (identical-payload-digest profile) quoting the CANONICAL record's
+    stored WARC-Payload-Digest, as the profile requires. Cost: one
+    extra Arrow-batched digest pass and ONE shuffle keyed on the digest
+    (the window that elects the canonical row); revisit rows drop their
+    payload bytes at the window, so the written archive — and every
+    downstream byte — shrinks by the duplicate mass. At cluster scale
+    pre-bucketing results by digest makes the window exchange-free, the
+    seen-index alignment pattern."""
     os.makedirs(out_dir, exist_ok=True)
+    session_tz = results.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    ) or "UTC"
     res = results.filter(F.col("status") == 200)
     if "headers" not in res.columns:
         res = res.withColumn("headers", F.create_map().cast("map<string,string>"))
@@ -308,35 +329,43 @@ def export_warc(
 
         def add_digest(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                digs = []
+                dedup_keys, body_digs = [], []
                 for i in range(len(pdf)):
                     hdrs = pdf["headers"].iat[i]
                     if hdrs is not None and not isinstance(hdrs, dict):
                         hdrs = dict(hdrs)
                     payload = bytes(pdf["html"].iat[i])
+                    # group on payload bytes alone; the stored record
+                    # digest still covers the packed body (the
+                    # reference's digest surface, toolkit/digest.rs)
+                    dedup_keys.append(_labeled_digest(payload))
                     body = (
                         _http_header_block(
                             int(pdf["status"].iat[i]), hdrs, len(payload), "text/html"
                         )
                         + payload
                     )
-                    digs.append(_labeled_digest(body))
-                pdf = pdf.assign(payload_digest=digs)
-                yield pdf
+                    body_digs.append(_labeled_digest(body))
+                yield pdf.assign(dedup_key=dedup_keys, payload_digest=body_digs)
 
-        rows = rows.mapInPandas(add_digest, in_cols + ", payload_digest string")
-        w = Window.partitionBy("payload_digest").orderBy("fetched_at", "url")
+        rows = rows.mapInPandas(
+            add_digest, in_cols + ", dedup_key string, payload_digest string"
+        )
+        w = Window.partitionBy("dedup_key").orderBy("fetched_at", "url")
         rows = (
             rows.withColumn("n_payload", F.octet_length("html"))
             .withColumn("rn", F.row_number().over(w))
             .withColumn("refers_to_url", F.first("url").over(w))
             .withColumn("refers_to_date", F.first("fetched_at").over(w))
+            # revisit records quote the canonical's stored digest
+            .withColumn("payload_digest", F.first("payload_digest").over(w))
             .withColumn(
                 "html",
                 F.when(F.col("rn") > 1, F.lit(None).cast("binary")).otherwise(
                     F.col("html")
                 ),
             )
+            .drop("dedup_key")
         )
 
     def write_partition(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -363,6 +392,8 @@ def export_warc(
                             "text/html",
                             status,
                             hdrs,
+                            session_tz,
+                            occurrence=int(pdf["rn"].iat[i]),
                         )
                     )
                     continue
@@ -374,6 +405,7 @@ def export_warc(
                     status,
                     hdrs,
                     max_segment_bytes,
+                    session_tz,
                 ):
                     w.write_record(rec)
         w.close()

@@ -50,7 +50,7 @@ _RECORD_COLS = (
 )
 
 _PAGE_COLS = (
-    "url string, warc_ts timestamp, html binary, http_status int, "
+    "url string, warc_date string, html binary, http_status int, "
     "mime string, payload_digest string, warc_file string, offset long, "
     "n_segments int"
 )
@@ -65,16 +65,17 @@ def list_warc_files(warc_dir: str) -> list[str]:
     )
 
 
-def _parse_http_head(body: bytes) -> tuple[int | None, str | None, bytes]:
-    """Split a stored `application/http;msgtype=response` block into
-    (status, content-type, payload). The writer packs status line +
+def _parse_http_meta(body: bytes) -> tuple[int | None, str | None, int]:
+    """(status, content-type, payload offset) from a stored
+    `application/http;msgtype=response` block — header-only parse: the
+    payload is NOT sliced (a scan that only needs status/mime must not
+    copy a 1 GB body to throw it away). The writer packs status line +
     headers + CRLFCRLF + payload (plans/export._http_header_block,
     mirroring the reference's meta.headers capture, result.rs:32-90)."""
     sep = body.find(b"\r\n\r\n")
     if sep < 0:
-        return None, None, body
-    head, payload = body[:sep], body[sep + 4 :]
-    lines = head.split(b"\r\n")
+        return None, None, 0
+    lines = body[:sep].split(b"\r\n")
     status: int | None = None
     first = lines[0].split()
     if len(first) >= 2 and first[0].startswith(b"HTTP/"):
@@ -88,7 +89,14 @@ def _parse_http_head(body: bytes) -> tuple[int | None, str | None, bytes]:
         if k.strip().lower() == b"content-type":
             mime = v.strip().decode("latin-1").split(";")[0].strip()
             break
-    return status, mime, payload
+    return status, mime, sep + 4
+
+
+def _parse_http_head(body: bytes) -> tuple[int | None, str | None, bytes]:
+    """`_parse_http_meta` plus the payload slice, for the page-
+    materializing path that actually keeps the bytes."""
+    status, mime, off = _parse_http_meta(body)
+    return status, mime, body[off:]
 
 
 def scan_warc_records(
@@ -106,19 +114,26 @@ def scan_warc_records(
     if not files:
         return spark.createDataFrame([], _RECORD_COLS)
     fdf = spark.createDataFrame([(p,) for p in files], "warc_file string")
+    # round-robin, NOT hash: hashing #files keys into #files buckets
+    # leaves ~1/e of the tasks empty and stacks several rotate-sized
+    # files on others; round-robin gives the exact one-file-per-task
+    # spread the module is designed around
     par = min(len(files), spark.sparkContext.defaultParallelism)
-    fdf = fdf.repartition(par, "warc_file")
+    fdf = fdf.repartition(par)
     keep_body = bool(with_payload)
 
     def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [c.split()[0] for c in _RECORD_COLS.split(", ")]
+        # one DataFrame per FILE, not per batch: the working set is one
+        # rotate-sized file (bytes + its rows), never the whole
+        # partition's archive at once
         for pdf in batches:
-            rows = []
             for path in pdf["warc_file"]:
                 with open(path, "rb") as f:
                     data = f.read()
+                rows = []
                 for off, length, hdrs, body in iter_warc_spans(data):
-                    status, mime, _ = _parse_http_head(body)
+                    status, mime, _off = _parse_http_meta(body)
                     seg = hdrs.get("WARC-Segment-Number")
                     tot = hdrs.get("WARC-Segment-Total-Length")
                     rows.append(
@@ -143,8 +158,9 @@ def scan_warc_records(
                             bytes(body) if keep_body else None,
                         )
                     )
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
+                del data
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
     return fdf.mapInPandas(parse, _RECORD_COLS)
 
@@ -168,11 +184,19 @@ def read_warc_pages(
     ``resolve_revisits`` (default): ``revisit`` records — payload
     stored once under a digest-equal canonical, plans/export.py
     ``dedup_payloads`` — come back as full rows with the canonical's
-    bytes, via one equi-join on (Refers-To-Target-URI, Refers-To-Date)
-    that is entirely JVM-side (the revisit branch needs no pandas pass:
-    status/mime were parsed in the scan). A revisit whose canonical is
-    missing from the given paths keeps a NULL html rather than being
-    dropped — the caller decides."""
+    bytes, via one equi-join on WARC-Payload-Digest (the profile's own
+    equivalence: a revisit record quotes the canonical's stored digest,
+    so the digest IS the pointer — and unlike (Refers-To-URI, Date) it
+    is immune to timestamp-rendering differences and to several
+    responses sharing a (url, date)). Entirely JVM-side: the revisit
+    branch needs no pandas pass, status/mime were parsed in the scan.
+    A revisit whose canonical is missing from the given paths keeps a
+    NULL html rather than being dropped — the caller decides.
+
+    Timestamps: ``warc_ts`` is derived JVM-side from the record's
+    WARC-Date string (a true UTC instant with ``Z``), so results are
+    correct in ANY session timezone — rendering happens at display,
+    not at parse."""
     rec = scan_warc_records(spark, paths, with_payload=True)
     plain = rec.filter(
         (F.col("warc_type") == "response") & F.col("segment_number").isNull()
@@ -186,7 +210,7 @@ def read_warc_pages(
                 out.append(
                     (
                         pdf["url"].iat[i],
-                        pd.Timestamp(pdf["warc_date"].iat[i]).tz_localize(None),
+                        pdf["warc_date"].iat[i],
                         payload,
                         status,
                         mime,
@@ -229,7 +253,7 @@ def read_warc_pages(
             [
                 (
                     head["url"],
-                    pd.Timestamp(head["warc_date"]).tz_localize(None),
+                    head["warc_date"],
                     payload,
                     status,
                     mime,
@@ -245,7 +269,17 @@ def read_warc_pages(
     joined = chained.groupBy("chain_id").applyInPandas(
         reassemble, _PAGE_COLS
     )
-    resolved = pages.unionByName(joined).withColumn("is_revisit", F.lit(False))
+    resolved = (
+        pages.unionByName(joined)
+        .withColumn("warc_ts", F.to_timestamp("warc_date"))
+        .drop("warc_date")
+        .withColumn("is_revisit", F.lit(False))
+        .select(
+            "url", "warc_ts", "html", "http_status", "mime",
+            "payload_digest", "warc_file", "offset", "n_segments",
+            "is_revisit",
+        )
+    )
     if not resolve_revisits:
         return resolved
 
@@ -257,20 +291,14 @@ def read_warc_pages(
         "payload_digest",
         "warc_file",
         "offset",
-        F.col("refers_to_uri").alias("_ru"),
-        F.to_timestamp("refers_to_date").alias("_rts"),
     )
-    canon = resolved.select(
-        F.col("url").alias("_cu"),
-        F.col("warc_ts").alias("_cts"),
-        F.col("html").alias("_chtml"),
-    )
+    # one (digest -> bytes) row per digest; identical digests carry
+    # identical bodies, so first() is value-deterministic
+    canon = resolved.groupBy(
+        F.col("payload_digest").alias("_cd")
+    ).agg(F.first("html").alias("_chtml"))
     rev_resolved = (
-        rev.join(
-            canon,
-            (F.col("_ru") == F.col("_cu")) & (F.col("_rts") == F.col("_cts")),
-            "left",
-        )
+        rev.join(canon, F.col("payload_digest") == F.col("_cd"), "left")
         .select(
             "url",
             "warc_ts",
@@ -315,9 +343,14 @@ def build_cdx(spark: SparkSession, paths: str | list[str]) -> DataFrame:
         )
         .select(
             surt_col(F.col("url")).alias("surt"),
-            F.date_format(
-                F.to_timestamp("warc_date"), "yyyyMMddHHmmss"
-            ).alias("ts14"),
+            # purely textual: WARC-Date is already the canonical UTC
+            # "YYYY-MM-DDTHH:MM:SSZ"; round-tripping it through
+            # to_timestamp+date_format would re-render in the SESSION
+            # timezone and corrupt the key everywhere but UTC
+            F.regexp_replace(
+                F.substring("warc_date", 1, 19), r"[-:T]", ""
+            ).alias("ts14"),  # first 19 chars also drops foreign
+            # archives' fractional seconds
             "url",
             # the Common-Crawl CDX convention: revisit rows are marked
             # by mime, and their digest still names the payload, so a

@@ -275,3 +275,49 @@ class TestRevisitDedup:
             by_digest.setdefault(r["digest"], []).append(r["mime"])
         for ms in by_digest.values():  # each digest group has ONE stored copy
             assert ms.count("text/html") == 1
+
+
+class TestSessionTimezoneImmunity:
+    """The archive loop must be correct in ANY session timezone:
+    WARC-Date is a true UTC instant (writer converts the session-local
+    naive wall time Arrow hands mapInPandas), ts14 derives textually
+    from that string, and revisit resolution joins on the digest —
+    none of it round-trips through session-tz rendering."""
+
+    def test_roundtrip_cdx_and_revisits_under_non_utc_tz(self, spark, tmp_path):
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            rows = [
+                (
+                    f"https://h.example/p{i}",
+                    TS,
+                    (f"<html>grp {i % 2} " + "y" * 800 + "</html>").encode(),
+                )
+                for i in range(6)
+            ]
+            pages = spark.createDataFrame(
+                rows, "url string, fetched_at timestamp, html binary"
+            )
+            results = pages.select(
+                "url", "fetched_at", F.lit(200).alias("status")
+            )
+            out = str(tmp_path / "tz")
+            export_warc(
+                results, pages.select("url", "html"), out, dedup_payloads=True
+            ).collect()
+            blob = b"".join(
+                open(p, "rb").read() for p in list_warc_files(out)
+            )
+            # the written instant is UTC, not NY wall time with a fake Z
+            assert b"WARC-Date: 2024-01-01T00:00:00Z" in blob
+            assert b"2023-12-31" not in blob
+            got = {r["url"]: r for r in read_warc_pages(spark, out).collect()}
+            assert len(got) == 6
+            for u, _, html in rows:
+                assert bytes(got[u]["html"]) == html, u  # revisits resolve
+            assert sum(1 for r in got.values() if r["is_revisit"]) == 4
+            cdx = build_cdx(spark, out).collect()
+            assert {r["ts14"] for r in cdx} == {"20240101000000"}
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
