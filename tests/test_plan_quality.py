@@ -385,3 +385,72 @@ class TestGraphAndCorpusStatsPlans:
         )
         plan = _plan(zipf_table(df, top_k=3), mode="simple")
         assert "TakeOrderedAndProject" in plan
+
+
+class TestWarcArchivePlans:
+    """The archive read path's 100 TB posture: index builds never move
+    payload bytes, the unsegmented read path never shuffles, and
+    k-means broadcasts its centroid side."""
+
+    @pytest.fixture(scope="class")
+    def warc_dir(self, spark, tmp_path_factory):
+        import datetime
+
+        from atra_spark.plans.export import export_warc
+
+        ts = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+        pages = spark.createDataFrame(
+            [(f"https://h.example/p{i}", ts, b"<html>x</html>") for i in range(4)],
+            "url string, fetched_at timestamp, html binary",
+        )
+        out = str(tmp_path_factory.mktemp("planwarc"))
+        export_warc(
+            pages.select("url", "fetched_at", F.lit(200).alias("status")),
+            pages.select("url", "html"),
+            out,
+        ).collect()
+        return out
+
+    def test_cdx_exchange_carries_no_payload(self, spark, warc_dir):
+        from atra_spark.sources.warc import build_cdx, write_cdxj
+        import os
+        import uuid as _uuid
+
+        cdx = build_cdx(spark, warc_dir)
+        # body is pruned before anything downstream of the scan
+        assert "body" not in cdx.columns
+        plan = _plan(cdx.repartitionByRange(2, "surt", "ts14"), mode="simple")
+        assert "rangepartitioning" in plan
+        # tree order is top-down: the body column may appear only in
+        # the MapInPandas output (below the pruning Project), never
+        # above it — i.e. never crossing the range exchange
+        assert plan.index("rangepartitioning") < plan.index("MapInPandas")
+        body_pos = plan.find("body#")
+        assert body_pos == -1 or body_pos > plan.index("MapInPandas"), (
+            "payload bytes must not cross the CDX exchange"
+        )
+
+    def test_unsegmented_read_path_has_no_exchange(self, spark, warc_dir):
+        from atra_spark.sources.warc import read_warc_pages
+
+        plan = _plan(
+            read_warc_pages(spark, warc_dir, resolve_revisits=False),
+            mode="simple",
+        )
+        # fast path: scan -> strip; the only exchanges allowed are the
+        # segmented-chain group and the initial file-list round robin
+        assert plan.count("Exchange hashpartitioning") <= 1, (
+            "only the (empty) segmented-chain branch may hash-shuffle"
+        )
+
+    def test_kmeans_centroids_broadcast(self, spark):
+        from atra_spark.functions.similarity import kmeans_assign
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(10)],
+            "vec_id long, embedding array<double>",
+        )
+        plan = _plan(kmeans_assign(df, k=2, n_iter=1), mode="simple")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+            "the k-vector centroid side must broadcast, never shuffle the corpus"
+        )
