@@ -81,3 +81,67 @@ def run_ingest(
         q.awaitTermination()
     else:  # pragma: no cover - continuous mode needs an external stop
         writer.trigger(processingTime="10 seconds").start()
+
+
+def run_archive_sink(
+    spark: SparkSession,
+    landing_dir: str,
+    archive_dir: str,
+    cdx_dir: str,
+    checkpoint_dir: str,
+    dedup_payloads: bool = True,
+    available_now: bool = True,
+) -> None:
+    """Continuous archiving: each micro-batch of arriving pages is
+    exported as rotated WARC files (digest-dedup'd by default — the
+    revisit-record path, plans/export.py) and indexed: its CDX rows
+    land as a per-batch parquet partition under ``cdx_dir``.
+
+    Exactly-once across restarts WITHOUT a transactional sink: both
+    outputs are keyed by the micro-batch id — the WARC files go under
+    ``archive_dir/batch=<id>`` (cleared before a replayed batch
+    rewrites it) and the CDX partition is written with overwrite — so
+    replaying a failed batch converges to the same bytes instead of
+    appending duplicates. The checkpoint ties batch ids to input files.
+
+    This is the streaming half of the archive loop: batch jobs read
+    the same archive back with sources/warc.read_warc_pages and query
+    the same index, no format fork."""
+    import os
+    import shutil
+
+    from ..plans.export import export_warc
+    from ..sources.warc import build_cdx
+
+    pages = stream_pages(spark, landing_dir)
+
+    def _archive(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # watermark/state flush batches carry no pages
+        out = os.path.join(archive_dir, f"batch={batch_id}")
+        if os.path.exists(out):
+            shutil.rmtree(out)  # replayed batch rewrites, never appends
+        results = batch_df.select(
+            "url",
+            F.col("warc_ts").alias("fetched_at"),
+            F.lit(200).alias("status"),
+        )
+        export_warc(
+            results,
+            batch_df.select("url", "html"),
+            out,
+            dedup_payloads=dedup_payloads,
+        ).collect()
+        build_cdx(batch_df.sparkSession, out).write.mode("overwrite").parquet(
+            os.path.join(cdx_dir, f"batch={batch_id}")
+        )
+
+    writer = (
+        pages.writeStream.foreachBatch(_archive)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:  # pragma: no cover - continuous mode needs an external stop
+        writer.trigger(processingTime="10 seconds").start()

@@ -699,3 +699,65 @@ class TestStreamingWindowRollup:
         # events from batches 0 and 1 accumulated into ONE hour bucket
         assert rows[("2024-01-01 00", "a")] == (2, 3.0)
         assert rows[("2024-01-01 01", "a")] == (1, 4.0)
+
+
+class TestStreamingArchiveSink:
+    """foreachBatch WARC+CDX sink: micro-batches land as batch-keyed
+    archive directories + index partitions; replays converge instead
+    of duplicating; the batch reader gets the same bytes back."""
+
+    def _landing(self, tmp_path, fixture_set, name, pages):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        landing = tmp_path / "landing"
+        landing.mkdir(exist_ok=True)
+        tbl = pa.table(
+            {
+                "url": [p[0] for p in pages],
+                "warc_ts": pa.array([p[1] for p in pages], pa.timestamp("us", "UTC")),
+                "html": [p[2] for p in pages],
+                "text": pa.array([None] * len(pages), pa.string()),
+                "lang": pa.array([None] * len(pages), pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(landing / name))
+        return str(landing)
+
+    def test_archive_grows_per_batch_and_replays_converge(
+        self, spark, tmp_path, fixture_set
+    ):
+        import glob
+
+        from atra_spark.sources.warc import read_warc_pages
+        from atra_spark.streaming.ingest import run_archive_sink
+
+        first = fixture_set.pages[:30]
+        landing = self._landing(tmp_path, fixture_set, "b0.parquet", first)
+        archive = str(tmp_path / "archive")
+        cdx = str(tmp_path / "cdx")
+        ckpt = str(tmp_path / "ckpt")
+        run_archive_sink(spark, landing, archive, cdx, ckpt)
+
+        warcs = glob.glob(f"{archive}/batch=*/*.warc")
+        assert warcs
+        got = {
+            r["url"]: bytes(r["html"])
+            for r in read_warc_pages(
+                spark, sorted(glob.glob(f"{archive}/batch=*"))[0]
+            ).collect()
+        }
+        assert got == {p[0]: p[2] for p in first}
+        assert spark.read.parquet(cdx).count() == 30
+
+        # drain again with no new data: nothing changes
+        run_archive_sink(spark, landing, archive, cdx, ckpt)
+        assert spark.read.parquet(cdx).count() == 30
+
+        # a second landing file becomes a SECOND batch directory
+        self._landing(tmp_path, fixture_set, "b1.parquet", fixture_set.pages[30:50])
+        run_archive_sink(spark, landing, archive, cdx, ckpt)
+        assert len(glob.glob(f"{archive}/batch=*")) == 2
+        idx = spark.read.parquet(cdx)
+        assert idx.count() == 50
+        assert idx.select("url").distinct().count() == 50
