@@ -49,6 +49,8 @@ HEADLINE = [
     "bm25_topk",
     "event_sessions",
     "dsir_weights",
+    "kmeans_clusters",
+    "warc_roundtrip",  # full export->read-back loop through real .warc files
 ]
 
 
@@ -62,6 +64,42 @@ def _bench_fixtures(n_pages: int):
     return ensure_fixtures(
         fix_dir, n_pages=n_pages, n_hosts=96, body_paragraphs=8, links_range=(30, 90)
     )
+
+
+def archive_bench(spark, n_pages: int) -> tuple[float, int, int]:
+    """Archive-loop throughput over the bench corpus: digest-dedup'd
+    WARC export + full read-back + CDX index build (sources/warc.py).
+    Returns (sec, archive_bytes_written, pages_read_back)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from atra_spark.plans.export import export_warc
+    from atra_spark.sources.warc import build_cdx, read_warc_pages
+
+    paths = _bench_fixtures(n_pages)
+    pages = spark.read.parquet(paths["pages"]).select(
+        "url", F.col("warc_ts").alias("fetched_at"), "html"
+    )
+    out = tempfile.mkdtemp(
+        prefix="atra_bench_warc",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    try:
+        t0 = time.monotonic()
+        rep = export_warc(
+            pages.select("url", "fetched_at", F.lit(200).alias("status")),
+            pages.select("url", "html"),
+            out,
+            dedup_payloads=True,
+        ).collect()
+        n_back = read_warc_pages(spark, out).count()
+        build_cdx(spark, out).write.format("noop").mode("overwrite").save()
+        sec = time.monotonic() - t0
+        return sec, sum(r["bytes"] for r in rep), n_back
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def crawl_bench(spark, n_pages: int, cpus: int) -> tuple[float, int]:
@@ -365,6 +403,15 @@ def _main_bench() -> None:
             membw_log["steady_state_round"].append(_membw_probe())
             sec, mega_fetched = mega_round_bench(spark, n_pages)
             mega_secs.append(sec)
+    archive_reps = int(os.environ.get("ATRA_BENCH_ARCHIVE_REPS", "1"))
+    archive_secs, archive_bytes, archive_back = [], 0, 0
+    for _rep in range(archive_reps):
+        loadavg_log.setdefault("archive_bench", []).append(_load_probe())
+        membw_log.setdefault("archive_bench", []).append(_membw_probe())
+        sec, archive_bytes, archive_back = archive_bench(spark, n_pages)
+        archive_secs.append(sec)
+    timings["archive_bench"] = round(min(archive_secs), 3)
+
     crawl_sec = min(crawl_secs)
     timings["crawl_bench"] = round(crawl_sec, 3)
     urls_per_sec = round(fetched / crawl_sec, 1) if crawl_sec > 0 else 0.0
@@ -390,6 +437,11 @@ def _main_bench() -> None:
                 "steady_state_urls_per_sec": steady_urls_per_sec,
                 "crawl_pages_fetched": fetched,
                 "crawl_corpus_pages": n_pages,
+                "archive_mb_per_sec": round(
+                    archive_bytes / 1e6 / min(archive_secs), 1
+                ) if archive_secs and min(archive_secs) > 0 else 0.0,
+                "archive_bytes": archive_bytes,
+                "archive_pages_roundtripped": archive_back,
                 "cpus": cpus,
                 "protocol": {
                     "query_reps": query_reps,
