@@ -2670,6 +2670,48 @@ def sql_kmeans(dialect: str, k: int = 8, n_iter: int = 3) -> str:
     )
 
 
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET derivative loop: export one conversion record per document
+    (payload = utf-8 text, plans/export.export_wet), scan the .wet
+    archive back with the shared WARC scanner, and report the md5 of
+    each recovered payload. Oracle: the roundtrip invariant — md5(text)
+    straight from the documents table."""
+    import datetime as _dt
+
+    from atra_spark.plans.export import export_wet
+    from atra_spark.sources.warc import scan_warc_records
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 120)
+    results = docs.select(
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example/doc"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.lit(_dt.datetime(2024, 1, 1)).alias("fetched_at"),
+        "text",
+    )
+    out = tempfile.mkdtemp(prefix="atra_wet_rt_")
+    export_wet(results, out).collect()
+    rec = scan_warc_records(spark, out)
+    return rec.select(
+        "url",
+        F.md5("body").alias("text_md5"),
+        "warc_type",
+    )
+
+
+def sql_wet_roundtrip(dialect: str) -> str:
+    """Expected WET scan output constructed directly from documents."""
+    return """
+SELECT 'https://' || source || '.example/doc' || CAST(doc_id AS VARCHAR) AS url,
+       md5(text) AS text_md5,
+       'conversion' AS warc_type
+FROM documents
+WHERE doc_id < 120
+"""
+
+
 def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURT keys — the CDX lookup key over the rotated WARC archive
     (sources/warc.build_cdx; urlkit.surt_key documents the rule
@@ -2833,6 +2875,7 @@ FROM p
 _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans,
     "warc_revisit": q_warc_revisit,
+    "wet_roundtrip": q_wet_roundtrip,
     "surt_keys": q_surt_keys,
     "warc_roundtrip": q_warc_roundtrip,
     "simhash": q_simhash,
@@ -2885,6 +2928,7 @@ def _custom_oracles() -> dict[str, str]:
     return {
         "kmeans_clusters": sql_kmeans("duckdb"),
         "warc_revisit": sql_warc_revisit("duckdb"),
+        "wet_roundtrip": sql_wet_roundtrip("duckdb"),
         "surt_keys": sql_surt_keys("duckdb"),
         "warc_roundtrip": sql_warc_roundtrip("duckdb"),
         "simhash": sql_simhash("duckdb"),

@@ -419,6 +419,141 @@ def export_warc(
 
 
 # ---------------------------------------------------------------------------
+# WET / WAT derivative exports — the Common-Crawl product family over
+# the same rotated-WARC container: WET carries the EXTRACTED TEXT as
+# `conversion` records (what text-corpus pipelines actually consume),
+# WAT carries per-page metadata as `metadata` records with a JSON
+# envelope. Both reuse the record grammar and the per-partition
+# rotating writer, so `sources/warc.scan_warc_records` reads them back
+# with zero format fork.
+# ---------------------------------------------------------------------------
+def _derivative_record(
+    warc_type: str,
+    suffix: str,
+    url: str,
+    ts,
+    payload: bytes,
+    content_type: str,
+    session_tz: str,
+) -> bytes:
+    date = _utc_warc_date(ts, session_tz)
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}#{suffix}").urn
+    orig = uuid.uuid5(uuid.NAMESPACE_URL, url).urn  # the response record
+    fields = [
+        ("WARC-Type", warc_type),
+        ("WARC-Record-ID", f"<{rid}>"),
+        ("WARC-Date", date),
+        ("WARC-Target-URI", url),
+        ("WARC-Refers-To", f"<{orig}>"),
+        ("Content-Type", content_type),
+        ("WARC-Payload-Digest", _labeled_digest(payload)),
+        ("WARC-Block-Digest", _labeled_digest(payload)),
+        ("Content-Length", str(len(payload))),
+    ]
+    return _warc_headers(fields) + payload + b"\r\n\r\n"
+
+
+def _export_derivative(
+    rows: DataFrame,
+    out_dir: str,
+    rotate_bytes: int,
+    make_payload,
+    warc_type: str,
+    suffix: str,
+    content_type: str,
+) -> DataFrame:
+    os.makedirs(out_dir, exist_ok=True)
+    session_tz = rows.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    ) or "UTC"
+
+    def write_partition(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import socket
+        import threading
+
+        part = f"{socket.gethostname()}-{threading.get_ident()}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        w = _RotatingWarcWriter(out_dir, part, rotate_bytes)
+        for pdf in batches:
+            for i in range(len(pdf)):
+                w.write_record(
+                    _derivative_record(
+                        warc_type,
+                        suffix,
+                        pdf["url"].iat[i],
+                        pdf["fetched_at"].iat[i],
+                        make_payload(pdf, i, session_tz),
+                        content_type,
+                        session_tz,
+                    )
+                )
+        w.close()
+        if w.paths:
+            yield pd.DataFrame(
+                list(zip(w.paths, w.counts, w.sizes)),
+                columns=["path", "records", "bytes"],
+            )
+
+    return rows.mapInPandas(write_partition, _EXPORT_REPORT)
+
+
+def export_wet(
+    results: DataFrame,
+    out_dir: str,
+    rotate_bytes: int = ROTATE_BYTES,
+) -> DataFrame:
+    """WET export: one ``conversion`` record per result row carrying
+    the utf-8 EXTRACTED TEXT as a text/plain payload, WARC-Refers-To
+    the page's response record (uuid5 of the url, the write.rs:80-86
+    id rule). ``results`` needs (url, fetched_at, text). Same
+    size-rotated one-file-per-partition layout as export_warc; returns
+    the same (path, records, bytes) report."""
+    rows = results.select("url", "fetched_at", "text").filter(
+        F.col("text").isNotNull()
+    )
+
+    def payload(pdf: pd.DataFrame, i: int, session_tz: str) -> bytes:
+        return str(pdf["text"].iat[i]).encode("utf-8")
+
+    return _export_derivative(
+        rows, out_dir, rotate_bytes, payload, "conversion", "wet", "text/plain"
+    )
+
+
+def export_wat(
+    results: DataFrame,
+    out_dir: str,
+    rotate_bytes: int = ROTATE_BYTES,
+) -> DataFrame:
+    """WAT export: one ``metadata`` record per result row with a JSON
+    envelope (url, fetch time, status, language, text length, link
+    count — the fields the engine's results table carries). Missing
+    optional columns are simply absent from the envelope, so any
+    results-shaped table exports."""
+    import json
+
+    opt = [c for c in ("status", "lang", "n_links", "text") if c in results.columns]
+    rows = results.select("url", "fetched_at", *opt)
+
+    def payload(pdf: pd.DataFrame, i: int, session_tz: str) -> bytes:
+        env: dict = {"url": pdf["url"].iat[i]}
+        ts = pdf["fetched_at"].iat[i]
+        env["fetched_at"] = _utc_warc_date(ts, session_tz) if ts is not None else None
+        if "status" in pdf.columns:
+            env["status"] = int(pdf["status"].iat[i])
+        if "lang" in pdf.columns:
+            env["lang"] = pdf["lang"].iat[i]
+        if "n_links" in pdf.columns:
+            env["n_links"] = int(pdf["n_links"].iat[i])
+        if "text" in pdf.columns and pdf["text"].iat[i] is not None:
+            env["text_len"] = len(pdf["text"].iat[i])
+        return json.dumps(env, sort_keys=True).encode("utf-8")
+
+    return _export_derivative(
+        rows, out_dir, rotate_bytes, payload, "metadata", "wat", "application/json"
+    )
+
+
+# ---------------------------------------------------------------------------
 # RDF Turtle web-graph export (web_graph.rs predicates)
 # ---------------------------------------------------------------------------
 _TTL_PREFIX = "@prefix atra: <https://atra.example/ns#> .\n"

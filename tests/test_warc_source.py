@@ -321,3 +321,72 @@ class TestSessionTimezoneImmunity:
             assert {r["ts14"] for r in cdx} == {"20240101000000"}
         finally:
             spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+class TestWetWat:
+    """WET (conversion/text) and WAT (metadata/JSON) derivative
+    exports over the same rotated-WARC container — read back with the
+    same scanner, zero format fork."""
+
+    def _results(self, spark):
+        return spark.createDataFrame(
+            [
+                (f"https://h.example/p{i}", TS, 200, f"extracted text {i}",
+                 "eng", i)
+                for i in range(6)
+            ],
+            "url string, fetched_at timestamp, status int, text string, "
+            "lang string, n_links int",
+        )
+
+    def test_wet_conversion_records_roundtrip(self, spark, tmp_path):
+        import uuid as _uuid
+
+        from atra_spark.plans.export import export_wet
+
+        out = str(tmp_path / "wet")
+        rep = export_wet(self._results(spark), out).collect()
+        assert sum(r["records"] for r in rep) == 6
+        rec = {r["url"]: r for r in scan_warc_records(spark, out).collect()}
+        assert len(rec) == 6
+        for i in range(6):
+            r = rec[f"https://h.example/p{i}"]
+            assert r["warc_type"] == "conversion"
+            assert bytes(r["body"]).decode() == f"extracted text {i}"
+            # refers to the page's response record (uuid5 of the url)
+            blob = open(r["warc_file"], "rb").read()
+            span = blob[r["offset"] : r["offset"] + r["length"]]
+            _, _, hdrs, _ = next(iter(iter_warc_spans(span)))
+            orig = _uuid.uuid5(_uuid.NAMESPACE_URL, r["url"]).urn
+            assert hdrs["WARC-Refers-To"] == f"<{orig}>"
+            assert hdrs["Content-Type"] == "text/plain"
+
+    def test_wat_metadata_envelopes(self, spark, tmp_path):
+        from atra_spark.plans.export import export_wat
+
+        out = str(tmp_path / "wat")
+        export_wat(self._results(spark), out).collect()
+        rec = {r["url"]: r for r in scan_warc_records(spark, out).collect()}
+        assert len(rec) == 6
+        for i in range(6):
+            r = rec[f"https://h.example/p{i}"]
+            assert r["warc_type"] == "metadata"
+            env = json.loads(bytes(r["body"]).decode())
+            assert env["url"] == f"https://h.example/p{i}"
+            assert env["status"] == 200
+            assert env["lang"] == "eng"
+            assert env["n_links"] == i
+            assert env["text_len"] == len(f"extracted text {i}")
+            assert env["fetched_at"] == "2024-01-01T00:00:00Z"
+
+    def test_wat_optional_columns_absent(self, spark, tmp_path):
+        from atra_spark.plans.export import export_wat
+
+        out = str(tmp_path / "watmin")
+        df = spark.createDataFrame(
+            [("https://h.example/a", TS)], "url string, fetched_at timestamp"
+        )
+        export_wat(df, out).collect()
+        r = scan_warc_records(spark, out).collect()[0]
+        env = json.loads(bytes(r["body"]).decode())
+        assert set(env) == {"url", "fetched_at"}
