@@ -2872,6 +2872,180 @@ FROM p
 """
 
 
+# --------------------------------------------------------------------------
+# corpus scrubbing family (functions/scrub.py): PII redaction, per-site
+# boilerplate-line removal, Unicode normalization. The documents table
+# carries none of these phenomena (clean synthetic sentences), so each
+# query first AUGMENTS it with deterministically-injected PII /
+# template lines / denormalized Unicode via the SAME dialect-twinned
+# SQL on both sides — the oracle then replays the operator's contract
+# on the identical augmented input.
+# --------------------------------------------------------------------------
+def _pii_augment_sql(dialect: str) -> str:
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS {s})
+       || '@mail' || CAST(doc_id % 7 AS {s}) || '.example.org now' ELSE '' END
+  || CASE WHEN doc_id % 4 = 0 THEN ' server 10.' || CAST(doc_id % 256 AS {s})
+       || '.0.' || CAST(doc_id % 100 AS {s}) || ' up' ELSE '' END
+  || CASE WHEN doc_id % 6 = 0 THEN ' call +49 301 '
+       || CAST(2000000 + doc_id AS {s}) || ' today' ELSE '' END
+  || CASE WHEN doc_id % 9 = 0 THEN ' pay DE' || CAST(10 + doc_id % 90 AS {s})
+       || '370400440532013000 ref' ELSE '' END
+  AS text
+FROM documents
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (functions/scrub.pii_scrub) over the
+    PII-injected documents table — pure JVM regexp column math.
+    Oracle: sql_pii_scrub."""
+    from atra_spark.functions.scrub import pii_scrub
+
+    _register(spark, sf_dir)
+    return pii_scrub(spark.sql(_pii_augment_sql("spark")))
+
+
+def sql_pii_scrub(dialect: str) -> str:
+    """Twin of scrub.pii_scrub: per-family regexp_extract_all counts on
+    the original text, chained global regexp_replace redaction in rule
+    order (patterns live in scrub.PII_RULES — the common Java/RE2
+    subset, embedded verbatim)."""
+    from atra_spark.functions.scrub import PII_RULES
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in PII_RULES
+    )
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_RULES)
+    red = "text"
+    for _, pat, repl in PII_RULES:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH aug AS ({_pii_augment_sql(dialect)}),
+cnt AS (SELECT doc_id, {counts}, {red} AS redacted_text FROM aug)
+SELECT doc_id, n_email, n_ipv4, n_phone, n_iban,
+       CAST({total} AS INT) AS n_pii, redacted_text
+FROM cnt
+"""
+
+
+def _boiler_augment_sql(dialect: str) -> str:
+    # chr(10) (LF) is <256, so Spark's mod-256 chr agrees with DuckDB's
+    return """
+SELECT doc_id, source,
+  'subscribe to ' || source || ' newsletter' || chr(10) || text
+  || CASE WHEN doc_id % 4 = 0
+       THEN chr(10) || 'copyright ' || source || ' all rights reserved'
+       ELSE '' END AS text
+FROM documents
+"""
+
+
+def q_site_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-site boilerplate-line removal
+    (functions/scrub.site_boilerplate_removal, ratio 0.5 / min 2 docs)
+    over documents with an injected per-source template header (every
+    doc -> removed) and a 25%-of-docs footer (below ratio -> kept).
+    Oracle: sql_site_boilerplate."""
+    from atra_spark.functions.scrub import site_boilerplate_removal
+
+    _register(spark, sf_dir)
+    return site_boilerplate_removal(
+        spark.sql(_boiler_augment_sql("spark")), min_ratio=0.5, min_docs=2
+    )
+
+
+def sql_site_boilerplate(dialect: str) -> str:
+    """Twin of scrub.site_boilerplate_removal: line explode, 60-bit
+    line fp, per-(site, fp) doc-presence count vs per-site doc count,
+    boilerplate at >= max(2, ceil(0.5 * n_docs)), ordered reassembly
+    of surviving lines."""
+    fp = _hex_hash("line", "duckdb")
+    return f"""
+WITH aug AS ({_boiler_augment_sql("duckdb")}),
+sd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM aug GROUP BY source),
+ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS arr FROM aug),
+lines AS (
+  SELECT doc_id, source,
+         CAST(generate_subscripts(arr, 1) AS INT) - 1 AS line_idx,
+         unnest(arr) AS line
+  FROM ls
+),
+nb AS (
+  SELECT doc_id, source, line_idx, line, {fp} AS fp
+  FROM lines WHERE trim(line) <> ''
+),
+pres AS (SELECT DISTINCT source, fp, doc_id FROM nb),
+cnt AS (SELECT source, fp, count(*) AS n_with FROM pres GROUP BY source, fp),
+boiler AS (
+  SELECT c.source, c.fp
+  FROM cnt c JOIN sd ON sd.source = c.source
+  WHERE c.n_with >= greatest(2, CAST(ceil(0.5 * sd.n_docs) AS INT))
+)
+SELECT nb.doc_id,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       coalesce(
+         string_agg(CASE WHEN b.fp IS NULL THEN nb.line END, chr(10)
+                    ORDER BY nb.line_idx),
+         '') AS clean_text
+FROM nb LEFT JOIN boiler b ON b.source = nb.source AND b.fp = nb.fp
+GROUP BY nb.doc_id
+"""
+
+
+# denormalized-Unicode injection, embedded as literal characters in
+# the SQL text (NOT chr(): Spark's chr() is mod-256 ASCII). Exact code
+# points via Python escapes: e + U+0301 = DECOMPOSED e-acute (NFC
+# composes it to one code point), U+200B = ZWSP (stripped), U+0007 =
+# BEL control (stripped), tabs + double spaces (collapsed).
+_NORM_INJECT = (
+    "' cafe\u0301 \u200bdeja vu\x07' "
+    "|| CASE WHEN doc_id % 2 = 0 THEN '\t\ttabbed  run' ELSE ' plain' END"
+)
+
+
+def _norm_augment_sql(dialect: str) -> str:
+    return f"SELECT doc_id, text || {_NORM_INJECT} AS text FROM documents"
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization (functions/scrub.normalize_text) over
+    documents with injected combining marks, zero-width and control
+    characters, and horizontal-whitespace runs. Oracle:
+    sql_normalize_text."""
+    from atra_spark.functions.scrub import normalize_text
+
+    _register(spark, sf_dir)
+    return normalize_text(spark.sql(_norm_augment_sql("spark")))
+
+
+def sql_normalize_text(dialect: str) -> str:
+    """Twin of scrub.normalize_text, replaying the pinned step order:
+    NFC -> zero-width strip -> C0/DEL control strip (tab/newline kept)
+    -> [ \\t]+ collapse -> space-only edge trim."""
+    norm = (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        "nfc_normalize(text),"
+        " '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),"
+        " '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),"
+        " '[ \\t]+', ' ', 'g'), ' ')"
+    )
+    return f"""
+WITH aug AS ({_norm_augment_sql("duckdb")}),
+n AS (SELECT doc_id, text, {norm} AS norm_text FROM aug)
+SELECT doc_id, norm_text,
+       CAST(length(text) AS INT) AS n_chars_before,
+       CAST(length(norm_text) AS INT) AS n_chars_after,
+       norm_text <> text AS changed
+FROM n
+"""
+
+
 _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans,
     "warc_revisit": q_warc_revisit,
@@ -2920,6 +3094,9 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_deciles": q_quality_deciles,
     "token_budget_selection": q_token_budget_selection,
     "minhash_calibration": q_minhash_calibration,
+    "pii_scrub": q_pii_scrub,
+    "site_boilerplate": q_site_boilerplate,
+    "normalize_text": q_normalize_text,
 }
 
 
@@ -2972,6 +3149,9 @@ def _custom_oracles() -> dict[str, str]:
         "quality_deciles": sql_quality_deciles("duckdb"),
         "token_budget_selection": sql_token_budget_selection("duckdb"),
         "minhash_calibration": sql_minhash_calibration("duckdb"),
+        "pii_scrub": sql_pii_scrub("duckdb"),
+        "site_boilerplate": sql_site_boilerplate("duckdb"),
+        "normalize_text": sql_normalize_text("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
             f"FROM read_parquet('{oracle_dir}/crawl_results.parquet')"

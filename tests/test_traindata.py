@@ -1363,3 +1363,98 @@ class TestKmeans:
         ).collect()
         key = lambda r: (r["vec_id"], r["cluster"], r["dist"])
         assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+class TestPiiScrub:
+    def test_counts_and_redaction(self, spark):
+        from atra_spark.functions.scrub import pii_scrub
+
+        rows = [
+            (0, "mail bob.smith@corp.example.com or admin@x.io today"),
+            (1, "server 192.168.0.1 and 10.0.0.255 up"),
+            (2, "call +49 301 2003456 now"),
+            (3, "pay DE89370400440532013000 please"),
+            (4, "nothing sensitive here"),
+            (5, "999.999.999.999 is not an ip; neither is 1.2.3"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+        assert got[0]["n_email"] == 2 and got[0]["n_pii"] == 2
+        assert got[0]["redacted_text"] == "mail <EMAIL> or <EMAIL> today"
+        assert got[1]["n_ipv4"] == 2
+        assert got[1]["redacted_text"] == "server <IP> and <IP> up"
+        assert got[2]["n_phone"] == 1 and "<PHONE>" in got[2]["redacted_text"]
+        assert got[3]["n_iban"] == 1 and "<IBAN>" in got[3]["redacted_text"]
+        assert got[4]["n_pii"] == 0 and got[4]["redacted_text"] == rows[4][1]
+        # octet range guard: 999.x / 3-part dotted sequences never match
+        assert got[5]["n_ipv4"] == 0
+
+    def test_all_jvm_no_python_stage(self, spark):
+        from atra_spark.functions.scrub import pii_scrub
+
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Exchange" not in plan
+
+
+class TestSiteBoilerplate:
+    def test_template_removed_content_kept(self, spark):
+        from atra_spark.functions.scrub import site_boilerplate_removal
+
+        header = "subscribe to our newsletter"
+        rows = [
+            (0, "s1", f"{header}\nunique content zero\nrare footer"),
+            (1, "s1", f"{header}\nunique content one"),
+            (2, "s1", f"{header}\nunique content two"),
+            (3, "s1", "no header here at all"),
+            # other site shares the header text but only in 1/2 docs
+            (4, "s2", f"{header}\nother site text"),
+            (5, "s2", "totally different"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = {
+            r["doc_id"]: r
+            for r in site_boilerplate_removal(df, min_ratio=0.5, min_docs=2).collect()
+        }
+        # s1: header in 3/4 docs (>= ceil(0.5*4)=2) -> boilerplate
+        assert got[0]["n_boiler"] == 1
+        assert got[0]["clean_text"] == "unique content zero\nrare footer"
+        assert got[1]["clean_text"] == "unique content one"
+        assert got[3]["n_boiler"] == 0
+        # s2: header in 1/2 docs < max(min_docs=2, 1) -> kept (per-SITE ratio)
+        assert got[4]["n_boiler"] == 0
+        assert got[4]["clean_text"] == f"{header}\nother site text"
+
+    def test_line_order_restored(self, spark):
+        from atra_spark.functions.scrub import site_boilerplate_removal
+
+        rows = [(i, "s", "\n".join(f"line {i} {j}" for j in range(6))) for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = {r["doc_id"]: r for r in site_boilerplate_removal(df).collect()}
+        for i, _, text in rows:
+            assert got[i]["clean_text"] == text  # nothing shared -> verbatim
+
+
+class TestNormalizeText:
+    def test_nfc_zero_width_control_whitespace(self, spark):
+        from atra_spark.functions.scrub import normalize_text
+
+        rows = [
+            (0, "café time"),          # decomposed -> composed (1 cp shorter)
+            (1, "a​b‌c﻿d"),   # zero-width stripped
+            (2, "bell\x07 and\x00null"),     # C0 controls stripped
+            (3, "too   many\t\tspaces"),     # runs collapse
+            (4, "  edge  "),                 # space-only trim
+            (5, "\nkeep newline edges\n"),   # newline is content, not trimmed
+            (6, "already clean"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in normalize_text(df).collect()}
+        assert got[0]["norm_text"] == "café time" and got[0]["changed"]
+        assert got[0]["n_chars_after"] == got[0]["n_chars_before"] - 1
+        assert got[1]["norm_text"] == "abcd"
+        assert got[2]["norm_text"] == "bell andnull"
+        assert got[3]["norm_text"] == "too many spaces"
+        assert got[4]["norm_text"] == "edge"
+        assert got[5]["norm_text"] == "\nkeep newline edges\n"
+        assert not got[6]["changed"]
