@@ -1718,6 +1718,17 @@ def _ensure_crawl_oracle() -> str:
     return _ORACLE_DIR
 
 
+def _ensure_entry_fixtures() -> dict:
+    """Generate-once fixture corpus shared by the crawl queries, the
+    anchor-text query, and their oracles (version-keyed marker inside
+    ensure_fixtures regenerates on format bumps)."""
+    from atra_spark.sources.fixtures import ensure_fixtures
+
+    return ensure_fixtures(
+        os.path.join(tempfile.gettempdir(), "atra_entry_fixtures"), **_ENTRY_FIX
+    )
+
+
 def _ensure_entry_crawl(spark: SparkSession):
     """Run the Spark crawl engine ONCE over the same fixture corpus the
     serial oracle consumed (shared across the crawl_* queries)."""
@@ -1729,8 +1740,7 @@ def _ensure_entry_crawl(spark: SparkSession):
     store = CheckpointStore(_ENTRY_STORE, num_buckets=8)
     marker = os.path.join(_ENTRY_STORE, "_done")
     if not os.path.exists(marker):
-        fix_dir = os.path.join(tempfile.gettempdir(), "atra_entry_fixtures")
-        paths = ensure_fixtures(fix_dir, **_ENTRY_FIX)
+        paths = _ensure_entry_fixtures()
         with open(paths["seeds"]) as f:
             seeds = [line.strip() for line in f if line.strip()]
         with open(paths["config"]) as f:
@@ -2899,6 +2909,81 @@ FROM documents
 """
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index over the fixture pages table
+    (functions/anchors.anchor_pairs -> anchor_summary): one
+    mapInPandas extraction pass (html never shuffles), one algebraic
+    groupBy(dst). Oracle: the generator's golden anchors by
+    construction — the same independence contract as golden_links."""
+    from atra_spark.functions.anchors import anchor_pairs, anchor_summary
+
+    paths = _ensure_entry_fixtures()
+    return anchor_summary(anchor_pairs(spark.read.parquet(paths["pages"])))
+
+
+def _url_variants_sql(dialect: str) -> str:
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+SELECT 'HTTPS://H' || CAST(user_id % 10 AS {s}) || '.Example/path'
+       || CAST(event_id % 50 AS {s})
+       || '?utm_source=x&id=' || CAST(event_id % 20 AS {s})
+       || '&utm_campaign=c' || CAST(user_id % 3 AS {s})
+       || CASE WHEN event_id % 3 = 0
+            THEN '&sessionid=s' || CAST(event_id AS {s}) ELSE '' END
+       || CASE WHEN event_id % 4 = 0
+            THEN '#frag' || CAST(event_id AS {s}) ELSE '' END AS url
+FROM events
+"""
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking-parameter URL canonicalization + dedup groups
+    (functions/jvm_url.url_canonical_dedup — pure JVM normalization:
+    lowercased authority, default-port strip, fragment drop, tracking
+    params removed, surviving params sorted) over utm/session/fragment
+    URL variants synthesized from events. Oracle:
+    sql_url_canonical_dedup."""
+    from atra_spark.functions.jvm_url import url_canonical_dedup
+
+    _register(spark, sf_dir)
+    return url_canonical_dedup(spark.sql(_url_variants_sql("spark")))
+
+
+def sql_url_canonical_dedup(dialect: str) -> str:
+    """Twin of jvm_url.url_canonical_dedup: same authority/path/query
+    decomposition, tracking-param filter (jvm_url.TRACKING_PARAM_RE,
+    embedded verbatim), param sort, and group rollup."""
+    from atra_spark.functions.jvm_url import _SA_GROUPS_RE, TRACKING_PARAM_RE
+
+    return f"""
+WITH urls AS ({_url_variants_sql("duckdb")}),
+parts AS (
+  SELECT url,
+    regexp_replace(lower(regexp_extract(url, '{_SA_GROUPS_RE}', 1)),
+                   ':(80|443)$', '') AS auth,
+    regexp_extract(url, '{_SA_GROUPS_RE}', 2) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM urls
+),
+canon AS (
+  SELECT url,
+    auth || (CASE WHEN path = '' THEN '/' ELSE path END)
+    || (CASE WHEN len(ps) > 0
+          THEN '?' || array_to_string(list_sort(ps), '&') ELSE '' END)
+    AS canon_url
+  FROM (
+    SELECT url, auth, path,
+           list_filter(string_split(q, '&'),
+                       p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}')) AS ps
+    FROM parts
+  )
+)
+SELECT canon_url, count(*) AS n_variants,
+       count(DISTINCT url) AS n_distinct_raw, min(url) AS keeper
+FROM canon GROUP BY canon_url
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (functions/scrub.pii_scrub) over the
     PII-injected documents table — pure JVM regexp column math.
@@ -3095,6 +3180,8 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_selection": q_token_budget_selection,
     "minhash_calibration": q_minhash_calibration,
     "pii_scrub": q_pii_scrub,
+    "anchor_texts": q_anchor_texts,
+    "url_canonical_dedup": q_url_canonical_dedup,
     "site_boilerplate": q_site_boilerplate,
     "normalize_text": q_normalize_text,
 }
@@ -3150,8 +3237,15 @@ def _custom_oracles() -> dict[str, str]:
         "token_budget_selection": sql_token_budget_selection("duckdb"),
         "minhash_calibration": sql_minhash_calibration("duckdb"),
         "pii_scrub": sql_pii_scrub("duckdb"),
+        "anchor_texts": (
+            "SELECT dst, count(*) AS n_anchors, count(DISTINCT src) AS n_sources, "
+            "min(anchor) AS sample_anchor "
+            f"FROM read_parquet('{_ensure_entry_fixtures()['golden_anchors']}') "
+            "GROUP BY dst"
+        ),
         "site_boilerplate": sql_site_boilerplate("duckdb"),
         "normalize_text": sql_normalize_text("duckdb"),
+        "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
             f"FROM read_parquet('{oracle_dir}/crawl_results.parquet')"

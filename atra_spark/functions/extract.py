@@ -326,21 +326,34 @@ class _PageParser(HTMLParser):
 
     _FAST_EXEMPT = {"base", "meta"} | _HREF_TAGS
 
-    def __init__(self, aggressive: bool) -> None:
+    def __init__(self, aggressive: bool, capture_anchors: bool = False) -> None:
         super().__init__(convert_charrefs=True)
         self.aggressive = aggressive
         # aggressive mode reads src/action/onclick off ARBITRARY tags,
-        # so every start tag is "interesting" and the fast skip is off
-        self._fast = not aggressive
+        # so every start tag is "interesting" and the fast skip is off;
+        # anchor capture needs </a> end tags delivered, so it also
+        # disables the start-tag fast skip (anchors are the offline
+        # analytics path, never the crawl hot path)
+        self._fast = not (aggressive or capture_anchors)
+        self.capture_anchors = capture_anchors
         self.text_parts: list[str] = []
         # (raw_url, method, anchor_nofollow) — the nofollow flag is
         # recorded here and enforced in extract_html only when
         # respect_nofollow is on (extraction/html.rs:109-116 is gated by
         # the crawl config in the reference, not unconditional)
         self.raw_links: list[tuple[str, str, bool]] = []
+        # raw_links index -> anchor DOM text (capture_anchors only)
+        self.anchor_text: dict[int, str] = {}
+        self._open_a: int | None = None
+        self._a_start = 0
         self.base_href: str | None = None
         self.meta_nofollow = False
         self._suppress_links = False  # set once meta nofollow seen
+
+    def _finalize_anchor(self) -> None:
+        if self._open_a is not None:
+            self.anchor_text[self._open_a] = "".join(self.text_parts[self._a_start :])
+            self._open_a = None
 
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         a = dict(attrs)
@@ -357,6 +370,12 @@ class _PageParser(HTMLParser):
                 rel = (a.get("rel") or "").lower()
                 nofollow = "nofollow" in rel.split()
                 self.raw_links.append((href, "html_a", nofollow))
+                if self.capture_anchors and tag == "a":
+                    # browsers implicitly close an open <a> at the next
+                    # <a> — finalize before opening the new one
+                    self._finalize_anchor()
+                    self._open_a = len(self.raw_links) - 1
+                    self._a_start = len(self.text_parts)
         elif self.aggressive:
             if tag in _SRC_TAGS and a.get("src"):
                 self.raw_links.append((a["src"], "html_media", False))
@@ -368,6 +387,16 @@ class _PageParser(HTMLParser):
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         self.handle_starttag(tag, attrs)
+        if self.capture_anchors and tag == "a":
+            self._finalize_anchor()  # <a .../> has no content
+
+    def handle_endtag(self, tag: str) -> None:
+        if self.capture_anchors and tag == "a":
+            self._finalize_anchor()
+
+    def close(self) -> None:
+        super().close()
+        self._finalize_anchor()  # unclosed trailing <a>
 
     def handle_data(self, data: str) -> None:
         self.text_parts.append(data)
@@ -504,6 +533,8 @@ class _PageParser(HTMLParser):
         if self.cdata_elem is None:
             m = _STRICT_END.match(self.rawdata, i)
             if m is not None:
+                if self.capture_anchors:
+                    self.handle_endtag(m.group(1).lower())
                 return m.end()
         return super().parse_endtag(i)
 
@@ -551,6 +582,51 @@ def extract_html(
         kind = "onseed" if _host_cached(cu) == page_host else "outgoing"
         links.append((cu, kind, method))
     return text, links
+
+
+def extract_anchor_pairs(
+    html_text: str, page_url: str, respect_nofollow: bool = True
+) -> list[tuple[str, str]]:
+    """[(canonical_dst, anchor_dom_text)] for the page's <a href> links,
+    under exactly extract_html's admission rules (nofollow anchor/meta
+    skip, <base> resolution, self-link filter, first-occurrence dedup
+    on the canonical URL); data: and non-anchor href tags (area/link)
+    are excluded — they carry no anchor text. The anchor text is the
+    verbatim DOM text between <a> and </a> (entities decoded), the
+    same character-data contract as the page text invariant.
+    """
+    p = _PageParser(aggressive=False, capture_anchors=True)
+    try:
+        p.feed(html_text)
+        p.close()
+    except Exception:
+        pass
+    if respect_nofollow and p.meta_nofollow:
+        return []
+    base = p.base_href or page_url
+    if p.base_href is not None:
+        base = canonicalize(p.base_href, base=page_url) or page_url
+    out: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for i, (raw, method, nofollow) in enumerate(p.raw_links):
+        if nofollow and respect_nofollow:
+            continue
+        raw = raw.strip()
+        if not raw or raw.startswith("data:"):
+            # data: participates in extract_html's dedup ring only as
+            # itself, never as a canonical URL — no anchor row, but it
+            # must not shadow a later real link either (extract_html
+            # keys data: dedup on the raw string, disjoint from
+            # canonical URLs)
+            continue
+        if i not in p.anchor_text:
+            continue  # area/link hrefs: no anchor content
+        cu = _canon(raw, base)
+        if cu is None or cu == page_url or cu in seen:
+            continue
+        seen.add(cu)
+        out.append((cu, p.anchor_text[i]))
+    return out
 
 
 def extract_js(js_text: str, page_url: str) -> list[tuple[str, str, str]]:

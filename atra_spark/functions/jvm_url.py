@@ -193,3 +193,61 @@ def surt_col(url: Column) -> Column:
         F.when(qsorted == "", "").otherwise(F.concat(F.lit("?"), qsorted)),
     )
     return F.when(host == "", F.lit(None).cast("string")).otherwise(key)
+
+
+# --------------------------------------------------------------------------
+# tracking-parameter URL canonicalization + dedup groups
+# --------------------------------------------------------------------------
+# query parameters that identify a SESSION or campaign, not a resource
+# (the C4/Common-Crawl URL-dedup prefilter set); matched per parameter,
+# case-insensitively, in both Java regex and RE2
+TRACKING_PARAM_RE = (
+    r"^(?i)(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|"
+    r"sessionid|sid|phpsessid|jsessionid)="
+)
+_SA_GROUPS_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@?#]*@)?[^/?#]*)([^?#]*)"
+
+
+def normalize_url_col(url: Column) -> Column:
+    """Canonical URL for duplicate grouping, entirely JVM (whole-stage
+    codegen): lowercase scheme://authority, strip default :80/:443
+    ports, empty path -> '/', drop the fragment, drop tracking query
+    parameters (``TRACKING_PARAM_RE``), sort the surviving parameters
+    (param ORDER never identifies a resource). This is the
+    dedup-grouping normalization a corpus pipeline runs BEFORE exact
+    content dedup — the WHATWG canonicalizer (urlkit.canonicalize)
+    stays the crawl-side identity; this one is deliberately lossier.
+    """
+    auth = F.regexp_replace(
+        F.lower(F.regexp_extract(url, _SA_GROUPS_RE, 1)), r":(80|443)$", ""
+    )
+    path = F.regexp_extract(url, _SA_GROUPS_RE, 2)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qpart = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
+    ).otherwise(F.lit(""))
+    return F.concat(auth, path, qpart)
+
+
+def url_canonical_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Group URL variants by their tracking-stripped canonical form:
+    (canon_url, n_variants, n_distinct_raw, keeper = lexicographically
+    first raw URL). One algebraic groupBy on the canonical string —
+    map-side combine absorbs hot canonical keys (a popular page linked
+    under thousands of utm variants)."""
+    u = F.col(url_col)
+    return (
+        df.select(u.alias("raw_url"), normalize_url_col(u).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.countDistinct("raw_url").alias("n_distinct_raw"),
+            F.min("raw_url").alias("keeper"),
+        )
+    )

@@ -72,6 +72,9 @@ class FixtureSet:
     config: CrawlConfig
     golden_links: dict[str, list[tuple[str, str, str]]] = field(default_factory=dict)
     hosts: list[str] = field(default_factory=list)
+    # src url -> [(dst, anchor_dom_text)] for surviving <a> links (html
+    # pages only; office/PDF payload pages carry no anchor text)
+    golden_anchors: dict[str, list[tuple[str, str]]] = field(default_factory=dict)
 
 
 def _lang_sentence(rng: random.Random, lang: str, n_words: int) -> str:
@@ -224,6 +227,7 @@ def generate_fixtures(
 
     pages: list[tuple] = []
     golden_links: dict[str, list[tuple[str, str, str]]] = {}
+    golden_anchors: dict[str, list[tuple[str, str]]] = {}
 
     for h in all_hosts:
         lang = host_lang[h]
@@ -292,7 +296,7 @@ def generate_fixtures(
             # anchors (80% same-host / 15% cross-host / 5% junk);
             # links_range=(30,90)+ approximates real link-dense pages
             n_links = page_rng.randint(*links_range)
-            raw_hrefs: list[tuple[str, bool]] = []  # (href, nofollow)
+            raw_hrefs: list[tuple[str, bool, str]] = []  # (href, nofollow, anchor)
             for k in range(n_links):
                 r = page_rng.random()
                 if r < 0.80 and n_h > 1:
@@ -320,12 +324,13 @@ def generate_fixtures(
                     else:
                         href = "data:text/plain;base64,aGk="
                 nofollow = page_rng.random() < 0.06
-                raw_hrefs.append((href, nofollow))
+                anchor = _lang_sentence(page_rng, lang, 3) + " & more"
+                raw_hrefs.append((href, nofollow, anchor))
                 b.raw(f'<p><a href="{href}"')
                 if nofollow:
                     b.raw(' rel="nofollow"')
                 b.raw(">")
-                b.text(_lang_sentence(page_rng, lang, 3) + " & more")
+                b.text(anchor)
                 b.raw("</a></p>")
                 b.gap("\n")
 
@@ -351,10 +356,11 @@ def generate_fixtures(
             # apply: nofollow skip, base resolve, canonicalize, self-link
             # filter, first-occurrence dedup, data: passthrough)
             links: list[tuple[str, str, str]] = []
+            anchors: list[tuple[str, str]] = []
             if not meta_nofollow:
                 resolve_base = base_href if base_href else url
                 seen: set[str] = set()
-                for href, nofollow in raw_hrefs:
+                for href, nofollow, anchor in raw_hrefs:
                     if nofollow:
                         continue
                     if href.startswith("data:"):
@@ -368,7 +374,11 @@ def generate_fixtures(
                     seen.add(cu)
                     kind = "onseed" if host_of(cu) == h else "outgoing"
                     links.append((cu, kind, "html_a"))
+                    # anchor of the first surviving occurrence, by the
+                    # same admission rules (extract_anchor_pairs twin)
+                    anchors.append((cu, anchor))
             golden_links[url] = links
+            golden_anchors[url] = anchors
 
     # seeds (FIXTURES.md §3): normal hosts, mega, crawl-delay host,
     # disallowed path, blacklisted host — 16 total
@@ -404,6 +414,7 @@ def generate_fixtures(
         config=config,
         golden_links=golden_links,
         hosts=all_hosts,
+        golden_anchors=golden_anchors,
     )
 
 
@@ -455,6 +466,19 @@ def write_fixtures(fx: FixtureSet, out_dir: str) -> dict[str, str]:
     paths["golden_links"] = os.path.join(out_dir, "golden_links.parquet")
     pq.write_table(links_tbl, paths["golden_links"])
 
+    anchors_flat = [
+        (src, d, a) for src, ls in fx.golden_anchors.items() for (d, a) in ls
+    ]
+    anchors_tbl = pa.table(
+        {
+            "src": [r[0] for r in anchors_flat],
+            "dst": [r[1] for r in anchors_flat],
+            "anchor": [r[2] for r in anchors_flat],
+        }
+    )
+    paths["golden_anchors"] = os.path.join(out_dir, "golden_anchors.parquet")
+    pq.write_table(anchors_tbl, paths["golden_anchors"])
+
     paths["seeds"] = os.path.join(out_dir, "seeds.txt")
     with open(paths["seeds"], "w") as f:
         f.write("\n".join(fx.seeds) + "\n")
@@ -466,7 +490,7 @@ def write_fixtures(fx: FixtureSet, out_dir: str) -> dict[str, str]:
     return paths
 
 
-FIXTURE_FORMAT_VERSION = 3  # bump to invalidate cached fixture dirs
+FIXTURE_FORMAT_VERSION = 4  # bump to invalidate cached fixture dirs
 
 
 def ensure_fixtures(
@@ -482,7 +506,7 @@ def ensure_fixtures(
         f".done_v{FIXTURE_FORMAT_VERSION}_{n_pages}_{n_hosts}"
         f"_{body_paragraphs}_{links_range[0]}-{links_range[1]}",
     )
-    names = ["pages", "robots", "golden_links"]
+    names = ["pages", "robots", "golden_links", "golden_anchors"]
     if os.path.exists(marker):
         return {
             **{n: os.path.join(out_dir, f"{n}.parquet") for n in names},

@@ -528,3 +528,57 @@ class TestLangIdVectorizedEquivalence:
         # utf-32 fast path must fall back, not raise
         got, conf = detect_lang("the page and the data \udbf9 of it")
         assert got == "eng"
+
+
+class TestAnchorPairs:
+    def test_basic_and_dedup_rules(self):
+        from atra_spark.functions.extract import extract_anchor_pairs
+
+        html = (
+            '<html><body>'
+            '<a href="https://x.example/a.html">first &amp; best</a>'
+            '<a href="https://x.example/a.html">dup dropped</a>'
+            '<a href="https://x.example/b.html" rel="nofollow">nf</a>'
+            '<a href="#frag">self</a>'
+            '<a href="data:text/plain;base64,aGk=">data</a>'
+            '<area href="https://x.example/c.html">'
+            '<a href="/rel.html">relative</a>'
+            '</body></html>'
+        )
+        got = extract_anchor_pairs(html, "https://x.example/page.html")
+        assert got == [
+            ("https://x.example/a.html", "first & best"),
+            ("https://x.example/rel.html", "relative"),
+        ]
+
+    def test_unclosed_nested_and_selfclosing(self):
+        from atra_spark.functions.extract import extract_anchor_pairs
+
+        html = (
+            '<a href="https://x.example/1.html">one <b>bold</b>'
+            '<a href="https://x.example/2.html">two</a>'
+            '<a href="https://x.example/3.html"/>'
+            '<a href="https://x.example/4.html">tail never closed'
+        )
+        got = dict(extract_anchor_pairs(html, "https://x.example/"))
+        assert got["https://x.example/1.html"] == "one bold"  # implicit close at next <a>
+        assert got["https://x.example/2.html"] == "two"
+        assert got["https://x.example/3.html"] == ""  # self-closing: no content
+        assert got["https://x.example/4.html"] == "tail never closed"
+
+    def test_meta_nofollow_page_yields_nothing(self):
+        from atra_spark.functions.extract import extract_anchor_pairs
+
+        html = (
+            '<meta name="robots" content="nofollow">'
+            '<a href="https://x.example/a.html">text</a>'
+        )
+        assert extract_anchor_pairs(html, "https://x.example/") == []
+
+    def test_capture_off_leaves_extract_html_untouched(self):
+        from atra_spark.functions.extract import extract_html
+
+        html = '<a href="https://x.example/a.html">t</a><p>body</p>'
+        text, links = extract_html(html, "https://x.example/")
+        assert text == "tbody"
+        assert links == [("https://x.example/a.html", "onseed", "html_a")]

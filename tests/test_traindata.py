@@ -1458,3 +1458,38 @@ class TestNormalizeText:
         assert got[4]["norm_text"] == "edge"
         assert got[5]["norm_text"] == "\nkeep newline edges\n"
         assert not got[6]["changed"]
+
+
+class TestUrlCanonicalDedup:
+    def test_normalization_rules(self, spark):
+        from atra_spark.functions.jvm_url import url_canonical_dedup
+
+        rows = [
+            ("HTTPS://Ex.COM:443/p?utm_source=a&id=2&b=1#f",),
+            ("https://ex.com/p?b=1&id=2",),
+            ("https://ex.com/p?id=2&b=1&fbclid=xyz",),
+            ("https://ex.com",),
+            ("https://ex.com/",),
+            ("http://ex.com:80/q",),
+            ("https://ex.com/p?SESSIONID=9",),  # case-insensitive param match
+        ]
+        df = spark.createDataFrame(rows, "url string")
+        got = {r["canon_url"]: r for r in url_canonical_dedup(df).collect()}
+        grp = got["https://ex.com/p?b=1&id=2"]
+        assert grp["n_variants"] == 3 and grp["n_distinct_raw"] == 3
+        assert grp["keeper"] == "HTTPS://Ex.COM:443/p?utm_source=a&id=2&b=1#f"
+        assert got["https://ex.com/"]["n_variants"] == 2
+        assert got["http://ex.com/q"]["n_variants"] == 1
+        # sessionid-only query collapses to the bare path
+        assert got["https://ex.com/p"]["n_variants"] == 1
+
+    def test_all_jvm(self, spark):
+        from atra_spark.functions.jvm_url import normalize_url_col
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([("https://x.example/a?utm_b=1",)], "url string")
+        plan = (
+            df.select(normalize_url_col(F.col("url")))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan
