@@ -1,19 +1,29 @@
 """Multimodal payload columns: images/audio/video as opaque binary +
 typed metadata, with the Spark-side plumbing (schema, batching,
-partition discipline) real and tested, and the codec step stubbed
-(the image/audio libraries are not in this container).
+partition discipline) AND a real zero-dependency codec layer
+(functions/media_codecs.py — PNG/GIF/BMP/PNM/WAV from the published
+specs over stdlib zlib/wave + numpy).
 
 Pattern for 100 TB: payloads are a ``binary`` column in the same
 row as their metadata; decode/feature steps are ``mapInPandas``
 stages sized by bytes (``spark.sql.execution.arrow.maxRecordsPerBatch``
 + ``maxPartitionBytes``), never collected, never shuffled except by
-explicit content-hash bucketing.
+explicit content-hash bucketing. The decoded FEATURES (a few dozen
+bytes per row) are what downstream joins and dedups shuffle — the
+payload bytes never move after the feature pass.
+
+Format scope: PNG, GIF (multi-frame), BMP, PNM and PCM WAV decode for
+real; JPEG/MP3/MP4-class formats (entropy/DCT codecs) are reported as
+``unsupported`` — the dispatch table below is the swap point where a
+production cluster plugs PIL/libvips/ffmpeg without touching the Spark
+plumbing.
 """
 
 from __future__ import annotations
 
 from typing import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
@@ -24,6 +34,18 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+)
+
+from .media_codecs import (
+    DecodeError,
+    ahash64,
+    decode_bmp,
+    decode_gif,
+    decode_png,
+    decode_pnm,
+    decode_wav,
+    mean_luma,
+    to_signed64,
 )
 
 MEDIA_SCHEMA = StructType(
@@ -45,7 +67,16 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType(), False),
         StructField("sniffed_mime", StringType(), True),
         StructField("payload_hash", StringType(), False),
-        StructField("decoded", StringType(), False),  # ok | stubbed | empty
+        StructField("decoded", StringType(), False),  # ok|unsupported|corrupt|empty
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("mean_luma", DoubleType(), True),
+        StructField("ahash", LongType(), True),
     ]
 )
 
@@ -53,6 +84,9 @@ _MAGIC = (
     (b"\x89PNG", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
+    (b"BM", "image/bmp"),
+    (b"P5", "image/x-portable-anymap"),
+    (b"P6", "image/x-portable-anymap"),
     (b"RIFF", "audio/wav"),
     (b"ID3", "audio/mpeg"),
     (b"\x00\x00\x00", "video/mp4"),
@@ -60,6 +94,9 @@ _MAGIC = (
 
 
 def sniff_media_mime(payload: bytes | None) -> str | None:
+    """Prefix-only magic sniff (the reference's AtraFileInformation
+    style: cheap, prefix-determined; deep validation happens in
+    decode)."""
     if not payload:
         return None
     for magic, mime in _MAGIC:
@@ -68,53 +105,107 @@ def sniff_media_mime(payload: bytes | None) -> str | None:
     return "application/octet-stream"
 
 
-def decode_media(payload: bytes, mime: str):  # pragma: no cover - stub
-    """Codec step. The sandbox has no image/audio codecs installed; a
-    production deployment swaps this for PIL/torchaudio/ffmpeg. The
-    surrounding Spark plumbing (batching, schema, hashing) is real."""
-    raise NotImplementedError(
-        "media decoding requires codec libraries not present in this environment"
-    )
+def _image_info(arr: np.ndarray, n_frames: int = 1, duration_s: float | None = None) -> dict:
+    h, w = arr.shape[:2]
+    ch = 1 if arr.ndim == 2 else int(arr.shape[2])
+    return {
+        "width": int(w),
+        "height": int(h),
+        "channels": ch,
+        "n_frames": int(n_frames),
+        "duration_s": duration_s,
+        "mean_luma": mean_luma(arr),
+        "ahash": to_signed64(ahash64(arr)),
+    }
+
+
+def decode_media(payload: bytes, mime: str) -> dict:
+    """Decode a payload into a feature dict.
+
+    Raises :class:`DecodeError` for corrupt payloads of a supported
+    format and :class:`NotImplementedError` for formats outside the
+    stdlib codec layer's scope (JPEG/MP3/MP4 — swap in native codecs
+    here on a production cluster)."""
+    try:
+        if mime == "image/png":
+            return _image_info(decode_png(payload))
+        if mime == "image/gif":
+            frames, delays = decode_gif(payload)
+            return _image_info(
+                frames[0], n_frames=len(frames), duration_s=float(sum(delays))
+            )
+        if mime == "image/bmp":
+            return _image_info(decode_bmp(payload))
+        if mime == "image/x-portable-anymap":
+            return _image_info(decode_pnm(payload))
+        if mime == "audio/wav":
+            samples, sr = decode_wav(payload)
+            return {
+                "sample_rate": int(sr),
+                "duration_s": samples.shape[0] / float(sr),
+                "rms": float(np.sqrt(np.mean(np.square(samples))))
+                if samples.size
+                else 0.0,
+                "n_frames": int(samples.shape[0]),
+                "channels": int(samples.shape[1]),
+            }
+    except DecodeError:
+        raise
+    except (ValueError, IndexError, OverflowError, MemoryError) as e:
+        # defensive: any malformed-input failure inside a codec is
+        # corruption, never a job-killing executor exception
+        raise DecodeError(f"{mime}: {e}") from e
+    raise NotImplementedError(f"no stdlib codec for {mime}")
+
+
+_FEATURE_COLS = [f.name for f in FEATURE_SCHEMA.fields]
+_NULLED = ["width", "height", "channels", "n_frames", "sample_rate",
+           "duration_s", "rms", "mean_luma", "ahash"]
 
 
 def extract_media_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature pass over media rows: size, magic-byte mime,
-    content hash; the decode step is attempted and recorded as
-    'stubbed' when the codec layer raises NotImplementedError."""
+    content hash, and REAL decoded features (dimensions, channel count,
+    frame count, mean luma, 64-bit average perceptual hash for images;
+    sample rate, duration, RMS for audio). ``decoded`` records the
+    outcome per row: ok | unsupported | corrupt | empty — a corrupt
+    payload never kills the batch."""
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            rows = []
+            out: dict[str, list] = {c: [] for c in _FEATURE_COLS}
             for i in range(len(pdf)):
                 payload = pdf["payload"].iat[i]
                 payload = bytes(payload) if payload is not None else None
                 mime = sniff_media_mime(payload)
-                status = "empty"
-                if payload:
+                info: dict = {}
+                if not payload:
+                    status = "empty"
+                else:
                     try:
-                        decode_media(payload, mime or "")
+                        info = decode_media(payload, mime or "")
                         status = "ok"
                     except NotImplementedError:
-                        status = "stubbed"
-                rows.append(
-                    (
-                        int(pdf["media_id"].iat[i]),
-                        pdf["kind"].iat[i],
-                        len(payload) if payload else 0,
-                        mime,
-                        hashlib.md5(payload or b"").hexdigest(),
-                        status,
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "kind", "n_bytes", "sniffed_mime",
-                    "payload_hash", "decoded",
-                ],
-            )
+                        status = "unsupported"
+                    except DecodeError:
+                        status = "corrupt"
+                out["media_id"].append(int(pdf["media_id"].iat[i]))
+                out["kind"].append(pdf["kind"].iat[i])
+                out["n_bytes"].append(len(payload) if payload else 0)
+                out["sniffed_mime"].append(mime)
+                out["payload_hash"].append(hashlib.md5(payload or b"").hexdigest())
+                out["decoded"].append(status)
+                for c in _NULLED:
+                    out[c].append(info.get(c))
+            pdf_out = pd.DataFrame({c: out[c] for c in _FEATURE_COLS})
+            for c, dt in (
+                ("width", "Int32"), ("height", "Int32"), ("channels", "Int32"),
+                ("n_frames", "Int32"), ("sample_rate", "Int32"), ("ahash", "Int64"),
+            ):
+                pdf_out[c] = pd.array(out[c], dtype=dt)
+            yield pdf_out
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
@@ -128,22 +219,135 @@ def media_exact_dedup(df: DataFrame) -> DataFrame:
     )
 
 
-def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests/benches (magic-byte
-    prefixes + pseudo-random payload bytes)."""
-    import random
+def media_phash_near_dup(features: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance
+    over the decoded ``ahash`` column (visual near-dups survive
+    re-encoding and minor pixel noise that defeats md5 dedup).
 
-    rng = random.Random(seed)
-    kinds = [("image", b"\x89PNG\r\n"), ("image", b"\xff\xd8\xff\xe0"),
-             ("audio", b"ID3\x04"), ("video", b"\x00\x00\x00\x18ftyp")]
-    rows = []
+    Blocking is the pigeonhole band join (dedup.py's SimHash pattern):
+    ``max_hamming + 1`` contiguous bit bands over the 64-bit hash — a
+    pair within Hamming h <= max_hamming matches on at least one band,
+    so recall is 100% by construction and the join is never O(n^2).
+    Band extraction uses ``shiftrightunsigned`` (the top ahash bit
+    makes the long negative; an arithmetic shift would sign-extend
+    into the band keys). All JVM column math — no Python."""
+    sig = features.filter(F.col("ahash").isNotNull()).select("media_id", "ahash")
+    n_bands = max_hamming + 1
+    base, rem = divmod(64, n_bands)
+    bands = None
+    off = 0
+    for b in range(n_bands):
+        w = base + (1 if b < rem else 0)
+        part = sig.select(
+            "media_id",
+            "ahash",
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("ahash"), off)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+        off += w
+    a = bands.select(
+        F.col("media_id").alias("media_a"), F.col("ahash").alias("ha"), "band", "key"
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_b"), F.col("ahash").alias("hb"), "band", "key"
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["media_a", "media_b"])
+    )
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic REAL media table for tests/benches: payloads are
+    genuine PNG/GIF/BMP/WAV bytes produced by the codec layer's
+    encoders, plus planted exact duplicates, near-duplicate images
+    (small pixel noise), an unsupported format (JPEG magic) and a
+    corrupt payload — every ``decoded`` status is represented."""
+    media, _golden = synth_media_with_golden(n, seed)
+    return spark.createDataFrame(media, MEDIA_SCHEMA)
+
+
+def synth_media_with_golden(n: int = 64, seed: int = 42):
+    """The canonical media synthesis: returns (media_rows, golden_rows)
+    where golden_rows are the EXPECTED feature rows computed BY
+    CONSTRUCTION from the source arrays/samples the encoders were fed —
+    never by running the decoders. A fixture oracle reads the goldens;
+    the Spark feature pass must reproduce them through real
+    encode->decode round trips (lossless codecs + shared feature fns
+    make the doubles bit-identical)."""
+    import hashlib
+
+    media_rows, golden_rows = [], []
     for i in range(n):
-        kind, magic = kinds[i % len(kinds)]
-        payload = magic + bytes(rng.getrandbits(8) for _ in range(128 + (i % 5) * 64))
-        if i % 7 == 3:  # deterministic duplicates for dedup tests
-            payload = magic + b"\x01" * 128
-        rows.append((i, kind, None, payload, None, None, None))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+        kind, payload, info, status = _synth_row(i, seed)
+        media_rows.append((i, kind, None, payload, None, None, None))
+        golden_rows.append(
+            {
+                "media_id": i,
+                "kind": kind,
+                "n_bytes": len(payload) if payload else 0,
+                "sniffed_mime": sniff_media_mime(payload),
+                "payload_hash": hashlib.md5(payload or b"").hexdigest(),
+                "decoded": status,
+                **{c: info.get(c) for c in _NULLED},
+            }
+        )
+    return media_rows, golden_rows
+
+
+def _synth_row(i: int, seed: int):
+    """One deterministic (kind, payload, expected_features, status)."""
+    from .media_codecs import encode_bmp, encode_gif, encode_png, encode_wav
+
+    rng = np.random.RandomState(seed * 1_000_003 + i)
+    slot = i % 8
+    if slot in (0, 1, 2, 5):
+        if i % 16 == 1:  # exact duplicate payload family (GIF slot)
+            arr = np.full((8, 8, 3), 37, dtype=np.uint8)
+        else:
+            arr = rng.randint(0, 256, size=(16 + i % 5, 16, 3), dtype=np.uint8).astype(
+                np.uint8
+            )
+        if slot == 5:  # near-duplicate of the slot-0 image five ids back
+            base = np.random.RandomState(seed * 1_000_003 + (i - 5)).randint(
+                0, 256, size=(16 + (i - 5) % 5, 16, 3), dtype=np.uint8
+            ).astype(np.uint8)
+            arr = base.copy()
+            arr[0, 0] = (arr[0, 0].astype(int) + 4).clip(0, 255).astype(np.uint8)
+        if slot == 1:
+            q = (arr // 64 * 64).astype(np.uint8)  # <=256 colors
+            return "image", encode_gif(q), {**_image_info(q), "duration_s": 0.0}, "ok"
+        if slot == 2:
+            return "image", encode_bmp(arr), _image_info(arr), "ok"
+        return "image", encode_png(arr), _image_info(arr), "ok"
+    if slot == 3:
+        nsamp = 800 + 40 * (i % 4)
+        t = np.arange(nsamp) / 8000.0
+        x = 0.3 * np.sin(2 * np.pi * (220 + 11 * i) * t)
+        # expected rms reflects the encoder's documented 16-bit
+        # quantization (computed here independently of the decoder)
+        pcm = np.clip(np.rint(x * 32767.0), -32768, 32767) / 32768.0
+        info = {
+            "sample_rate": 8000,
+            "duration_s": nsamp / 8000.0,
+            "rms": float(np.sqrt(np.mean(np.square(pcm)))),
+            "n_frames": nsamp,
+            "channels": 1,
+        }
+        return "audio", encode_wav(x, 8000), info, "ok"
+    if slot == 4:  # unsupported: JPEG magic + deterministic noise
+        return "image", b"\xff\xd8\xff\xe0" + rng.bytes(96), {}, "unsupported"
+    if slot == 6:  # corrupt: truncated PNG
+        png = encode_png(rng.randint(0, 256, (12, 12, 3)).astype(np.uint8))
+        return "image", png[:40], {}, "corrupt"
+    return "image", None, {}, "empty"
 
 
 def shard_pack(

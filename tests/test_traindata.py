@@ -476,20 +476,99 @@ class TestRepetitionMetrics:
 
 
 class TestMultimodal:
-    def test_feature_extraction_plumbing(self, spark):
+    def test_feature_extraction_real_decode(self, spark):
         media = multimodal.synth_media(spark, n=32)
         feats = {r["media_id"]: r for r in multimodal.extract_media_features(media).collect()}
         assert len(feats) == 32
-        assert all(r["decoded"] == "stubbed" for r in feats.values())
+        # slot layout: 0=png 1=gif 2=bmp 3=wav 4=jpeg(unsupported)
+        # 5=png-near-dup 6=corrupt-png 7=empty
         assert feats[0]["sniffed_mime"] == "image/png"
-        assert feats[1]["sniffed_mime"] == "image/jpeg"
-        assert all(r["n_bytes"] > 0 for r in feats.values())
+        assert feats[0]["decoded"] == "ok"
+        assert feats[0]["width"] == 16 and feats[0]["channels"] == 3
+        assert feats[0]["ahash"] is not None and feats[0]["mean_luma"] is not None
+        assert feats[1]["sniffed_mime"] == "image/gif"
+        assert feats[1]["decoded"] == "ok" and feats[1]["n_frames"] == 1
+        assert feats[2]["sniffed_mime"] == "image/bmp" and feats[2]["decoded"] == "ok"
+        assert feats[3]["sniffed_mime"] == "audio/wav"
+        assert feats[3]["decoded"] == "ok"
+        # 800 + 40*(3%4) = 920 samples at 8 kHz
+        assert feats[3]["sample_rate"] == 8000 and feats[3]["duration_s"] == 0.115
+        assert feats[3]["rms"] is not None and 0.1 < feats[3]["rms"] < 0.3
+        assert feats[4]["sniffed_mime"] == "image/jpeg"
+        assert feats[4]["decoded"] == "unsupported"
+        assert feats[6]["decoded"] == "corrupt" and feats[6]["width"] is None
+        assert feats[7]["decoded"] == "empty" and feats[7]["n_bytes"] == 0
+
+    def test_decoded_features_match_source_arrays(self, spark):
+        """The generator's source arrays and Spark's decoded features
+        agree bit-for-bit (lossless codecs + shared feature fns)."""
+        import numpy as np
+
+        from atra_spark.functions.media_codecs import ahash64, mean_luma, to_signed64
+
+        media = multimodal.synth_media(spark, n=16, seed=7)
+        feats = {r["media_id"]: r for r in multimodal.extract_media_features(media).collect()}
+        # regenerate slot-0 source array exactly as _synth_payload does
+        rng = np.random.RandomState(7 * 1_000_003 + 8)
+        arr = rng.randint(0, 256, size=(16 + 8 % 5, 16, 3), dtype=np.uint8).astype(np.uint8)
+        assert feats[8]["ahash"] == to_signed64(ahash64(arr))
+        assert feats[8]["mean_luma"] == mean_luma(arr)
+        assert (feats[8]["height"], feats[8]["width"]) == arr.shape[:2]
+
+    def test_extracted_features_equal_constructive_goldens(self, spark):
+        """Single source of truth for the driver oracle: the feature
+        rows the Spark pass produces are EXACTLY the golden rows the
+        generator computes by construction (it never runs a decoder) —
+        every column, floats bit-identical."""
+        media_rows, golden_rows = multimodal.synth_media_with_golden(n=64, seed=11)
+        media = spark.createDataFrame(media_rows, multimodal.MEDIA_SCHEMA)
+        got = {
+            r["media_id"]: r.asDict()
+            for r in multimodal.extract_media_features(media).collect()
+        }
+        assert len(got) == len(golden_rows) == 64
+        for g in golden_rows:
+            assert got[g["media_id"]] == g, f"mismatch at media_id={g['media_id']}"
 
     def test_media_dedup(self, spark):
         media = multimodal.synth_media(spark, n=32)
         groups = multimodal.media_exact_dedup(media).collect()
         dup = [g for g in groups if g["n_dups"] > 1]
         assert dup, "deterministic duplicates must collapse"
+
+    def test_phash_near_dup(self, spark):
+        media = multimodal.synth_media(spark, n=48)
+        feats = multimodal.extract_media_features(media)
+        pairs = {
+            (r["media_a"], r["media_b"]): r["hamming"]
+            for r in multimodal.media_phash_near_dup(feats, max_hamming=8).collect()
+        }
+        # every slot-5 image is a 1-pixel perturbation of the slot-0
+        # image five ids earlier -> must be found with small hamming
+        for i in range(5, 48, 8):
+            assert (i - 5, i) in pairs, f"near-dup pair ({i-5},{i}) missed"
+            assert pairs[(i - 5, i)] <= 8
+        # exact-duplicate family (i%16==1) collapses at hamming 0
+        assert pairs.get((1, 17), 99) == 0
+
+    def test_phash_near_dup_matches_allpairs(self, spark):
+        """Banded blocking loses nothing vs brute force (pigeonhole)."""
+        media = multimodal.synth_media(spark, n=32)
+        feats = multimodal.extract_media_features(media).cache()
+        banded = {
+            (r["media_a"], r["media_b"]): r["hamming"]
+            for r in multimodal.media_phash_near_dup(feats, max_hamming=10).collect()
+        }
+        sig = [(r["media_id"], r["ahash"]) for r in feats.collect() if r["ahash"] is not None]
+        brute = {}
+        for i, (ida, ha) in enumerate(sig):
+            for idb, hb in sig[i + 1 :]:
+                a, b = sorted((ida, idb))
+                h = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+                if h <= 10:
+                    brute[(a, b)] = h
+        feats.unpersist()
+        assert banded == brute
 
 
 class TestDuplicatePassages:
