@@ -581,19 +581,43 @@ FROM grams GROUP BY doc_id, g % 64
 
 
 def sql_media_features(dialect: str) -> str:
-    """Constructive oracle for the multimodal feature pass: the media
-    table is derived from documents (ASCII magic prefix + UTF-8 text
-    payload), so size/magic-mime/md5 are all SQL-computable. The Spark
-    side runs the REAL mapInPandas batch extractor over binary payloads."""
-    ln = "octet_length(text)" if dialect == "spark" else "octet_length(encode(text))"
+    """Golden-by-construction oracle for the multimodal feature pass:
+    the fixture generator (multimodal.synth_media_with_golden) computes
+    the expected feature row for every payload from the SOURCE arrays
+    it fed the encoders — it never runs a decoder — and materializes
+    them as parquet. The Spark side must reproduce every column
+    (dimensions, luma, perceptual hash, RMS, decode status) through
+    real encode->decode round trips, floats bit-identical."""
+    golden = _ensure_media_fixture()["golden"]
     return f"""
-SELECT doc_id AS media_id,
-       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'audio' END AS kind,
-       CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE 4 END + ({ln}) AS BIGINT) AS n_bytes,
-       CASE doc_id % 3 WHEN 0 THEN 'image/gif' WHEN 1 THEN 'audio/mpeg' ELSE 'audio/wav' END AS sniffed_mime,
-       md5(CASE doc_id % 3 WHEN 0 THEN 'GIF8' WHEN 1 THEN 'ID3' ELSE 'RIFF' END || text) AS payload_hash,
-       'stubbed' AS decoded
-FROM documents
+SELECT media_id, kind, n_bytes, sniffed_mime, payload_hash, decoded,
+       coalesce(CAST(width AS BIGINT), -1) AS width,
+       coalesce(CAST(height AS BIGINT), -1) AS height,
+       coalesce(CAST(channels AS BIGINT), -1) AS channels,
+       coalesce(CAST(n_frames AS BIGINT), -1) AS n_frames,
+       coalesce(CAST(sample_rate AS BIGINT), -1) AS sample_rate,
+       coalesce(ahash, -1) AS ahash,
+       coalesce(duration_s, -1.0) AS duration_s,
+       coalesce(rms, -1.0) AS rms,
+       coalesce(mean_luma, -1.0) AS mean_luma
+FROM read_parquet('{golden}')
+"""
+
+
+def sql_media_phash_pairs(dialect: str) -> str:
+    """Brute-force twin of the pigeonhole-banded perceptual-hash join:
+    all image pairs within Hamming distance 8 over the golden ahash
+    column (banding has 100% recall by construction, so banded ==
+    brute force exactly)."""
+    golden = _ensure_media_fixture()["golden"]
+    return f"""
+WITH sig AS (
+  SELECT media_id, ahash FROM read_parquet('{golden}') WHERE ahash IS NOT NULL
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 8
 """
 
 
@@ -1441,32 +1465,125 @@ SELECT doc_id, lang FROM documents WHERE {h} < {threshold}
 """
 
 
+_MEDIA_FIX = dict(n=500, seed=11)
+
+
+def _ensure_media_fixture() -> dict:
+    """Generate-once media fixture: real PNG/GIF/BMP/WAV payloads from
+    the codec layer's encoders plus the golden feature rows computed by
+    construction (multimodal.synth_media_with_golden — the generator
+    never runs a decoder, so the goldens are independent truth)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"atra_media_fixture_v2_n{_MEDIA_FIX['n']}_s{_MEDIA_FIX['seed']}",
+    )
+    media_p = os.path.join(root, "media.parquet")
+    golden_p = os.path.join(root, "golden.parquet")
+    if not (os.path.exists(media_p) and os.path.exists(golden_p)):
+        from atra_spark.functions.multimodal import synth_media_with_golden
+
+        os.makedirs(root, exist_ok=True)
+        media_rows, golden_rows = synth_media_with_golden(**_MEDIA_FIX)
+        media_schema = pa.schema(
+            [
+                ("media_id", pa.int64()),
+                ("kind", pa.string()),
+                ("mime", pa.string()),
+                ("payload", pa.binary()),
+                ("width", pa.int32()),
+                ("height", pa.int32()),
+                ("duration_s", pa.float64()),
+            ]
+        )
+        cols = list(zip(*media_rows))
+        pq.write_table(
+            pa.table(
+                {f.name: pa.array(cols[i], f.type) for i, f in enumerate(media_schema)},
+                schema=media_schema,
+            ),
+            media_p + ".tmp",
+        )
+        golden_schema = pa.schema(
+            [
+                ("media_id", pa.int64()),
+                ("kind", pa.string()),
+                ("n_bytes", pa.int64()),
+                ("sniffed_mime", pa.string()),
+                ("payload_hash", pa.string()),
+                ("decoded", pa.string()),
+                ("width", pa.int32()),
+                ("height", pa.int32()),
+                ("channels", pa.int32()),
+                ("n_frames", pa.int32()),
+                ("sample_rate", pa.int32()),
+                ("duration_s", pa.float64()),
+                ("rms", pa.float64()),
+                ("mean_luma", pa.float64()),
+                ("ahash", pa.int64()),
+            ]
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    f.name: pa.array([g[f.name] for g in golden_rows], f.type)
+                    for f in golden_schema
+                },
+                schema=golden_schema,
+            ),
+            golden_p + ".tmp",
+        )
+        os.replace(media_p + ".tmp", media_p)
+        os.replace(golden_p + ".tmp", golden_p)
+    return {"media": media_p, "golden": golden_p}
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payloads derived from the documents
-    table (ASCII magic + UTF-8 text bytes), run through the REAL
-    mapInPandas feature extractor (magic sniff, byte count, md5, decode
-    stub). Oracle: sql_media_features computes the same features
-    constructively."""
+    """Multimodal feature pass over REAL payload bytes (PNG/GIF/BMP/WAV
+    built by the stdlib codec layer, plus unsupported/corrupt/empty
+    rows): the Arrow-batched mapInPandas extractor decodes each payload
+    and emits dimensions, channels, frames, mean luma, perceptual hash,
+    sample rate, duration, RMS and a per-row decode status. Oracle:
+    golden rows the generator computed by construction."""
     from atra_spark.functions.multimodal import extract_media_features
 
-    _register(spark, sf_dir)
-    docs = spark.table("documents")
-    magic = (
-        F.when(F.col("doc_id") % 3 == 0, F.lit("GIF8"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("ID3"))
-        .otherwise(F.lit("RIFF"))
+    media = spark.read.parquet(_ensure_media_fixture()["media"])
+    feats = extract_media_features(media)
+    # absent features (corrupt/unsupported/empty rows) are NULL in the
+    # engine (pinned by pytest); the driver projection coalesces them to
+    # typed sentinels so the value hash is fetch-path independent
+    ints = ["width", "height", "channels", "n_frames", "sample_rate", "ahash"]
+    dbls = ["duration_s", "rms", "mean_luma"]
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sniffed_mime",
+        "payload_hash",
+        "decoded",
+        *[F.coalesce(F.col(c).cast("bigint"), F.lit(-1)).alias(c) for c in ints],
+        *[F.coalesce(F.col(c), F.lit(-1.0)).alias(c) for c in dbls],
     )
-    kind = F.when(F.col("doc_id") % 3 == 0, F.lit("image")).otherwise(F.lit("audio"))
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        kind.alias("kind"),
-        F.lit(None).cast("string").alias("mime"),
-        F.encode(F.concat(magic, F.col("text")), "UTF-8").alias("payload"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("double").alias("duration_s"),
+
+
+def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-duplicate image pairs by perceptual-hash Hamming
+    distance: pigeonhole band join over the decoded 64-bit ahash (9
+    contiguous bit bands for max_hamming=8 — any pair within distance 8
+    collides on >=1 band, so recall is exact and the join never goes
+    O(n^2)). Oracle: brute-force pair scan over the golden ahash."""
+    from atra_spark.functions.multimodal import (
+        extract_media_features,
+        media_phash_near_dup,
     )
-    return extract_media_features(media)
+
+    media = spark.read.parquet(_ensure_media_fixture()["media"])
+    pairs = media_phash_near_dup(extract_media_features(media), max_hamming=8)
+    return pairs.select(
+        "media_a", "media_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 def q_host_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3155,6 +3272,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_materialize": q_corpus_materialize,
     "repetition_metrics": q_repetition_metrics,
     "media_features": q_media_features,
+    "media_phash_pairs": q_media_phash_pairs,
     "sitemap_candidates": q_sitemap_candidates,
     "tfidf_topk": q_tfidf_topk,
     "crawl_round": q_crawl_round,
@@ -3215,6 +3333,7 @@ def _custom_oracles() -> dict[str, str]:
         "corpus_materialize": sql_corpus_materialize("duckdb"),
         "repetition_metrics": sql_repetition_metrics("duckdb"),
         "media_features": sql_media_features("duckdb"),
+        "media_phash_pairs": sql_media_phash_pairs("duckdb"),
         "sitemap_candidates": sql_sitemap_candidates("duckdb"),
         "tfidf_topk": sql_tfidf_topk("duckdb"),
         "host_state_fold": sql_host_state_fold_oracle(),
