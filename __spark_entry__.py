@@ -1478,15 +1478,73 @@ def _ensure_media_fixture() -> dict:
 
     root = os.path.join(
         tempfile.gettempdir(),
-        f"atra_media_fixture_v2_n{_MEDIA_FIX['n']}_s{_MEDIA_FIX['seed']}",
+        f"atra_media_fixture_v3_n{_MEDIA_FIX['n']}_s{_MEDIA_FIX['seed']}",
     )
     media_p = os.path.join(root, "media.parquet")
     golden_p = os.path.join(root, "golden.parquet")
-    if not (os.path.exists(media_p) and os.path.exists(golden_p)):
-        from atra_spark.functions.multimodal import synth_media_with_golden
+    resize_p = os.path.join(root, "golden_resize.parquet")
+    frames_p = os.path.join(root, "golden_frames.parquet")
+    if not all(os.path.exists(p) for p in (media_p, golden_p, resize_p, frames_p)):
+        import hashlib
+
+        from atra_spark.functions.multimodal import (
+            synth_media_derived_goldens,
+            synth_media_with_golden,
+        )
 
         os.makedirs(root, exist_ok=True)
         media_rows, golden_rows = synth_media_with_golden(**_MEDIA_FIX)
+        resize_rows, frame_rows = synth_media_derived_goldens(
+            _MEDIA_FIX["n"], _MEDIA_FIX["seed"], max_dim=8, k_frames=3
+        )
+        resize_schema = pa.schema(
+            [
+                ("media_id", pa.int64()),
+                ("decoded", pa.string()),
+                ("orig_width", pa.int32()),
+                ("orig_height", pa.int32()),
+                ("width", pa.int32()),
+                ("height", pa.int32()),
+                ("payload_md5", pa.string()),
+                ("ahash", pa.int64()),
+            ]
+        )
+        for r in resize_rows:
+            p = r.get("payload")
+            r["payload_md5"] = hashlib.md5(p).hexdigest() if p else None
+        pq.write_table(
+            pa.table(
+                {
+                    f.name: pa.array([r.get(f.name) for r in resize_rows], f.type)
+                    for f in resize_schema
+                },
+                schema=resize_schema,
+            ),
+            resize_p + ".tmp",
+        )
+        frames_schema = pa.schema(
+            [
+                ("media_id", pa.int64()),
+                ("decoded", pa.string()),
+                ("n_frames", pa.int32()),
+                ("frame_index", pa.int32()),
+                ("t_offset", pa.float64()),
+                ("mean_luma", pa.float64()),
+                ("ahash", pa.int64()),
+            ]
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    f.name: pa.array([r.get(f.name) for r in frame_rows], f.type)
+                    for f in frames_schema
+                },
+                schema=frames_schema,
+            ),
+            frames_p + ".tmp",
+        )
+        os.replace(resize_p + ".tmp", resize_p)
+        os.replace(frames_p + ".tmp", frames_p)
         media_schema = pa.schema(
             [
                 ("media_id", pa.int64()),
@@ -1537,7 +1595,12 @@ def _ensure_media_fixture() -> dict:
         )
         os.replace(media_p + ".tmp", media_p)
         os.replace(golden_p + ".tmp", golden_p)
-    return {"media": media_p, "golden": golden_p}
+    return {
+        "media": media_p,
+        "golden": golden_p,
+        "golden_resize": resize_p,
+        "golden_frames": frames_p,
+    }
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1566,6 +1629,78 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(c).cast("bigint"), F.lit(-1)).alias(c) for c in ints],
         *[F.coalesce(F.col(c), F.lit(-1.0)).alias(c) for c in dbls],
     )
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail pass over the media fixture: decode, nearest-neighbor
+    downscale to max dim 8, re-encode PNG, hash resized pixels — all in
+    one Arrow-batched mapInPandas stage. Oracle: goldens the generator
+    computed from its source arrays (payload pinned via md5 of the
+    deterministic PNG bytes)."""
+    from atra_spark.functions.multimodal import media_resize
+
+    media = spark.read.parquet(_ensure_media_fixture()["media"])
+    out = media_resize(media, max_dim=8)
+    ints = ["orig_width", "orig_height", "width", "height", "ahash"]
+    return out.select(
+        "media_id",
+        "decoded",
+        *[F.coalesce(F.col(c).cast("bigint"), F.lit(-1)).alias(c) for c in ints],
+        F.coalesce(F.md5(F.col("payload")), F.lit("none")).alias("payload_md5"),
+    )
+
+
+def sql_media_resize(dialect: str) -> str:
+    """Golden-by-construction oracle for the thumbnail pass."""
+    golden = _ensure_media_fixture()["golden_resize"]
+    return f"""
+SELECT media_id, decoded,
+       coalesce(CAST(orig_width AS BIGINT), -1) AS orig_width,
+       coalesce(CAST(orig_height AS BIGINT), -1) AS orig_height,
+       coalesce(CAST(width AS BIGINT), -1) AS width,
+       coalesce(CAST(height AS BIGINT), -1) AS height,
+       coalesce(ahash, -1) AS ahash,
+       coalesce(payload_md5, 'none') AS payload_md5
+FROM read_parquet('{golden}')
+"""
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe sampling over the media fixture: decode animated GIFs,
+    pick 3 evenly spaced frames, emit per-frame time offset + visual
+    features (one row per sampled frame; non-image rows keep one status
+    row). Oracle: per-frame goldens from the generator's source
+    frames."""
+    from atra_spark.functions.multimodal import media_frame_sample
+
+    media = spark.read.parquet(_ensure_media_fixture()["media"])
+    out = media_frame_sample(media, k=3)
+    return out.select(
+        "media_id",
+        "decoded",
+        *[
+            F.coalesce(F.col(c).cast("bigint"), F.lit(-1)).alias(c)
+            for c in ["n_frames", "frame_index", "ahash"]
+        ],
+        *[
+            F.coalesce(F.col(c), F.lit(-1.0)).alias(c)
+            for c in ["t_offset", "mean_luma"]
+        ],
+    )
+
+
+def sql_media_frame_sample(dialect: str) -> str:
+    """Golden-by-construction oracle for the keyframe sampling pass."""
+    golden = _ensure_media_fixture()["golden_frames"]
+    return f"""
+SELECT media_id, decoded,
+       coalesce(CAST(n_frames AS BIGINT), -1) AS n_frames,
+       coalesce(CAST(frame_index AS BIGINT), -1) AS frame_index,
+       coalesce(ahash, -1) AS ahash,
+       coalesce(t_offset, -1.0) AS t_offset,
+       coalesce(mean_luma, -1.0) AS mean_luma
+FROM read_parquet('{golden}')
+"""
 
 
 def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3273,6 +3408,8 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_metrics": q_repetition_metrics,
     "media_features": q_media_features,
     "media_phash_pairs": q_media_phash_pairs,
+    "media_resize": q_media_resize,
+    "media_frame_sample": q_media_frame_sample,
     "sitemap_candidates": q_sitemap_candidates,
     "tfidf_topk": q_tfidf_topk,
     "crawl_round": q_crawl_round,
@@ -3334,6 +3471,8 @@ def _custom_oracles() -> dict[str, str]:
         "repetition_metrics": sql_repetition_metrics("duckdb"),
         "media_features": sql_media_features("duckdb"),
         "media_phash_pairs": sql_media_phash_pairs("duckdb"),
+        "media_resize": sql_media_resize("duckdb"),
+        "media_frame_sample": sql_media_frame_sample("duckdb"),
         "sitemap_candidates": sql_sitemap_candidates("duckdb"),
         "tfidf_topk": sql_tfidf_topk("duckdb"),
         "host_state_fold": sql_host_state_fold_oracle(),

@@ -474,6 +474,71 @@ def encode_gif(arr: np.ndarray, palette: np.ndarray | None = None) -> bytes:
     return bytes(out)
 
 
+def encode_gif_animation(frames: list[np.ndarray], delays_cs: list[int]) -> bytes:
+    """Multi-frame GIF89a: one graphic-control extension (delay in
+    centiseconds, the wire unit) + image descriptor with a per-frame
+    LOCAL color table per frame — no global table, so frames need not
+    share a palette. Each frame is (H,W,3) RGB with <=256 distinct
+    colors. decode_gif returns the same frames and ``delay/100.0``
+    seconds each, so golden durations are computed with exactly
+    ``float(sum(d / 100.0 for d in delays_cs))``."""
+    if not frames or len(frames) != len(delays_cs):
+        raise EncodeError("gif: frames/delays mismatch")
+    screen_w = max(f.shape[1] for f in frames)
+    screen_h = max(f.shape[0] for f in frames)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", screen_w, screen_h, 0x00, 0, 0)
+    for arr, delay in zip(frames, delays_cs):
+        arr = np.ascontiguousarray(arr, dtype=np.uint8)
+        if arr.ndim != 3 or arr.shape[2] != 3:
+            raise EncodeError("gif: need (H,W,3) RGB frames")
+        h, w = arr.shape[:2]
+        if h == 0 or w == 0:
+            raise EncodeError("gif: zero dimension")
+        palette, inverse = np.unique(arr.reshape(-1, 3), axis=0, return_inverse=True)
+        if len(palette) > 256:
+            raise EncodeError(f"gif: {len(palette)} colors > 256")
+        indices = inverse.astype(np.uint8).reshape(h, w)
+        size = 2
+        while size < len(palette):
+            size *= 2
+        pal = np.zeros((size, 3), dtype=np.uint8)
+        pal[: len(palette)] = palette
+        lct_bits = max(1, size.bit_length() - 1)
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", int(delay)) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x80 | (lct_bits - 1))
+        out += pal.tobytes()
+        mcs = max(2, lct_bits)
+        out.append(mcs)
+        lzw = _lzw_encode(mcs, indices.tobytes())
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def resize_nearest(arr: np.ndarray, max_dim: int) -> np.ndarray:
+    """Deterministic nearest-neighbor downscale so max(H, W) <= max_dim,
+    aspect preserved (ceil-free integer math; never upscales). Source
+    pixel for output index i is ``(i + 0.5) * in / out`` floored —
+    the classic half-pixel-center mapping, exact in integer arithmetic
+    as ``((2 * i + 1) * in) // (2 * out)``."""
+    h, w = arr.shape[:2]
+    if max_dim < 1:
+        raise EncodeError("resize: max_dim must be >= 1")
+    scale_den = max(h, w)
+    if scale_den <= max_dim:
+        return arr.copy()
+    out_h = max(1, (h * max_dim) // scale_den)
+    out_w = max(1, (w * max_dim) // scale_den)
+    ys = ((2 * np.arange(out_h) + 1) * h) // (2 * out_h)
+    xs = ((2 * np.arange(out_w) + 1) * w) // (2 * out_w)
+    return arr[np.ix_(ys, xs)] if arr.ndim == 2 else arr[np.ix_(ys, xs)].copy()
+
+
 # ==========================================================================
 # BMP (24-bit BI_RGB)
 # ==========================================================================

@@ -44,7 +44,10 @@ from .media_codecs import (
     decode_png,
     decode_pnm,
     decode_wav,
+    encode_gif_animation,
+    encode_png,
     mean_luma,
+    resize_nearest,
     to_signed64,
 )
 
@@ -210,6 +213,175 @@ def extract_media_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("decoded", StringType(), False),  # ok|not_image|unsupported|corrupt|empty
+        StructField("orig_width", IntegerType(), True),
+        StructField("orig_height", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("payload", BinaryType(), True),  # re-encoded PNG
+        StructField("ahash", LongType(), True),  # perceptual hash of the RESIZED image
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("decoded", StringType(), False),
+        StructField("n_frames", IntegerType(), True),
+        StructField("frame_index", IntegerType(), True),
+        StructField("t_offset", DoubleType(), True),  # seconds from stream start
+        StructField("mean_luma", DoubleType(), True),
+        StructField("ahash", LongType(), True),
+    ]
+)
+
+
+def _decode_frames(payload: bytes, mime: str):
+    """(frames, per-frame delay seconds) for image payloads; raises
+    LookupError for decodable-but-not-image media (audio)."""
+    if mime == "image/png":
+        return [decode_png(payload)], [0.0]
+    if mime == "image/gif":
+        return decode_gif(payload)
+    if mime == "image/bmp":
+        return [decode_bmp(payload)], [0.0]
+    if mime == "image/x-portable-anymap":
+        return [decode_pnm(payload)], [0.0]
+    if mime == "audio/wav":
+        raise LookupError("decodable but not an image")
+    raise NotImplementedError(f"no stdlib codec for {mime}")
+
+
+def _frame_status(payload, mime):
+    """Shared status ladder for the image-frame operators."""
+    if not payload:
+        return "empty", None, None
+    try:
+        frames, delays = _decode_frames(payload, mime or "")
+        return "ok", frames, delays
+    except LookupError:
+        return "not_image", None, None
+    except NotImplementedError:
+        return "unsupported", None, None
+    except DecodeError:
+        return "corrupt", None, None
+    except (ValueError, IndexError, OverflowError, MemoryError):
+        return "corrupt", None, None
+
+
+def resized_features(arr: np.ndarray, max_dim: int) -> dict:
+    """Shared by the Spark resize pass and the golden generator: resize
+    the array, re-encode as PNG, hash the RESIZED pixels."""
+    small = resize_nearest(arr, max_dim)
+    return {
+        "orig_width": int(arr.shape[1]),
+        "orig_height": int(arr.shape[0]),
+        "width": int(small.shape[1]),
+        "height": int(small.shape[0]),
+        "payload": encode_png(small if small.ndim == 3 else np.stack([small] * 3, -1)),
+        "ahash": to_signed64(ahash64(small)),
+    }
+
+
+def sample_frame_indices(n_frames: int, k: int) -> list[int]:
+    """Evenly spaced frame sample, endpoints included, duplicates
+    collapsed — pure integer math so the golden generator and the Spark
+    pass cannot disagree."""
+    if n_frames <= 1 or k <= 1:
+        return [0]
+    if k >= n_frames:
+        return list(range(n_frames))
+    return sorted({(i * (n_frames - 1)) // (k - 1) for i in range(k)})
+
+
+def frame_feature_rows(frames, delays, k: int) -> list[dict]:
+    """Shared by the Spark frame-sample pass and the golden generator."""
+    offs = [0.0]
+    for d in delays[:-1]:
+        offs.append(offs[-1] + d)
+    return [
+        {
+            "n_frames": len(frames),
+            "frame_index": int(ix),
+            "t_offset": float(offs[ix]),
+            "mean_luma": mean_luma(frames[ix]),
+            "ahash": to_signed64(ahash64(frames[ix])),
+        }
+        for ix in sample_frame_indices(len(frames), k)
+    ]
+
+
+def media_resize(df: DataFrame, max_dim: int = 8) -> DataFrame:
+    """Thumbnail pass: decode image payloads, nearest-neighbor downscale
+    to max(H, W) <= max_dim, re-encode as PNG, and hash the resized
+    pixels. Arrow-batched mapInPandas over the payload column — on a
+    production cluster this is the exact stage shape for a
+    PIL/libvips-backed resize; only the codec dispatch changes. Rows
+    that are not decodable images pass through with their status and
+    NULL features (never dropped, never batch-fatal)."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in RESIZE_SCHEMA.fields]
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for i in range(len(pdf)):
+                payload = pdf["payload"].iat[i]
+                payload = bytes(payload) if payload is not None else None
+                status, frames, _ = _frame_status(payload, sniff_media_mime(payload))
+                info = resized_features(frames[0], max_dim) if status == "ok" else {}
+                out["media_id"].append(int(pdf["media_id"].iat[i]))
+                out["decoded"].append(status)
+                for c in cols[2:]:
+                    out[c].append(info.get(c))
+            pdf_out = pd.DataFrame({c: out[c] for c in cols})
+            for c in ("orig_width", "orig_height", "width", "height"):
+                pdf_out[c] = pd.array(out[c], dtype="Int32")
+            pdf_out["ahash"] = pd.array(out["ahash"], dtype="Int64")
+            yield pdf_out
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def media_frame_sample(df: DataFrame, k: int = 3) -> DataFrame:
+    """Frame-sampling pass for animated media: decode, pick k evenly
+    spaced frames (endpoints included), emit one row per sampled frame
+    with its stream time offset and per-frame visual features. Single-
+    frame images yield their only frame; non-image rows yield one
+    status row. This is the video-keyframe stage shape — a production
+    cluster swaps the GIF decoder for ffmpeg keyframe extraction and
+    the row geometry (explode media -> frames) is unchanged."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_SCHEMA.fields]
+        feat_cols = cols[2:]
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for i in range(len(pdf)):
+                payload = pdf["payload"].iat[i]
+                payload = bytes(payload) if payload is not None else None
+                status, frames, delays = _frame_status(payload, sniff_media_mime(payload))
+                rows = (
+                    frame_feature_rows(frames, delays, k)
+                    if status == "ok"
+                    else [dict.fromkeys(feat_cols)]
+                )
+                for r in rows:
+                    out["media_id"].append(int(pdf["media_id"].iat[i]))
+                    out["decoded"].append(status)
+                    for c in feat_cols:
+                        out[c].append(r.get(c))
+            pdf_out = pd.DataFrame({c: out[c] for c in cols})
+            for c in ("n_frames", "frame_index"):
+                pdf_out[c] = pd.array(out[c], dtype="Int32")
+            pdf_out["ahash"] = pd.array(out["ahash"], dtype="Int64")
+            yield pdf_out
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
 def media_exact_dedup(df: DataFrame) -> DataFrame:
     """Exact media dedup on payload hash (JVM md5, no Python)."""
     return (
@@ -286,7 +458,7 @@ def synth_media_with_golden(n: int = 64, seed: int = 42):
 
     media_rows, golden_rows = [], []
     for i in range(n):
-        kind, payload, info, status = _synth_row(i, seed)
+        kind, payload, info, status, _src = _synth_row(i, seed)
         media_rows.append((i, kind, None, payload, None, None, None))
         golden_rows.append(
             {
@@ -302,9 +474,35 @@ def synth_media_with_golden(n: int = 64, seed: int = 42):
     return media_rows, golden_rows
 
 
+def synth_media_derived_goldens(n: int, seed: int, max_dim: int = 8, k_frames: int = 3):
+    """Golden rows for the derived image passes (media_resize,
+    media_frame_sample), computed from the generator's SOURCE frames —
+    the decoders are never consulted. Statuses mirror the operators'
+    ladder: audio rows are ``not_image``, JPEG-magic rows
+    ``unsupported``, truncated payloads ``corrupt``, None ``empty``."""
+    resize_rows, frame_rows = [], []
+    for i in range(n):
+        kind, payload, _info, status, src = _synth_row(i, seed)
+        if src is None:
+            st = status if status != "ok" else "not_image"
+            resize_rows.append({"media_id": i, "decoded": st})
+            frame_rows.append({"media_id": i, "decoded": st})
+            continue
+        frames, delays = src
+        resize_rows.append(
+            {"media_id": i, "decoded": "ok", **resized_features(frames[0], max_dim)}
+        )
+        for r in frame_feature_rows(frames, delays, k_frames):
+            frame_rows.append({"media_id": i, "decoded": "ok", **r})
+    return resize_rows, frame_rows
+
+
 def _synth_row(i: int, seed: int):
-    """One deterministic (kind, payload, expected_features, status)."""
-    from .media_codecs import encode_bmp, encode_gif, encode_png, encode_wav
+    """One deterministic (kind, payload, expected_features, status,
+    source). ``source`` is (frames, per-frame delay seconds) for image
+    rows — the arrays the encoder was fed, so derived goldens can be
+    computed without running any decoder — and None otherwise."""
+    from .media_codecs import encode_bmp, encode_gif, encode_wav
 
     rng = np.random.RandomState(seed * 1_000_003 + i)
     slot = i % 8
@@ -323,10 +521,16 @@ def _synth_row(i: int, seed: int):
             arr[0, 0] = (arr[0, 0].astype(int) + 4).clip(0, 255).astype(np.uint8)
         if slot == 1:
             q = (arr // 64 * 64).astype(np.uint8)  # <=256 colors
-            return "image", encode_gif(q), {**_image_info(q), "duration_s": 0.0}, "ok"
+            return (
+                "image",
+                encode_gif(q),
+                {**_image_info(q), "duration_s": 0.0},
+                "ok",
+                ([q], [0.0]),
+            )
         if slot == 2:
-            return "image", encode_bmp(arr), _image_info(arr), "ok"
-        return "image", encode_png(arr), _image_info(arr), "ok"
+            return "image", encode_bmp(arr), _image_info(arr), "ok", ([arr], [0.0])
+        return "image", encode_png(arr), _image_info(arr), "ok", ([arr], [0.0])
     if slot == 3:
         nsamp = 800 + 40 * (i % 4)
         t = np.arange(nsamp) / 8000.0
@@ -341,13 +545,26 @@ def _synth_row(i: int, seed: int):
             "n_frames": nsamp,
             "channels": 1,
         }
-        return "audio", encode_wav(x, 8000), info, "ok"
+        return "audio", encode_wav(x, 8000), info, "ok", None
     if slot == 4:  # unsupported: JPEG magic + deterministic noise
-        return "image", b"\xff\xd8\xff\xe0" + rng.bytes(96), {}, "unsupported"
+        return "image", b"\xff\xd8\xff\xe0" + rng.bytes(96), {}, "unsupported", None
     if slot == 6:  # corrupt: truncated PNG
         png = encode_png(rng.randint(0, 256, (12, 12, 3)).astype(np.uint8))
-        return "image", png[:40], {}, "corrupt"
-    return "image", None, {}, "empty"
+        return "image", png[:40], {}, "corrupt", None
+    if i % 16 == 15:  # animated GIF: 3-6 frames with centisecond delays
+        nf = 3 + (i // 16) % 4
+        frames = [
+            (rng.randint(0, 4, size=(12 + i % 3, 14, 3)) * 80).astype(np.uint8)
+            for _ in range(nf)
+        ]
+        delays_cs = [4 + 2 * (f % 5) for f in range(nf)]
+        delays_s = [d / 100.0 for d in delays_cs]
+        info = _image_info(frames[0], n_frames=nf, duration_s=float(sum(delays_s)))
+        return "image", encode_gif_animation(frames, delays_cs), info, "ok", (
+            frames,
+            delays_s,
+        )
+    return "image", None, {}, "empty", None
 
 
 def shard_pack(

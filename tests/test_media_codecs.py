@@ -393,3 +393,67 @@ def test_gray_and_luma():
     assert g.dtype == np.uint8
     assert int(g[0, 0]) == (150 * 255) >> 8
     assert mean_luma(arr) == float(g[0, 0])
+
+
+def test_gif_animation_roundtrip():
+    from atra_spark.functions.media_codecs import decode_gif, encode_gif_animation
+
+    rng = np.random.RandomState(3)
+    frames = [(rng.randint(0, 4, (9, 11, 3)) * 70).astype(np.uint8) for _ in range(5)]
+    delays = [0, 4, 10, 7, 25]
+    dec, ddel = decode_gif(encode_gif_animation(frames, delays))
+    assert len(dec) == 5
+    for a, b in zip(frames, dec):
+        assert (a == b).all()
+    assert ddel == [d / 100.0 for d in delays]
+
+
+def test_gif_animation_per_frame_palettes():
+    """Frames with disjoint palettes must survive (local color tables)."""
+    from atra_spark.functions.media_codecs import decode_gif, encode_gif_animation
+
+    f1 = np.full((4, 4, 3), (255, 0, 0), dtype=np.uint8)
+    f2 = np.full((4, 4, 3), (0, 0, 255), dtype=np.uint8)
+    dec, _ = decode_gif(encode_gif_animation([f1, f2], [5, 5]))
+    assert (dec[0] == f1).all() and (dec[1] == f2).all()
+
+
+def test_gif_animation_mixed_geometry():
+    from atra_spark.functions.media_codecs import decode_gif, encode_gif_animation
+
+    f1 = _img(6, 10)
+    f2 = _img(10, 6, seed=1)
+    q = lambda a: (a // 64 * 64).astype(np.uint8)
+    dec, _ = decode_gif(encode_gif_animation([q(f1), q(f2)], [1, 2]))
+    assert dec[0].shape == (6, 10, 3) and dec[1].shape == (10, 6, 3)
+
+
+def test_resize_nearest_exact_mapping():
+    from atra_spark.functions.media_codecs import resize_nearest
+
+    arr = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = resize_nearest(np.stack([arr] * 3, -1), 2)
+    # half-pixel centers: output (i,j) <- source ((2i+1)*4//4, (2j+1)*4//4)
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0, 0] == arr[1, 1] and out[1, 1, 0] == arr[3, 3]
+
+
+def test_resize_nearest_aspect_and_noop():
+    from atra_spark.functions.media_codecs import resize_nearest
+
+    arr = _img(33, 17)
+    out = resize_nearest(arr, 8)
+    assert out.shape == (8, 4, 3)  # 33 -> 8, 17 -> 17*8//33 = 4
+    same = resize_nearest(arr, 64)
+    assert same.shape == arr.shape and (same == arr).all()
+    assert same is not arr  # defensive copy
+    gray = resize_nearest(arr[:, :, 0], 8)
+    assert gray.shape == (8, 4)
+
+
+def test_resize_nearest_extreme_aspect_floor():
+    from atra_spark.functions.media_codecs import resize_nearest
+
+    arr = _img(2, 100)
+    out = resize_nearest(arr, 8)
+    assert out.shape == (1, 8, 3)  # height floors at 1, never 0

@@ -530,6 +530,57 @@ class TestMultimodal:
         for g in golden_rows:
             assert got[g["media_id"]] == g, f"mismatch at media_id={g['media_id']}"
 
+    def test_media_resize_matches_goldens(self, spark):
+        """Thumbnail pass == goldens computed from the source arrays
+        (resize + PNG re-encode + perceptual hash, never via decoders)."""
+        media = multimodal.synth_media(spark, n=64, seed=11)
+        golden = {g["media_id"]: g for g in
+                  multimodal.synth_media_derived_goldens(64, 11, max_dim=8)[0]}
+        got = {r["media_id"]: r.asDict()
+               for r in multimodal.media_resize(media, max_dim=8).collect()}
+        assert len(got) == 64
+        for mid, row in got.items():
+            assert row == {k: golden[mid].get(k) for k in row}, f"media_id={mid}"
+        oks = [r for r in got.values() if r["decoded"] == "ok"]
+        assert oks and all(max(r["width"], r["height"]) <= 8 for r in oks)
+        # the emitted payload is a real PNG of the resized pixels
+        from atra_spark.functions.media_codecs import decode_png
+
+        some = next(r for r in oks if r["payload"])
+        arr = decode_png(bytes(some["payload"]))
+        assert arr.shape[:2] == (some["height"], some["width"])
+
+    def test_media_frame_sample_matches_goldens(self, spark):
+        media = multimodal.synth_media(spark, n=64, seed=11)
+        golden: dict[int, list] = {}
+        for g in multimodal.synth_media_derived_goldens(64, 11, k_frames=3)[1]:
+            golden.setdefault(g["media_id"], []).append(g)
+        got: dict[int, list] = {}
+        for r in multimodal.media_frame_sample(media, k=3).collect():
+            got.setdefault(r["media_id"], []).append(r.asDict())
+        assert set(got) == set(golden)
+        for mid, rows in got.items():
+            rows.sort(key=lambda r: (r["frame_index"] is None, r["frame_index"]))
+            want = [{k: g.get(k) for k in rows[0]} for g in golden[mid]]
+            assert rows == want, f"media_id={mid}"
+        # animated rows (i%16==15) yield 3 sampled frames incl. endpoints
+        anim = got[15]
+        assert [r["frame_index"] for r in anim][0] == 0
+        assert anim[-1]["frame_index"] == anim[0]["n_frames"] - 1
+        assert anim[-1]["t_offset"] > 0.0
+        # audio rows pass through as not_image, one row, null features
+        assert got[3] == [{**got[3][0], "decoded": "not_image"}]
+        assert got[3][0]["ahash"] is None
+
+    def test_sample_frame_indices(self):
+        f = multimodal.sample_frame_indices
+        assert f(1, 3) == [0]
+        assert f(10, 1) == [0]
+        assert f(2, 3) == [0, 1]
+        assert f(6, 3) == [0, 2, 5]
+        assert f(3, 3) == [0, 1, 2]
+        assert f(100, 4) == [0, 33, 66, 99]
+
     def test_media_dedup(self, spark):
         media = multimodal.synth_media(spark, n=32)
         groups = multimodal.media_exact_dedup(media).collect()
