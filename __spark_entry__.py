@@ -1631,6 +1631,117 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGES = 40
+_BPE_ORACLE_SF = "/root/testdata/sf0.01"  # the driver's correctness SF
+_bpe_merges_memo: dict = {}
+
+
+def _ensure_bpe_oracle() -> dict:
+    """Serial-reference BPE oracle (functions/bpe.py bpe_train_serial —
+    the published Sennrich algorithm in plain Python, no Spark),
+    computed over the driver's correctness-SF documents table and
+    materialized as parquet: the learned merge table and the per-doc
+    encoded token counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = os.path.join(tempfile.gettempdir(), f"atra_bpe_oracle_v1_m{_BPE_MERGES}")
+    merges_p = os.path.join(root, "merges.parquet")
+    counts_p = os.path.join(root, "counts.parquet")
+    if not (os.path.exists(merges_p) and os.path.exists(counts_p)):
+        import re
+
+        from atra_spark.functions.bpe import (
+            _WORD_SPLIT,
+            bpe_train_serial,
+            encode_word,
+        )
+
+        os.makedirs(root, exist_ok=True)
+        docs = pq.read_table(
+            os.path.join(_BPE_ORACLE_SF, "documents.parquet"), columns=["doc_id", "text"]
+        ).to_pylist()
+        merges = bpe_train_serial([d["text"] for d in docs], n_merges=_BPE_MERGES)
+        pq.write_table(
+            pa.table(
+                {
+                    "rank": pa.array([m[0] for m in merges], pa.int32()),
+                    "left": pa.array([m[1] for m in merges], pa.string()),
+                    "right": pa.array([m[2] for m in merges], pa.string()),
+                    "pair_freq": pa.array([m[3] for m in merges], pa.int64()),
+                }
+            ),
+            merges_p + ".tmp",
+        )
+        ranks = {(l, r): k for k, l, r, _ in merges}
+        split = re.compile(_WORD_SPLIT)
+        cache: dict = {}
+
+        def count(text):
+            n = 0
+            for w in split.split((text or "").lower()):
+                if w:
+                    if w not in cache:
+                        cache[w] = len(encode_word(w, ranks))
+                    n += cache[w]
+            return n
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d["doc_id"] for d in docs], pa.int64()),
+                    "n_bpe_tokens": pa.array([count(d["text"]) for d in docs], pa.int64()),
+                }
+            ),
+            counts_p + ".tmp",
+        )
+        os.replace(merges_p + ".tmp", merges_p)
+        os.replace(counts_p + ".tmp", counts_p)
+    return {"merges": merges_p, "counts": counts_p}
+
+
+def _bpe_merges_for(spark: SparkSession, sf_dir: str):
+    from atra_spark.functions.bpe import bpe_train
+
+    key = os.path.abspath(sf_dir)
+    if key not in _bpe_merges_memo:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _bpe_merges_memo[key] = bpe_train(docs, n_merges=_BPE_MERGES)
+    return _bpe_merges_memo[key]
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (functions/bpe.py): one
+    corpus shuffle to the word-frequency table, then JVM-only merge
+    rounds (pair posexplode + map-side combine; greedy merge applied
+    with a pure-SQL aggregate fold). Oracle: the serial reference
+    implementation's merge table."""
+    merges = _bpe_merges_for(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, pair_freq long"
+    )
+
+
+def sql_bpe_merges(dialect: str) -> str:
+    oracle = _ensure_bpe_oracle()["merges"]
+    return f"SELECT CAST(rank AS INT) AS rank, \"left\" AS lhs, \"right\" AS rhs, pair_freq FROM read_parquet('{oracle}')"
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token count under the corpus-trained BPE merges
+    (Arrow-batched encode with the vocabulary-sized merge table riding
+    the closure). Oracle: serial encode counts."""
+    from atra_spark.functions.bpe import bpe_encode_counts
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return bpe_encode_counts(docs, _bpe_merges_for(spark, sf_dir))
+
+
+def sql_bpe_token_counts(dialect: str) -> str:
+    oracle = _ensure_bpe_oracle()["counts"]
+    return f"SELECT doc_id, n_bpe_tokens FROM read_parquet('{oracle}')"
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail pass over the media fixture: decode, nearest-neighbor
     downscale to max dim 8, re-encode PNG, hash resized pixels — all in
@@ -3409,6 +3520,8 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "media_phash_pairs": q_media_phash_pairs,
     "media_resize": q_media_resize,
+    "bpe_merges": q_bpe_merges,
+    "bpe_token_counts": q_bpe_token_counts,
     "media_frame_sample": q_media_frame_sample,
     "sitemap_candidates": q_sitemap_candidates,
     "tfidf_topk": q_tfidf_topk,
@@ -3472,6 +3585,8 @@ def _custom_oracles() -> dict[str, str]:
         "media_features": sql_media_features("duckdb"),
         "media_phash_pairs": sql_media_phash_pairs("duckdb"),
         "media_resize": sql_media_resize("duckdb"),
+        "bpe_merges": sql_bpe_merges("duckdb"),
+        "bpe_token_counts": sql_bpe_token_counts("duckdb"),
         "media_frame_sample": sql_media_frame_sample("duckdb"),
         "sitemap_candidates": sql_sitemap_candidates("duckdb"),
         "tfidf_topk": sql_tfidf_topk("duckdb"),

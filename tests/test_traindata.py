@@ -1623,3 +1623,80 @@ class TestUrlCanonicalDedup:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan
+
+
+class TestBpe:
+    def test_merge_fold_greedy_scan(self, spark):
+        """The SQL aggregate fold reproduces the canonical greedy
+        left-to-right merge: 'aaa' + (a,a) -> ['aa','a']."""
+        from atra_spark.functions.bpe import _apply_merge
+
+        df = spark.createDataFrame(
+            [(["a", "a", "a"], 1), (["a", "a", "a", "a"], 1), (["b", "a", "a"], 1)],
+            "symbols array<string>, freq long",
+        )
+        got = {tuple(r["symbols"]) for r in _apply_merge(df, "a", "a").collect()}
+        assert got == {("aa", "a"), ("aa", "aa"), ("b", "aa")}
+
+    def test_spark_training_equals_serial_reference(self, spark):
+        from atra_spark.functions import bpe
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "the lazy dog sleeps while the quick fox runs",
+            "lower lowest newer newest wider widest",
+            "hugging tugging jogging logging",
+        ] * 3
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        m_spark = bpe.bpe_train(docs, n_merges=25, min_pair_freq=2)
+        m_serial = bpe.bpe_train_serial(texts, n_merges=25, min_pair_freq=2)
+        assert m_spark == m_serial
+        assert m_spark, "corpus has mergeable pairs"
+        # ranks strictly ordered, frequencies non-increasing is NOT
+        # guaranteed by BPE (merges create new pairs), but ranks are
+        assert [m[0] for m in m_spark] == list(range(len(m_spark)))
+
+    def test_encode_counts_match_serial(self, spark):
+        import re
+
+        from atra_spark.functions import bpe
+
+        texts = ["endings matter: running runner ran", "runner running rans"] * 4
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        merges = bpe.bpe_train(docs, n_merges=15)
+        got = {r["doc_id"]: r["n_bpe_tokens"]
+               for r in bpe.bpe_encode_counts(docs, merges).collect()}
+        ranks = {(l, r): k for k, l, r, _ in merges}
+        split = re.compile(bpe._WORD_SPLIT)
+        for i, t in enumerate(texts):
+            want = sum(len(bpe.encode_word(w, ranks))
+                       for w in split.split(t.lower()) if w)
+            assert got[i] == want
+
+    def test_encode_word_edge_cases(self):
+        from atra_spark.functions.bpe import encode_word
+
+        assert encode_word("", {}) == []
+        assert encode_word("a", {}) == ["a</w>"]
+        assert encode_word("ab", {}) == ["a", "b</w>"]
+        assert encode_word("ab", {("a", "b</w>"): 0}) == ["ab</w>"]
+        # best-rank-first, not left-first: (b,c</w>) rank 0 wins over (a,b) rank 1
+        assert encode_word("abc", {("b", "c</w>"): 0, ("a", "b"): 1}) == ["a", "bc</w>"]
+
+    def test_word_cap_is_logged_not_silent(self, spark, caplog):
+        import logging
+
+        from atra_spark.functions.bpe import word_freqs
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        with caplog.at_level(logging.WARNING, logger="atra_spark.functions.bpe"):
+            kept = word_freqs(docs, max_words=3)
+            assert kept.count() == 3
+        assert any("cap" in r.message for r in caplog.records)
