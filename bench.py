@@ -51,7 +51,52 @@ HEADLINE = [
     "dsir_weights",
     "kmeans_clusters",
     "warc_roundtrip",  # full export->read-back loop through real .warc files
+    "bpe_token_counts",  # pass 1 pays distributed BPE training (memoized)
 ]
+
+
+def media_bench(spark, n_items: int) -> tuple[float, int, int]:
+    """Multimodal decode throughput: synthesize real PNG/GIF/BMP/WAV
+    payloads DISTRIBUTED (one deterministic _synth_row per id on the
+    executors), materialize them, then time one full pass of the decode
+    feature extractor + the thumbnail resize stage (noop sink) — the
+    two Arrow-batched media stages a training-data pipeline runs per
+    payload."""
+    import pandas as pd
+
+    from atra_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        media_resize,
+    )
+
+    cols = [f.name for f in MEDIA_SCHEMA.fields]
+
+    def gen(batches):
+        from atra_spark.functions.multimodal import _synth_row
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                kind, payload, _info, _status, _src = _synth_row(int(i), 42)
+                rows.append((int(i), kind, None, payload, None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    from pyspark.sql import functions as F
+
+    media = (
+        spark.range(n_items)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .mapInPandas(gen, MEDIA_SCHEMA)
+        .persist()
+    )
+    n_bytes = media.select(F.sum(F.length("payload"))).first()[0] or 0
+    t0 = time.monotonic()
+    extract_media_features(media).write.format("noop").mode("overwrite").save()
+    media_resize(media, max_dim=8).write.format("noop").mode("overwrite").save()
+    sec = time.monotonic() - t0
+    media.unpersist()
+    return sec, n_items, int(n_bytes)
 
 
 def _bench_fixtures(n_pages: int):
@@ -403,6 +448,16 @@ def _main_bench() -> None:
             membw_log["steady_state_round"].append(_membw_probe())
             sec, mega_fetched = mega_round_bench(spark, n_pages)
             mega_secs.append(sec)
+    media_reps = int(os.environ.get("ATRA_BENCH_MEDIA_REPS", "2"))
+    media_items = int(os.environ.get("ATRA_BENCH_MEDIA_ITEMS", "60000"))
+    media_secs, media_bytes = [], 0
+    for _rep in range(media_reps):
+        loadavg_log.setdefault("media_bench", []).append(_load_probe())
+        membw_log.setdefault("media_bench", []).append(_membw_probe())
+        sec, _n, media_bytes = media_bench(spark, media_items)
+        media_secs.append(sec)
+    timings["media_bench"] = round(min(media_secs), 3)
+
     archive_reps = int(os.environ.get("ATRA_BENCH_ARCHIVE_REPS", "1"))
     archive_secs, archive_bytes, archive_back = [], 0, 0
     for _rep in range(archive_reps):
@@ -442,6 +497,13 @@ def _main_bench() -> None:
                 ) if archive_secs and min(archive_secs) > 0 else 0.0,
                 "archive_bytes": archive_bytes,
                 "archive_pages_roundtripped": archive_back,
+                "media_items_per_sec": round(media_items / min(media_secs), 1)
+                if media_secs and min(media_secs) > 0
+                else 0.0,
+                "media_mb_per_sec": round(media_bytes / 1e6 / min(media_secs), 1)
+                if media_secs and min(media_secs) > 0
+                else 0.0,
+                "media_items": media_items,
                 "cpus": cpus,
                 "protocol": {
                     "query_reps": query_reps,

@@ -454,3 +454,38 @@ class TestWarcArchivePlans:
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
             "the k-vector centroid side must broadcast, never shuffle the corpus"
         )
+
+
+class TestBpeAndMediaPlans:
+    def test_bpe_pair_argmax_is_take_ordered_with_partial_agg(self, spark):
+        """The per-round pair argmax must be TakeOrderedAndProject over
+        a two-phase (map-side combined) aggregation — never a global
+        sort, and no Python stage inside the training loop."""
+        from atra_spark.functions import bpe
+
+        docs = spark.createDataFrame([(0, "aa bb aa bb cc")], "doc_id long, text string")
+        sym = bpe._initial_symbols(bpe.word_freqs(docs))
+        top = bpe._pair_counts(sym).orderBy(F.col("n").desc()).limit(1)
+        plan = _plan(top, "simple")
+        assert "TakeOrderedAndProject" in plan
+        assert "partial_sum" in plan
+        assert "Sort " not in plan, "argmax must not global-sort the pair table"
+        assert "Python" not in plan and "ArrowEval" not in plan
+
+    def test_bpe_merge_fold_is_jvm_only(self, spark):
+        from atra_spark.functions import bpe
+
+        df = spark.createDataFrame([(["a", "b"], 1)], "symbols array<string>, freq long")
+        plan = _plan(bpe._apply_merge(df, "a", "b"), "simple")
+        assert "Python" not in plan and "ArrowEval" not in plan
+        assert "Exchange" not in plan, "merge apply is a pure map stage"
+
+    def test_media_feature_pass_is_single_arrow_stage(self, spark):
+        """Decode features are ONE mapInPandas over the payload scan —
+        no shuffle before or after (payload bytes never move)."""
+        from atra_spark.functions import multimodal
+
+        media = multimodal.synth_media(spark, n=8)
+        plan = _plan(multimodal.extract_media_features(media), "simple")
+        assert plan.count("MapInPandas") == 1
+        assert "Exchange" not in plan
