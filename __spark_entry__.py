@@ -1478,16 +1478,20 @@ def _ensure_media_fixture() -> dict:
 
     root = os.path.join(
         tempfile.gettempdir(),
-        f"atra_media_fixture_v3_n{_MEDIA_FIX['n']}_s{_MEDIA_FIX['seed']}",
+        f"atra_media_fixture_v4_n{_MEDIA_FIX['n']}_s{_MEDIA_FIX['seed']}",
     )
     media_p = os.path.join(root, "media.parquet")
     golden_p = os.path.join(root, "golden.parquet")
     resize_p = os.path.join(root, "golden_resize.parquet")
     frames_p = os.path.join(root, "golden_frames.parquet")
-    if not all(os.path.exists(p) for p in (media_p, golden_p, resize_p, frames_p)):
+    audiofp_p = os.path.join(root, "golden_audio_fps.parquet")
+    if not all(
+        os.path.exists(p) for p in (media_p, golden_p, resize_p, frames_p, audiofp_p)
+    ):
         import hashlib
 
         from atra_spark.functions.multimodal import (
+            synth_audio_fp_goldens,
             synth_media_derived_goldens,
             synth_media_with_golden,
         )
@@ -1545,6 +1549,17 @@ def _ensure_media_fixture() -> dict:
         )
         os.replace(resize_p + ".tmp", resize_p)
         os.replace(frames_p + ".tmp", frames_p)
+        fp_rows = synth_audio_fp_goldens(_MEDIA_FIX["n"], _MEDIA_FIX["seed"])
+        pq.write_table(
+            pa.table(
+                {
+                    "media_id": pa.array([r["media_id"] for r in fp_rows], pa.int64()),
+                    "fp": pa.array([r["fp"] for r in fp_rows], pa.int64()),
+                }
+            ),
+            audiofp_p + ".tmp",
+        )
+        os.replace(audiofp_p + ".tmp", audiofp_p)
         media_schema = pa.schema(
             [
                 ("media_id", pa.int64()),
@@ -1600,6 +1615,7 @@ def _ensure_media_fixture() -> dict:
         "golden": golden_p,
         "golden_resize": resize_p,
         "golden_frames": frames_p,
+        "golden_audio_fps": audiofp_p,
     }
 
 
@@ -1811,6 +1827,47 @@ SELECT media_id, decoded,
        coalesce(t_offset, -1.0) AS t_offset,
        coalesce(mean_luma, -1.0) AS mean_luma
 FROM read_parquet('{golden}')
+"""
+
+
+def q_audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark audio fingerprints over the media fixture's WAV
+    payloads (Hann-windowed rFFT dominant-bin 3-grams, Arrow-batched).
+    Oracle: golden fingerprints computed from the generator's source
+    samples — the decoder is never consulted."""
+    from atra_spark.functions.multimodal import media_audio_fingerprints
+
+    media = spark.read.parquet(_ensure_media_fixture()["media"])
+    return media_audio_fingerprints(media)
+
+
+def sql_audio_fingerprints(dialect: str) -> str:
+    golden = _ensure_media_fixture()["golden_audio_fps"]
+    return f"SELECT media_id, fp FROM read_parquet('{golden}')"
+
+
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs: media sharing >= 4 landmark
+    fingerprints (phase-shifted re-encodes match; byte hashes do not).
+    Hot-fingerprint DF cap keeps the self-join bounded. Oracle: the
+    same containment count over the golden fingerprint relation."""
+    from atra_spark.functions.multimodal import (
+        audio_near_dup,
+        media_audio_fingerprints,
+    )
+
+    media = spark.read.parquet(_ensure_media_fixture()["media"])
+    return audio_near_dup(media_audio_fingerprints(media), min_common=4)
+
+
+def sql_audio_near_dup(dialect: str) -> str:
+    golden = _ensure_media_fixture()["golden_audio_fps"]
+    return f"""
+WITH fps AS (SELECT media_id, fp FROM read_parquet('{golden}'))
+SELECT a.media_id AS media_a, b.media_id AS media_b, count(*) AS n_common
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.media_id < b.media_id
+GROUP BY a.media_id, b.media_id
+HAVING count(*) >= 4
 """
 
 
@@ -3519,6 +3576,8 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_metrics": q_repetition_metrics,
     "media_features": q_media_features,
     "media_phash_pairs": q_media_phash_pairs,
+    "audio_fingerprints": q_audio_fingerprints,
+    "audio_near_dup": q_audio_near_dup,
     "media_resize": q_media_resize,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
@@ -3584,6 +3643,8 @@ def _custom_oracles() -> dict[str, str]:
         "repetition_metrics": sql_repetition_metrics("duckdb"),
         "media_features": sql_media_features("duckdb"),
         "media_phash_pairs": sql_media_phash_pairs("duckdb"),
+        "audio_fingerprints": sql_audio_fingerprints("duckdb"),
+        "audio_near_dup": sql_audio_near_dup("duckdb"),
         "media_resize": sql_media_resize("duckdb"),
         "bpe_merges": sql_bpe_merges("duckdb"),
         "bpe_token_counts": sql_bpe_token_counts("duckdb"),

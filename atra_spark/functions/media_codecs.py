@@ -734,6 +734,25 @@ def block_mean_resize(gray: np.ndarray, out_h: int = 8, out_w: int = 8) -> np.nd
     return out
 
 
+def audio_fingerprints(samples: np.ndarray, frame: int = 256, hop: int = 128) -> list[int]:
+    """Landmark-style audio fingerprint (the Shazam-family idea in its
+    simplest deterministic form): Hann-windowed frames, dominant
+    non-DC rFFT bin per frame, and each 3-gram of consecutive dominant
+    bins packed into one integer (bins <= 128 fit 8 bits). Shared by
+    the Spark fingerprint pass and the golden generator — both run the
+    same numpy arithmetic on the same decoded samples, so fingerprints
+    are identical. Returns the sorted distinct fingerprint set."""
+    x = np.asarray(samples, dtype=np.float64).reshape(-1)
+    if len(x) < frame:
+        return []
+    win = np.hanning(frame)
+    bins = []
+    for start in range(0, len(x) - frame + 1, hop):
+        mag = np.abs(np.fft.rfft(x[start : start + frame] * win))
+        bins.append(int(mag[1:].argmax()) + 1)  # skip DC; ties -> lowest bin
+    return sorted({(a << 16) | (b << 8) | c for a, b, c in zip(bins, bins[1:], bins[2:])})
+
+
 def ahash64(arr: np.ndarray) -> int:
     """64-bit average hash: 8x8 block means, bit set where the cell
     mean is strictly above the global mean of the 64 cells. Bit layout:

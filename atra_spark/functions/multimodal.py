@@ -382,6 +382,85 @@ def media_frame_sample(df: DataFrame, k: int = 3) -> DataFrame:
     return df.mapInPandas(run, FRAME_SCHEMA)
 
 
+def media_audio_fingerprints(df: DataFrame) -> DataFrame:
+    """Landmark audio fingerprints (media_codecs.audio_fingerprints)
+    for WAV payloads: one row per (media_id, fp). Arrow-batched
+    mapInPandas; rows that are not decodable audio emit nothing (the
+    fingerprint relation is sparse by design — joins downstream)."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import audio_fingerprints
+
+        for pdf in batches:
+            ids: list[int] = []
+            fps: list[int] = []
+            for i in range(len(pdf)):
+                payload = pdf["payload"].iat[i]
+                payload = bytes(payload) if payload is not None else None
+                if not payload or sniff_media_mime(payload) != "audio/wav":
+                    continue
+                try:
+                    samples, _sr = decode_wav(payload)
+                except DecodeError:
+                    continue
+                for fp in audio_fingerprints(samples[:, 0]):
+                    ids.append(int(pdf["media_id"].iat[i]))
+                    fps.append(fp)
+            yield pd.DataFrame({"media_id": ids, "fp": fps}).astype(
+                {"media_id": "int64", "fp": "int64"}
+            )
+
+    return df.mapInPandas(run, "media_id long, fp long")
+
+
+def audio_near_dup(
+    fps: DataFrame, min_common: int = 8, max_fp_docs: int = 1000
+) -> DataFrame:
+    """Audio near-duplicate pairs: media sharing >= ``min_common``
+    landmark fingerprints (re-encoded / phase-shifted copies share
+    dominant spectral bins even when PCM bytes differ). Same scale
+    discipline as the shingle joins: fingerprints hotter than
+    ``max_fp_docs`` are dropped before the self-join (logged), so the
+    join is bounded by fp bucket size, never O(n^2) over the corpus.
+    All JVM column math."""
+    freq = fps.groupBy("fp").agg(F.count("*").alias("docfreq"))
+    hot = freq.filter(F.col("docfreq") > max_fp_docs)
+    n_hot = hot.limit(1).count()
+    if n_hot:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "audio_near_dup: dropping fingerprints with docfreq > %d before the pair join",
+            max_fp_docs,
+        )
+        fps = fps.join(F.broadcast(hot.select("fp")), on="fp", how="left_anti")
+    a = fps.select(F.col("media_id").alias("media_a"), "fp")
+    b = fps.select(F.col("media_id").alias("media_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
+def synth_audio_fp_goldens(n: int, seed: int) -> list[dict]:
+    """Golden (media_id, fp) rows computed from the generator's SOURCE
+    samples via the same shared fingerprint function — the WAV decoder
+    is never consulted (lossless 16-bit round trip makes the decoded
+    samples bit-identical to the quantized source)."""
+    from .media_codecs import audio_fingerprints
+
+    rows = []
+    for i in range(n):
+        _kind, _payload, _info, status, src = _synth_row(i, seed)
+        if status == "ok" and src is not None and "samples" in src:
+            for fp in audio_fingerprints(src["samples"]):
+                rows.append({"media_id": i, "fp": fp})
+    return rows
+
+
 def media_exact_dedup(df: DataFrame) -> DataFrame:
     """Exact media dedup on payload hash (JVM md5, no Python)."""
     return (
@@ -483,12 +562,12 @@ def synth_media_derived_goldens(n: int, seed: int, max_dim: int = 8, k_frames: i
     resize_rows, frame_rows = [], []
     for i in range(n):
         kind, payload, _info, status, src = _synth_row(i, seed)
-        if src is None:
+        if src is None or "frames" not in src:
             st = status if status != "ok" else "not_image"
             resize_rows.append({"media_id": i, "decoded": st})
             frame_rows.append({"media_id": i, "decoded": st})
             continue
-        frames, delays = src
+        frames, delays = src["frames"], src["delays"]
         resize_rows.append(
             {"media_id": i, "decoded": "ok", **resized_features(frames[0], max_dim)}
         )
@@ -526,15 +605,25 @@ def _synth_row(i: int, seed: int):
                 encode_gif(q),
                 {**_image_info(q), "duration_s": 0.0},
                 "ok",
-                ([q], [0.0]),
+                {"frames": [q], "delays": [0.0]},
             )
         if slot == 2:
-            return "image", encode_bmp(arr), _image_info(arr), "ok", ([arr], [0.0])
-        return "image", encode_png(arr), _image_info(arr), "ok", ([arr], [0.0])
+            return ("image", encode_bmp(arr), _image_info(arr), "ok",
+                    {"frames": [arr], "delays": [0.0]})
+        return ("image", encode_png(arr), _image_info(arr), "ok",
+                {"frames": [arr], "delays": [0.0]})
     if slot == 3:
-        nsamp = 800 + 40 * (i % 4)
+        # a deterministic "melody": frequency steps every 160 samples,
+        # so the landmark fingerprint is a sequence of dominant-bin
+        # 3-grams rather than one constant bin
+        nsamp = 1600 + 80 * (i % 4)
+        base = i - 8 if i % 16 == 11 else i
+        # near-duplicate family: same melody as id i-8 with a small
+        # phase shift — different PCM bytes, same dominant bins
+        phase = 0.01 if i % 16 == 11 else 0.0
         t = np.arange(nsamp) / 8000.0
-        x = 0.3 * np.sin(2 * np.pi * (220 + 11 * i) * t)
+        seg_freq = 300.0 + 40.0 * ((base * 7 + (np.arange(nsamp) // 160) * 3) % 12)
+        x = 0.3 * np.sin(2 * np.pi * seg_freq * t + phase)
         # expected rms reflects the encoder's documented 16-bit
         # quantization (computed here independently of the decoder)
         pcm = np.clip(np.rint(x * 32767.0), -32768, 32767) / 32768.0
@@ -545,7 +634,8 @@ def _synth_row(i: int, seed: int):
             "n_frames": nsamp,
             "channels": 1,
         }
-        return "audio", encode_wav(x, 8000), info, "ok", None
+        return ("audio", encode_wav(x, 8000), info, "ok",
+                {"samples": pcm, "sr": 8000})
     if slot == 4:  # unsupported: JPEG magic + deterministic noise
         return "image", b"\xff\xd8\xff\xe0" + rng.bytes(96), {}, "unsupported", None
     if slot == 6:  # corrupt: truncated PNG
@@ -560,10 +650,8 @@ def _synth_row(i: int, seed: int):
         delays_cs = [4 + 2 * (f % 5) for f in range(nf)]
         delays_s = [d / 100.0 for d in delays_cs]
         info = _image_info(frames[0], n_frames=nf, duration_s=float(sum(delays_s)))
-        return "image", encode_gif_animation(frames, delays_cs), info, "ok", (
-            frames,
-            delays_s,
-        )
+        return ("image", encode_gif_animation(frames, delays_cs), info, "ok",
+                {"frames": frames, "delays": delays_s})
     return "image", None, {}, "empty", None
 
 

@@ -491,8 +491,8 @@ class TestMultimodal:
         assert feats[2]["sniffed_mime"] == "image/bmp" and feats[2]["decoded"] == "ok"
         assert feats[3]["sniffed_mime"] == "audio/wav"
         assert feats[3]["decoded"] == "ok"
-        # 800 + 40*(3%4) = 920 samples at 8 kHz
-        assert feats[3]["sample_rate"] == 8000 and feats[3]["duration_s"] == 0.115
+        # 1600 + 80*(3%4) = 1840 samples at 8 kHz
+        assert feats[3]["sample_rate"] == 8000 and feats[3]["duration_s"] == 0.23
         assert feats[3]["rms"] is not None and 0.1 < feats[3]["rms"] < 0.3
         assert feats[4]["sniffed_mime"] == "image/jpeg"
         assert feats[4]["decoded"] == "unsupported"
@@ -580,6 +580,41 @@ class TestMultimodal:
         assert f(6, 3) == [0, 2, 5]
         assert f(3, 3) == [0, 1, 2]
         assert f(100, 4) == [0, 33, 66, 99]
+
+    def test_audio_fingerprints_match_goldens(self, spark):
+        """Landmark fingerprints == goldens from the source samples
+        (lossless 16-bit WAV round trip; decoder never consulted for
+        the truth)."""
+        media = multimodal.synth_media(spark, n=64, seed=11)
+        got = {(r["media_id"], r["fp"])
+               for r in multimodal.media_audio_fingerprints(media).collect()}
+        want = {(g["media_id"], g["fp"])
+                for g in multimodal.synth_audio_fp_goldens(64, 11)}
+        assert got == want and got
+        # only audio rows fingerprint; images/corrupt/empty emit nothing
+        assert all(mid % 8 == 3 for mid, _ in got)
+
+    def test_audio_near_dup_finds_planted_pairs(self, spark):
+        media = multimodal.synth_media(spark, n=64, seed=11)
+        fps = multimodal.media_audio_fingerprints(media)
+        pairs = {(r["media_a"], r["media_b"]): r["n_common"]
+                 for r in multimodal.audio_near_dup(fps, min_common=4).collect()}
+        # i%16==11 rows are phase-shifted copies of id i-8's melody:
+        # different PCM bytes (md5 differs) but identical fingerprints
+        for i in (11, 27, 43, 59):
+            assert (i - 8, i) in pairs, f"planted audio near-dup ({i-8},{i}) missed"
+        payloads = {r["media_id"]: bytes(r["payload"])
+                    for r in media.filter("media_id in (3, 11)").collect()}
+        assert payloads[3] != payloads[11], "near-dups must differ at byte level"
+
+    def test_audio_near_dup_hot_fp_cap(self, spark):
+        """A degenerate corpus where one fingerprint appears everywhere
+        must not explode the self-join: the hot fp is dropped (logged)
+        and no pair is produced from it."""
+        rows = [(i, 7777) for i in range(20)] + [(0, 1), (1, 1)]
+        fps = spark.createDataFrame(rows, "media_id long, fp long")
+        pairs = multimodal.audio_near_dup(fps, min_common=1, max_fp_docs=10).collect()
+        assert {(r["media_a"], r["media_b"]) for r in pairs} == {(0, 1)}
 
     def test_media_dedup(self, spark):
         media = multimodal.synth_media(spark, n=32)
