@@ -1661,15 +1661,17 @@ def _ensure_bpe_oracle() -> dict:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    root = os.path.join(tempfile.gettempdir(), f"atra_bpe_oracle_v1_m{_BPE_MERGES}")
+    root = os.path.join(tempfile.gettempdir(), f"atra_bpe_oracle_v2_m{_BPE_MERGES}")
     merges_p = os.path.join(root, "merges.parquet")
     counts_p = os.path.join(root, "counts.parquet")
-    if not (os.path.exists(merges_p) and os.path.exists(counts_p)):
+    vocab_p = os.path.join(root, "vocab.parquet")
+    if not all(os.path.exists(p) for p in (merges_p, counts_p, vocab_p)):
         import re
 
         from atra_spark.functions.bpe import (
             _WORD_SPLIT,
             bpe_train_serial,
+            bpe_vocab_serial,
             encode_word,
         )
 
@@ -1711,9 +1713,21 @@ def _ensure_bpe_oracle() -> dict:
             ),
             counts_p + ".tmp",
         )
+        vocab = bpe_vocab_serial([d["text"] for d in docs], merges)
+        toks = sorted(vocab)
+        pq.write_table(
+            pa.table(
+                {
+                    "token": pa.array(toks, pa.string()),
+                    "n_occurrences": pa.array([vocab[t] for t in toks], pa.int64()),
+                }
+            ),
+            vocab_p + ".tmp",
+        )
         os.replace(merges_p + ".tmp", merges_p)
         os.replace(counts_p + ".tmp", counts_p)
-    return {"merges": merges_p, "counts": counts_p}
+        os.replace(vocab_p + ".tmp", vocab_p)
+    return {"merges": merges_p, "counts": counts_p, "vocab": vocab_p}
 
 
 def _bpe_merges_for(spark: SparkSession, sf_dir: str):
@@ -1756,6 +1770,54 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_bpe_token_counts(dialect: str) -> str:
     oracle = _ensure_bpe_oracle()["counts"]
     return f"SELECT doc_id, n_bpe_tokens FROM read_parquet('{oracle}')"
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary induced by the learned BPE merges: replay the
+    merges over the word table (chained JVM folds) and sum word
+    frequencies per final token. Oracle: the serial replay."""
+    from atra_spark.functions.bpe import bpe_vocab
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return bpe_vocab(docs, _bpe_merges_for(spark, sf_dir))
+
+
+def sql_bpe_vocab(dialect: str) -> str:
+    oracle = _ensure_bpe_oracle()["vocab"]
+    return f"SELECT token, n_occurrences FROM read_parquet('{oracle}')"
+
+
+def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data-mixing weights over the documents table
+    (tau=2 upweights rare sources toward uniform — the multilingual
+    sampling recipe). Oracle: the same arithmetic in SQL; shares are
+    rounded to 1e-9 half-up on both sides so libm pow differences
+    cannot drift the hash."""
+    from atra_spark.functions.sample import temperature_mixing_weights
+
+    _register(spark, sf_dir)
+    return temperature_mixing_weights(spark.table("documents"), "source", tau=2.0)
+
+
+def sql_mixing_weights(dialect: str) -> str:
+    return """
+WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS t FROM counts),
+wtab AS (
+  SELECT source, n_docs,
+         pow(n_docs / (SELECT t FROM tot), 0.5) AS w
+  FROM counts
+),
+z AS (SELECT sum(w) AS zz FROM wtab)
+SELECT source, n_docs,
+       CAST(floor(n_docs / (SELECT t FROM tot) * 1e9 + 0.5 + 1e-12) AS DOUBLE) / 1e9
+         AS natural_share,
+       CAST(floor(w / (SELECT zz FROM z) * 1e9 + 0.5 + 1e-12) AS DOUBLE) / 1e9
+         AS mix_share,
+       CAST(floor((w / (SELECT zz FROM z)) / (n_docs / (SELECT t FROM tot)) * 1e9
+                  + 0.5 + 1e-12) AS DOUBLE) / 1e9 AS upsample_factor
+FROM wtab
+"""
 
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3581,6 +3643,8 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
+    "bpe_vocab": q_bpe_vocab,
+    "mixing_weights": q_mixing_weights,
     "media_frame_sample": q_media_frame_sample,
     "sitemap_candidates": q_sitemap_candidates,
     "tfidf_topk": q_tfidf_topk,
@@ -3648,6 +3712,8 @@ def _custom_oracles() -> dict[str, str]:
         "media_resize": sql_media_resize("duckdb"),
         "bpe_merges": sql_bpe_merges("duckdb"),
         "bpe_token_counts": sql_bpe_token_counts("duckdb"),
+        "bpe_vocab": sql_bpe_vocab("duckdb"),
+        "mixing_weights": sql_mixing_weights("duckdb"),
         "media_frame_sample": sql_media_frame_sample("duckdb"),
         "sitemap_candidates": sql_sitemap_candidates("duckdb"),
         "tfidf_topk": sql_tfidf_topk("duckdb"),

@@ -159,6 +159,65 @@ def bpe_train(
     return merges
 
 
+def bpe_vocab(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    max_words: int = 1_000_000,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """The vocabulary the learned merges induce on the corpus: replay
+    every merge over the word-frequency table (chained JVM folds,
+    lineage truncated periodically), then explode the final symbol
+    arrays and sum word frequencies per symbol. Returns (token,
+    n_occurrences) — the table a sampling-aware loader or a coverage
+    audit reads."""
+    sym = _initial_symbols(word_freqs(docs, text_col, max_words))
+    for k, (rank, l, r, _n) in enumerate(merges):
+        sym = _apply_merge(sym, l, r)
+        if (k + 1) % checkpoint_every == 0:
+            sym = sym.localCheckpoint()
+    return (
+        sym.select(F.explode("symbols").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n_occurrences"))
+    )
+
+
+def bpe_vocab_serial(texts: Iterable[str], merges) -> dict[str, int]:
+    """Serial twin of bpe_vocab (oracle)."""
+    import re
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in re.split(_WORD_SPLIT, (t or "").lower()):
+            if w:
+                wf[w] += 1
+    words = {tuple(list(w[:-1]) + [w[-1] + "</w>"]): c for w, c in wf.items()}
+    for _rank, l, r, _n in merges:
+        nxt: dict = {}
+        for syms, c in words.items():
+            out, pend = [], None
+            for x in syms:
+                if pend == l and x == r:
+                    out.append(l + r)
+                    pend = None
+                else:
+                    if pend is not None:
+                        out.append(pend)
+                    pend = x
+            if pend is not None:
+                out.append(pend)
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + c
+        words = nxt
+    vocab: Counter = Counter()
+    for syms, c in words.items():
+        for s in syms:
+            vocab[s] += c
+    return dict(vocab)
+
+
 def bpe_train_serial(texts: Iterable[str], n_merges: int = 60, min_pair_freq: int = 2):
     """Independent serial reference (the oracle): same published
     algorithm, plain Python dicts, no Spark. Must agree with bpe_train

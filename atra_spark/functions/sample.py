@@ -50,3 +50,32 @@ def stratified_sample(
         .filter(F.col("_rank") <= int(n_per_stratum))
         .drop("_rank")
     )
+
+
+def temperature_mixing_weights(
+    df: DataFrame, group_col: str = "source", tau: float = 2.0
+) -> DataFrame:
+    """Temperature-based data-mixing weights (the multilingual-sampling
+    recipe: raise each group's natural share p to 1/tau and
+    renormalize, so tau > 1 upweights rare sources and tau = 1 keeps
+    the natural mix). Returns per group: document count, natural share,
+    temperature-adjusted sampling share, and the upsample factor a
+    loader applies. One groupBy shuffle over the corpus; the per-group
+    arithmetic is a broadcast-sized aggregate. Shares are rounded to
+    1e-9 with the engine-wide half-up convention so the SQL twin's
+    libm pow cannot drift the value hash."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs")).first()[0] or 1
+    w = F.pow(F.col("n_docs") / F.lit(float(total)), 1.0 / tau)
+    weighted = counts.withColumn("w", w)
+    z = weighted.agg(F.sum("w")).first()[0] or 1.0
+    rnd = lambda c: (F.floor(c * 1e9 + 0.5 + 1e-12) / 1e9).cast("double")
+    return weighted.select(
+        group_col,
+        "n_docs",
+        rnd(F.col("n_docs") / F.lit(float(total))).alias("natural_share"),
+        rnd(F.col("w") / F.lit(float(z))).alias("mix_share"),
+        rnd((F.col("w") / F.lit(float(z))) / (F.col("n_docs") / F.lit(float(total)))).alias(
+            "upsample_factor"
+        ),
+    )

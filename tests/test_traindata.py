@@ -1735,3 +1735,52 @@ class TestBpe:
             kept = word_freqs(docs, max_words=3)
             assert kept.count() == 3
         assert any("cap" in r.message for r in caplog.records)
+
+
+class TestBpeVocab:
+    def test_vocab_matches_serial_replay(self, spark):
+        from atra_spark.functions import bpe
+
+        texts = ["lower lowest newer newest", "low new lower newer"] * 5
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        merges = bpe.bpe_train(docs, n_merges=12)
+        got = {r["token"]: r["n_occurrences"]
+               for r in bpe.bpe_vocab(docs, merges).collect()}
+        want = bpe.bpe_vocab_serial(texts, merges)
+        assert got == want
+        # every corpus character mass is conserved: sum(len(tok)*n) is
+        # invariant under merging (merges concatenate, never drop)
+        base = sum(len(w) + 4 for t in texts for w in t.split())  # +4 = '</w>'
+        assert sum(len(tok) * n for tok, n in got.items()) == base
+
+    def test_vocab_with_no_merges_is_character_table(self, spark):
+        from atra_spark.functions import bpe
+
+        docs = spark.createDataFrame([(0, "ab ba")], "doc_id long, text string")
+        got = {r["token"]: r["n_occurrences"]
+               for r in bpe.bpe_vocab(docs, []).collect()}
+        assert got == {"a": 1, "b": 1, "b</w>": 1, "a</w>": 1}
+
+
+class TestTemperatureMixing:
+    def test_weights_tau_flattens_toward_uniform(self, spark):
+        from atra_spark.functions.sample import temperature_mixing_weights
+
+        rows = [(i, "big") for i in range(90)] + [(i + 90, "small") for i in range(10)]
+        docs = spark.createDataFrame(rows, "doc_id long, source string")
+        w1 = {r["source"]: r for r in
+              temperature_mixing_weights(docs, tau=1.0).collect()}
+        w5 = {r["source"]: r for r in
+              temperature_mixing_weights(docs, tau=5.0).collect()}
+        # tau=1 keeps the natural mix
+        assert abs(w1["big"]["mix_share"] - 0.9) < 1e-9
+        assert abs(w1["big"]["upsample_factor"] - 1.0) < 1e-9
+        # higher temperature moves shares toward uniform and upweights
+        # the rare source, never past uniform
+        assert 0.5 < w5["big"]["mix_share"] < 0.9
+        assert w5["small"]["mix_share"] > w1["small"]["mix_share"]
+        assert w5["small"]["upsample_factor"] > 1.0 > w5["big"]["upsample_factor"]
+        # shares always sum to 1 (mod the 1e-9 rounding)
+        assert abs(sum(r["mix_share"] for r in w5.values()) - 1.0) < 1e-8
