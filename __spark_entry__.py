@@ -1648,7 +1648,13 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_MERGES = 40
-_BPE_ORACLE_SF = "/root/testdata/sf0.01"  # the driver's correctness SF
+# The serial BPE oracle is pinned to the driver's correctness SF
+# (TESTDATA.md: the DuckDB comparison always runs at sf0.01). The
+# q_bpe_* queries train on whatever sf_dir they are handed — correct
+# behavior at any SF (bench trains on sf0.1) — so Spark result and
+# oracle describe the same corpus exactly when sf_dir is this SF,
+# which is the only place the driver compares them.
+_BPE_ORACLE_SF = "/root/testdata/sf0.01"
 _bpe_merges_memo: dict = {}
 
 
@@ -1787,35 +1793,38 @@ def sql_bpe_vocab(dialect: str) -> str:
     return f"SELECT token, n_occurrences FROM read_parquet('{oracle}')"
 
 
+_MIX_TAU = 2.0  # shared by q_mixing_weights and its SQL twin
+
+
 def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based data-mixing weights over the documents table
-    (tau=2 upweights rare sources toward uniform — the multilingual
-    sampling recipe). Oracle: the same arithmetic in SQL; shares are
-    rounded to 1e-9 half-up on both sides so libm pow differences
-    cannot drift the hash."""
+    (tau upweights rare sources toward uniform — the multilingual
+    sampling recipe). Oracle: the same arithmetic in SQL; shares round
+    half-up at 1e-6 with an epsilon of tens-of-ulps on both sides so
+    libm pow differences cannot drift the hash."""
     from atra_spark.functions.sample import temperature_mixing_weights
 
     _register(spark, sf_dir)
-    return temperature_mixing_weights(spark.table("documents"), "source", tau=2.0)
+    return temperature_mixing_weights(spark.table("documents"), "source", tau=_MIX_TAU)
 
 
 def sql_mixing_weights(dialect: str) -> str:
-    return """
+    return f"""
 WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
 tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS t FROM counts),
 wtab AS (
   SELECT source, n_docs,
-         pow(n_docs / (SELECT t FROM tot), 0.5) AS w
+         pow(n_docs / (SELECT t FROM tot), {1.0 / _MIX_TAU!r}) AS w
   FROM counts
 ),
 z AS (SELECT sum(w) AS zz FROM wtab)
 SELECT source, n_docs,
-       CAST(floor(n_docs / (SELECT t FROM tot) * 1e9 + 0.5 + 1e-12) AS DOUBLE) / 1e9
+       CAST(floor(n_docs / (SELECT t FROM tot) * 1e6 + 0.5 + 1e-7) AS DOUBLE) / 1e6
          AS natural_share,
-       CAST(floor(w / (SELECT zz FROM z) * 1e9 + 0.5 + 1e-12) AS DOUBLE) / 1e9
+       CAST(floor(w / (SELECT zz FROM z) * 1e6 + 0.5 + 1e-7) AS DOUBLE) / 1e6
          AS mix_share,
-       CAST(floor((w / (SELECT zz FROM z)) / (n_docs / (SELECT t FROM tot)) * 1e9
-                  + 0.5 + 1e-12) AS DOUBLE) / 1e9 AS upsample_factor
+       CAST(floor((w / (SELECT zz FROM z)) / (n_docs / (SELECT t FROM tot)) * 1e6
+                  + 0.5 + 1e-7) AS DOUBLE) / 1e6 AS upsample_factor
 FROM wtab
 """
 

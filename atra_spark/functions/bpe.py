@@ -49,21 +49,35 @@ _WORD_SPLIT = "[^a-z0-9]+"
 def word_freqs(docs: DataFrame, text_col: str = "text", max_words: int = 1_000_000) -> DataFrame:
     """Corpus -> (word, freq) table: the single corpus-wide shuffle of
     BPE training. ``max_words`` keeps the most frequent words (ties by
-    word for determinism) and logs what the cap dropped."""
+    word for determinism) and logs what the cap dropped.
+
+    Standalone convenience wrapper — it leaves the word table cached
+    (the cap check materializes it and every caller consumes it next).
+    The training/vocab entry points use :func:`_word_table` directly so
+    they can unpersist the base once their own state is materialized."""
+    out, _base = _word_table(docs, text_col, max_words)
+    return out
+
+
+def _word_table(docs: DataFrame, text_col: str, max_words: int):
+    """(capped word table, cached base). The corpus is scanned exactly
+    once: the cap-check count materializes the cache, and the cap
+    (when active) is a top-K read of that cache. The caller unpersists
+    ``base`` after its downstream state is materialized."""
     words = (
         docs.select(F.explode(F.split(F.lower(F.col(text_col)), _WORD_SPLIT)).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
+        .cache()
     )
-    total = words.count()
+    total = words.count()  # materializes the cache for every later read
+    out = words
     if total > max_words:
-        log.warning("bpe: word table %d > cap %d — keeping top-%d by frequency",
-                    total, max_words, max_words)
-        words = (
-            words.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(max_words)
-        )
-    return words
+        log.warning("bpe: word table %d > cap %d — dropping %d rare words",
+                    total, max_words, total - max_words)
+        out = words.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(max_words)
+    return out, words
 
 
 def _initial_symbols(words: DataFrame) -> DataFrame:
@@ -137,8 +151,10 @@ def bpe_train(
     [(rank, left, right, pair_freq)] in merge order. Deterministic:
     argmax tie-break is (count DESC, left ASC, right ASC). Stops early
     when no pair reaches ``min_pair_freq``."""
-    sym = _initial_symbols(word_freqs(docs, text_col, max_words)).cache()
+    wt, base = _word_table(docs, text_col, max_words)
+    sym = _initial_symbols(wt).cache()
     sym.count()  # materialize once; each round folds in place
+    base.unpersist()
     merges: list[tuple[int, str, str, int]] = []
     live = sym
     for rank in range(n_merges):
@@ -172,7 +188,9 @@ def bpe_vocab(
     arrays and sum word frequencies per symbol. Returns (token,
     n_occurrences) — the table a sampling-aware loader or a coverage
     audit reads."""
-    sym = _initial_symbols(word_freqs(docs, text_col, max_words))
+    wt, base = _word_table(docs, text_col, max_words)
+    sym = _initial_symbols(wt).localCheckpoint()  # materialize; frees base
+    base.unpersist()
     for k, (rank, l, r, _n) in enumerate(merges):
         sym = _apply_merge(sym, l, r)
         if (k + 1) % checkpoint_every == 0:

@@ -130,17 +130,6 @@ def decode_media(payload: bytes, mime: str) -> dict:
     stdlib codec layer's scope (JPEG/MP3/MP4 — swap in native codecs
     here on a production cluster)."""
     try:
-        if mime == "image/png":
-            return _image_info(decode_png(payload))
-        if mime == "image/gif":
-            frames, delays = decode_gif(payload)
-            return _image_info(
-                frames[0], n_frames=len(frames), duration_s=float(sum(delays))
-            )
-        if mime == "image/bmp":
-            return _image_info(decode_bmp(payload))
-        if mime == "image/x-portable-anymap":
-            return _image_info(decode_pnm(payload))
         if mime == "audio/wav":
             samples, sr = decode_wav(payload)
             return {
@@ -152,13 +141,26 @@ def decode_media(payload: bytes, mime: str) -> dict:
                 "n_frames": int(samples.shape[0]),
                 "channels": int(samples.shape[1]),
             }
+        # single dispatch table (_STILL_DECODERS + gif) shared with the
+        # frame-level operators, so the codec swap point stays in ONE place
+        frames, delays = _decode_frames(payload, mime)
+        return _image_info(
+            frames[0],
+            n_frames=len(frames),
+            # still formats report no duration (a single frame has no
+            # timeline); animated GIF reports the decoded delay sum
+            duration_s=float(sum(delays)) if mime == "image/gif" else None,
+        )
     except DecodeError:
         raise
+    # NOTE: ordered before LookupError — IndexError is its subclass and
+    # means corruption, not an unsupported format
     except (ValueError, IndexError, OverflowError, MemoryError) as e:
         # defensive: any malformed-input failure inside a codec is
         # corruption, never a job-killing executor exception
         raise DecodeError(f"{mime}: {e}") from e
-    raise NotImplementedError(f"no stdlib codec for {mime}")
+    except LookupError:  # pragma: no cover — audio handled above
+        raise NotImplementedError(f"no stdlib codec for {mime}")
 
 
 _FEATURE_COLS = [f.name for f in FEATURE_SCHEMA.fields]
@@ -239,17 +241,24 @@ FRAME_SCHEMA = StructType(
 )
 
 
+# THE codec swap point: a production cluster replaces these entries
+# with PIL/libvips (stills), ffmpeg (gif/video), soundfile (audio)
+# without touching any Spark stage — every decode path in this module
+# (decode_media, _decode_frames, the fingerprint pass) dispatches here.
+_STILL_DECODERS = {
+    "image/png": decode_png,
+    "image/bmp": decode_bmp,
+    "image/x-portable-anymap": decode_pnm,
+}
+
+
 def _decode_frames(payload: bytes, mime: str):
     """(frames, per-frame delay seconds) for image payloads; raises
     LookupError for decodable-but-not-image media (audio)."""
-    if mime == "image/png":
-        return [decode_png(payload)], [0.0]
     if mime == "image/gif":
         return decode_gif(payload)
-    if mime == "image/bmp":
-        return [decode_bmp(payload)], [0.0]
-    if mime == "image/x-portable-anymap":
-        return [decode_pnm(payload)], [0.0]
+    if mime in _STILL_DECODERS:
+        return [_STILL_DECODERS[mime](payload)], [0.0]
     if mime == "audio/wav":
         raise LookupError("decodable but not an image")
     raise NotImplementedError(f"no stdlib codec for {mime}")
@@ -423,23 +432,33 @@ def audio_near_dup(
     ``max_fp_docs`` are dropped before the self-join (logged), so the
     join is bounded by fp bucket size, never O(n^2) over the corpus.
     All JVM column math."""
-    freq = fps.groupBy("fp").agg(F.count("*").alias("docfreq"))
-    hot = freq.filter(F.col("docfreq") > max_fp_docs)
-    n_hot = hot.limit(1).count()
-    if n_hot:
+    # ONE shuffle and ONE pass over the (expensive: decode + FFT)
+    # fingerprint lineage: group media ids per fingerprint, drop groups
+    # hotter than the cap (logged with the count, never silent), and
+    # expand ordered pairs INSIDE each group with JVM array lambdas —
+    # no self-join, so the decode pass is never executed twice.
+    groups = fps.groupBy("fp").agg(
+        F.array_sort(F.collect_set("media_id")).alias("ids")
+    ).localCheckpoint()  # materializes ONCE for the hot count + expansion below
+    hot_n = groups.filter(F.size("ids") > max_fp_docs).count()
+    if hot_n:
         import logging
 
         logging.getLogger(__name__).warning(
-            "audio_near_dup: dropping fingerprints with docfreq > %d before the pair join",
+            "audio_near_dup: dropping %d fingerprints with docfreq > %d "
+            "before pair expansion",
+            hot_n,
             max_fp_docs,
         )
-        fps = fps.join(F.broadcast(hot.select("fp")), on="fp", how="left_anti")
-    a = fps.select(F.col("media_id").alias("media_a"), "fp")
-    b = fps.select(F.col("media_id").alias("media_b"), "fp")
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), y ->"
+        " struct(x AS media_a, y AS media_b))))"
+    )
     return (
-        a.join(b, on="fp")
-        .filter(F.col("media_a") < F.col("media_b"))
-        .groupBy("media_a", "media_b")
+        groups.filter(F.size("ids").between(2, max_fp_docs))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.media_a").alias("media_a"), F.col("p.media_b").alias("media_b"))
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )

@@ -60,22 +60,42 @@ def temperature_mixing_weights(
     renormalize, so tau > 1 upweights rare sources and tau = 1 keeps
     the natural mix). Returns per group: document count, natural share,
     temperature-adjusted sampling share, and the upsample factor a
-    loader applies. One groupBy shuffle over the corpus; the per-group
-    arithmetic is a broadcast-sized aggregate. Shares are rounded to
-    1e-9 with the engine-wide half-up convention so the SQL twin's
-    libm pow cannot drift the value hash."""
-    counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
-    total = counts.agg(F.sum("n_docs")).first()[0] or 1
-    w = F.pow(F.col("n_docs") / F.lit(float(total)), 1.0 / tau)
-    weighted = counts.withColumn("w", w)
-    z = weighted.agg(F.sum("w")).first()[0] or 1.0
-    rnd = lambda c: (F.floor(c * 1e9 + 0.5 + 1e-12) / 1e9).cast("double")
-    return weighted.select(
-        group_col,
-        "n_docs",
-        rnd(F.col("n_docs") / F.lit(float(total))).alias("natural_share"),
-        rnd(F.col("w") / F.lit(float(z))).alias("mix_share"),
-        rnd((F.col("w") / F.lit(float(z))) / (F.col("n_docs") / F.lit(float(total)))).alias(
-            "upsample_factor"
-        ),
+    loader applies.
+
+    ONE corpus shuffle (the groupBy) whose group-level result is
+    collected — group cardinality is sources/languages, i.e.
+    driver-sized by definition of a mixing recipe; the per-group
+    arithmetic then runs in plain Python, so the corpus is scanned
+    exactly once. Shares are rounded half-up at 1e-6 with a 1e-7
+    epsilon (tens of ulps at every representable magnitude of the
+    scaled value) so the SQL twin's libm pow cannot drift the driver's
+    value hash."""
+    rows = df.groupBy(group_col).agg(F.count("*").alias("n_docs")).collect()
+    total = float(sum(r["n_docs"] for r in rows)) or 1.0
+    import math
+
+    w = {r[group_col]: math.pow(r["n_docs"] / total, 1.0 / tau) for r in rows}
+    z = sum(w.values()) or 1.0
+    rnd = lambda v: math.floor(v * 1e6 + 0.5 + 1e-7) / 1e6
+    out = [
+        (
+            r[group_col],
+            r["n_docs"],
+            rnd(r["n_docs"] / total),
+            rnd(w[r[group_col]] / z),
+            rnd((w[r[group_col]] / z) / (r["n_docs"] / total)),
+        )
+        for r in rows
+    ]
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(group_col, df.schema[group_col].dataType, True),
+            StructField("n_docs", LongType(), False),
+            StructField("natural_share", DoubleType(), False),
+            StructField("mix_share", DoubleType(), False),
+            StructField("upsample_factor", DoubleType(), False),
+        ]
     )
+    return df.sparkSession.createDataFrame(out, schema)

@@ -1782,5 +1782,5 @@ class TestTemperatureMixing:
         assert 0.5 < w5["big"]["mix_share"] < 0.9
         assert w5["small"]["mix_share"] > w1["small"]["mix_share"]
         assert w5["small"]["upsample_factor"] > 1.0 > w5["big"]["upsample_factor"]
-        # shares always sum to 1 (mod the 1e-9 rounding)
-        assert abs(sum(r["mix_share"] for r in w5.values()) - 1.0) < 1e-8
+        # shares always sum to 1 (mod the 1e-6 per-share rounding)
+        assert abs(sum(r["mix_share"] for r in w5.values()) - 1.0) < 1e-5
