@@ -293,25 +293,32 @@ def _membw_probe() -> float:
     return round(64 / best, 0)
 
 
-def _contention_gate(min_membw: float, max_wait_s: float) -> dict:
+def _contention_gate(min_membw: float, max_wait_s: float, max_load: float = 3.0) -> dict:
     """Block until the box looks calm — the pre-leg memcpy probe must
-    exceed ``min_membw`` MB/s — or ``max_wait_s`` elapses (VERDICT r3
-    #2: external tenants contend for the shared DRAM controller in
-    multi-hour episodes that loadavg does NOT show; legs measured
-    inside such an episode are noise, so the leg waits for a calm
-    window instead of recording it). Returns the gate telemetry."""
+    exceed ``min_membw`` MB/s AND the 1-min loadavg must not exceed
+    ``max_load`` — or ``max_wait_s`` elapses. Two independent signals
+    because they have disjoint blind spots (both demonstrated on this
+    box): DRAM-controller contention from external tenants does not
+    show in loadavg (VERDICT r3 #2), and a CPU-tenancy episode leaves
+    membw calm while asymmetrically taxing the wide scaling leg
+    (BENCH/BASELINE.md round-4 coda 5: loadavg 13.5 with membw
+    6.7-8.1 GB/s read pair efficiency 0.60 while the 4-core leg set a
+    record). Returns the gate telemetry."""
     t0 = time.monotonic()
     attempts = []
     while True:
         bw = _membw_probe()
-        attempts.append(bw)
+        load = _load_probe()
+        attempts.append((bw, load))
         waited = time.monotonic() - t0
-        if bw >= min_membw or waited >= max_wait_s:
+        calm = bw >= min_membw and load <= max_load
+        if calm or waited >= max_wait_s:
             return {
                 "membw_mb_s": bw,
+                "loadavg_1m": load,
                 "waited_s": round(waited, 1),
                 "attempts": len(attempts),
-                "gated_through_contended": bw < min_membw,
+                "gated_through_contended": not calm,
             }
         time.sleep(min(20.0, max(5.0, max_wait_s / 30)))
 
@@ -339,11 +346,12 @@ def scaling(n_pages: int) -> None:
     )
     min_membw = float(os.environ.get("ATRA_SCALING_MIN_MEMBW", "1000"))
     gate_wait = float(os.environ.get("ATRA_SCALING_GATE_WAIT_S", "600"))
+    max_load = float(os.environ.get("ATRA_SCALING_MAX_LOAD", "3.0"))
     lo, hi = core_pair
     reps: dict[int, list[dict]] = {lo: [], hi: []}
     for _ in range(repeats):
         for cores in core_pair:
-            gate = _contention_gate(min_membw, gate_wait)
+            gate = _contention_gate(min_membw, gate_wait, max_load)
             load = _load_probe()
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--crawl-only", str(cores),
