@@ -17,6 +17,12 @@ from __future__ import annotations
 
 import os
 import tempfile
+
+# Fixture writers stage parquet next to the final path and os.replace()
+# into place; the staging name is per-PID so two concurrent driver
+# processes can only ever race atomically-complete files, never
+# interleave writes into one shared .tmp (ADVICE r4).
+_TMP_SUFFIX = f".{os.getpid()}.tmp"
 from collections.abc import Callable
 
 import pandas as pd
@@ -1524,7 +1530,7 @@ def _ensure_media_fixture() -> dict:
                 },
                 schema=resize_schema,
             ),
-            resize_p + ".tmp",
+            resize_p + _TMP_SUFFIX,
         )
         frames_schema = pa.schema(
             [
@@ -1545,10 +1551,10 @@ def _ensure_media_fixture() -> dict:
                 },
                 schema=frames_schema,
             ),
-            frames_p + ".tmp",
+            frames_p + _TMP_SUFFIX,
         )
-        os.replace(resize_p + ".tmp", resize_p)
-        os.replace(frames_p + ".tmp", frames_p)
+        os.replace(resize_p + _TMP_SUFFIX, resize_p)
+        os.replace(frames_p + _TMP_SUFFIX, frames_p)
         fp_rows = synth_audio_fp_goldens(_MEDIA_FIX["n"], _MEDIA_FIX["seed"])
         pq.write_table(
             pa.table(
@@ -1557,9 +1563,9 @@ def _ensure_media_fixture() -> dict:
                     "fp": pa.array([r["fp"] for r in fp_rows], pa.int64()),
                 }
             ),
-            audiofp_p + ".tmp",
+            audiofp_p + _TMP_SUFFIX,
         )
-        os.replace(audiofp_p + ".tmp", audiofp_p)
+        os.replace(audiofp_p + _TMP_SUFFIX, audiofp_p)
         media_schema = pa.schema(
             [
                 ("media_id", pa.int64()),
@@ -1577,7 +1583,7 @@ def _ensure_media_fixture() -> dict:
                 {f.name: pa.array(cols[i], f.type) for i, f in enumerate(media_schema)},
                 schema=media_schema,
             ),
-            media_p + ".tmp",
+            media_p + _TMP_SUFFIX,
         )
         golden_schema = pa.schema(
             [
@@ -1606,10 +1612,10 @@ def _ensure_media_fixture() -> dict:
                 },
                 schema=golden_schema,
             ),
-            golden_p + ".tmp",
+            golden_p + _TMP_SUFFIX,
         )
-        os.replace(media_p + ".tmp", media_p)
-        os.replace(golden_p + ".tmp", golden_p)
+        os.replace(media_p + _TMP_SUFFIX, media_p)
+        os.replace(golden_p + _TMP_SUFFIX, golden_p)
     return {
         "media": media_p,
         "golden": golden_p,
@@ -1695,7 +1701,7 @@ def _ensure_bpe_oracle() -> dict:
                     "pair_freq": pa.array([m[3] for m in merges], pa.int64()),
                 }
             ),
-            merges_p + ".tmp",
+            merges_p + _TMP_SUFFIX,
         )
         ranks = {(l, r): k for k, l, r, _ in merges}
         split = re.compile(_WORD_SPLIT)
@@ -1717,7 +1723,7 @@ def _ensure_bpe_oracle() -> dict:
                     "n_bpe_tokens": pa.array([count(d["text"]) for d in docs], pa.int64()),
                 }
             ),
-            counts_p + ".tmp",
+            counts_p + _TMP_SUFFIX,
         )
         vocab = bpe_vocab_serial([d["text"] for d in docs], merges)
         toks = sorted(vocab)
@@ -1728,11 +1734,11 @@ def _ensure_bpe_oracle() -> dict:
                     "n_occurrences": pa.array([vocab[t] for t in toks], pa.int64()),
                 }
             ),
-            vocab_p + ".tmp",
+            vocab_p + _TMP_SUFFIX,
         )
-        os.replace(merges_p + ".tmp", merges_p)
-        os.replace(counts_p + ".tmp", counts_p)
-        os.replace(vocab_p + ".tmp", vocab_p)
+        os.replace(merges_p + _TMP_SUFFIX, merges_p)
+        os.replace(counts_p + _TMP_SUFFIX, counts_p)
+        os.replace(vocab_p + _TMP_SUFFIX, vocab_p)
     return {"merges": merges_p, "counts": counts_p, "vocab": vocab_p}
 
 
@@ -3771,15 +3777,38 @@ def _custom_oracles() -> dict[str, str]:
     }
 
 
+# The driver samples a prefix of queries() each round (50 of 79 in r4).
+# Rounds 1-4 left exactly these 24 queries never driver-sampled (they sat
+# at positions 55-78); lead with them so CORRECTNESS_r05 finally carries
+# hard driver rows for every operator family. All 79 stay gated
+# row-for-row against the same oracles by tests/test_entry_contract.py
+# regardless of sampling order.
+_DRIVER_PRIORITY = [
+    "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
+    "event_sessions", "dsir_weights", "source_quality", "host_graph",
+    "event_window_rollup", "value_percentiles", "weighted_host_pagerank",
+    "bigram_pmi", "zipf_table", "url_templates", "recrawl_priority",
+    "shard_pack", "quality_deciles", "token_budget_selection",
+    "minhash_calibration", "pii_scrub", "anchor_texts",
+    "url_canonical_dedup", "site_boilerplate", "normalize_text",
+]
+
+
+def _prioritized(d: dict) -> dict:
+    lead = {k: d[k] for k in _DRIVER_PRIORITY if k in d}
+    lead.update({k: v for k, v in d.items() if k not in lead})
+    return lead
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _make_sql_query(name) for name in _SQL_OPS
     }
     out.update(_CUSTOM_QUERIES)
-    return out
+    return _prioritized(out)
 
 
 def oracle_sql() -> dict[str, str]:
     out = {name: fn("duckdb") for name, fn in _SQL_OPS.items()}
     out.update(_custom_oracles())
-    return out
+    return _prioritized(out)

@@ -325,8 +325,8 @@ def bpe_encode_counts(
                         cache[w] = c
                     n += c
                 counts.append(n)
-            yield pd.DataFrame({"doc_id": pdf[id_col], "n_bpe_tokens": counts})
+            yield pd.DataFrame({id_col: pdf[id_col], "n_bpe_tokens": counts})
 
     return docs.select(id_col, text_col).mapInPandas(
-        run, "doc_id long, n_bpe_tokens long"
+        run, f"{id_col} long, n_bpe_tokens long"
     )

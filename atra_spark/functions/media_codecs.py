@@ -742,6 +742,11 @@ def audio_fingerprints(samples: np.ndarray, frame: int = 256, hop: int = 128) ->
     the Spark fingerprint pass and the golden generator — both run the
     same numpy arithmetic on the same decoded samples, so fingerprints
     are identical. Returns the sorted distinct fingerprint set."""
+    if frame > 510:
+        # the 3-gram packs each dominant bin into 8 bits; rfft of a
+        # >510-sample frame can yield bins > 255, which would silently
+        # overflow into the neighbouring field — fail loudly instead
+        raise ValueError(f"frame={frame} overflows 8-bit bin packing (max 510)")
     x = np.asarray(samples, dtype=np.float64).reshape(-1)
     if len(x) < frame:
         return []

@@ -271,14 +271,18 @@ def _frame_status(payload, mime):
     try:
         frames, delays = _decode_frames(payload, mime or "")
         return "ok", frames, delays
-    except LookupError:
-        return "not_image", None, None
     except NotImplementedError:
         return "unsupported", None, None
     except DecodeError:
         return "corrupt", None, None
+    # NOTE: ordered before LookupError — IndexError is its subclass and
+    # means corruption, not "decodable but not an image" (same ladder
+    # ordering as decode_media above, so the two can never disagree on
+    # the same malformed payload)
     except (ValueError, IndexError, OverflowError, MemoryError):
         return "corrupt", None, None
+    except LookupError:
+        return "not_image", None, None
 
 
 def resized_features(arr: np.ndarray, max_dim: int) -> dict:
