@@ -1102,7 +1102,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from atra_spark.functions.similarity import embedding_near_dup_pairs
 
     _register(spark, sf_dir)
-    out = embedding_near_dup_pairs(spark.table("embeddings"), dim=64, threshold=0.25)
+    # n_planes pinned: the oracle SQL replicates exactly these 8 seeded
+    # hyperplanes as literals (library default is auto-sized by corpus)
+    out = embedding_near_dup_pairs(
+        spark.table("embeddings"), dim=64, threshold=0.25, n_planes=8
+    )
     rounded = F.floor(F.col("cosine") * 10000 + 0.5 + 1e-6).cast("double") / 10000
     return out.select("id_a", "id_b", rounded.alias("cosine"))
 
@@ -1484,7 +1488,7 @@ def _ensure_media_fixture() -> dict:
 
     root = os.path.join(
         tempfile.gettempdir(),
-        f"atra_media_fixture_v4_n{_MEDIA_FIX['n']}_s{_MEDIA_FIX['seed']}",
+        f"atra_media_fixture_v5_n{_MEDIA_FIX['n']}_s{_MEDIA_FIX['seed']}",
     )
     media_p = os.path.join(root, "media.parquet")
     golden_p = os.path.join(root, "golden.parquet")

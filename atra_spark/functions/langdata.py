@@ -424,6 +424,52 @@ _EXTRA_SAMPLES: dict[str, str] = {
         "postea mutabitur et videre potes quis textum in pagina posuerit "
         "neque valores perditi sunt quod maximi momenti est"
     ),
+    # round-5 tail: the last five whatlang languages — Latin-script,
+    # trigram-disambiguated against their hard neighbours (jav/ind,
+    # tuk/tur/aze/uzb, zul/sna)
+    "jav": (
+        "sistem iki nyimpen data lan tabel ora kosong amarga jaringan "
+        "kaca wis dibangun kanthi ati ati supaya cacahe tembung tetep "
+        "dadi teks lan ora ilang nanging pranala tetep ana ing rante "
+        "yen ajine sawijining kaca owah mengko lan sampeyan bisa ndeleng "
+        "sapa sing nyelehake teks ing kaca tanpa ajine ilang amarga iku "
+        "sing penting nalika kabeh wis kasimpen"
+    ),
+    "tuk": (
+        "ulgam maglumatlary saklaýar we tablisa boş däl sebäbi "
+        "sahypalaryň tory üns bilen guruldy şonuň üçin sözleriň sany "
+        "tekst bolup galýar we ýitmeýär emma baglanyşyklar zynjyrda "
+        "galýar eger sahypanyň bahasy soňra üýtgese we tekstiň sahypa "
+        "kimiň goýandygyny bahalar ýitmezden görüp bilersiňiz sebäbi "
+        "ähli zat saklananda şu zat möhümdir"
+    ),
+    "aka": (
+        "nhyehyɛe no kora nsɛm no so na pon no nyɛ hunu ɛfiri sɛ wɔde "
+        "ahwɛyie na ɛyɛɛ nkrataafa ntam nkitahodie sɛdeɛ nsɛmfua dodoɔ "
+        "no bɛtena hɔ sɛ atwerɛdeɛ na ɛrenyera nanso nkitahodie no tena "
+        "nkɔnsɔnkɔnsɔn no mu sɛ krataafa bi boɔ sesa akyire yi a na "
+        "wobɛtumi ahunu onipa a ɔde atwerɛdeɛ no too krataafa no so a "
+        "boɔ no nnyera ɛfiri sɛ ɛno ne deɛ ɛho hia berɛ a wɔakora "
+        "biribiara"
+    ),
+    "zul": (
+        "uhlelo lugcina imininingwane futhi ithebula alilona ize ngoba "
+        "inethiwekhi yamakhasi yakhiwa ngokucophelela ukuze isibalo "
+        "samagama sihlale njengombhalo singalahleki kodwa izixhumanisi "
+        "zihlala ochungechungeni uma inani lekhasi lishintsha kamuva "
+        "futhi ungabona ukuthi ubani obeke umbhalo ekhasini ngaphandle "
+        "kokuthi amanani alahleke ngoba yilokho okubalulekile lapho "
+        "konke kugciniwe"
+    ),
+    "sna": (
+        "urongwa hunochengeta ruzivo uye tafura haina kushaya chinhu "
+        "nokuti mambure emapeji akavakwa nokungwarira kuitira kuti "
+        "huwandu hwemazwi hugare seshoko uye husarasika asi zvisungo "
+        "zvinogara mucheni kana kukosha kwepeji kukachinja gare gare "
+        "uye unogona kuona kuti ndiani akaisa mazwi papeji pasina "
+        "kurasika kwekukosha nokuti ndizvo zvinokosha kana zvese "
+        "zvachengetwa"
+    ),
 }
 
 # round-4b: script-unique languages (whatlang coverage,

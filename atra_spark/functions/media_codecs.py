@@ -34,8 +34,15 @@ no I/O, no global state. On a production cluster the dispatch table in
 (PIL/libvips/ffmpeg) without touching the Spark plumbing; the formats
 implemented here stay available as the zero-dependency fallback.
 
-Scope note: JPEG/MP3/H.264-class formats need entropy/DCT machinery
-that is out of scope for a pure-stdlib layer; they are reported as
+- JPEG — ITU-T T.81 baseline sequential + JFIF (T.871): Annex K
+  quantization/Huffman tables with canonical code construction,
+  quality scaling, optional 4:2:0 subsampling and DRI/RSTn restart
+  intervals, byte-stuffed entropy coding, zigzag + 8x8 DCT-II via a
+  numpy basis-matrix product. Progressive (SOF2), arithmetic-coded,
+  12-bit and hierarchical streams raise NotImplementedError.
+
+Scope note: MP3/H.264-class formats and non-baseline JPEG modes are
+out of scope for a pure-stdlib layer; they are reported as
 ``unsupported`` (never ``corrupt``) by the feature pass.
 """
 
@@ -694,6 +701,558 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 # ==========================================================================
 # image features shared by the fixture generator and the Spark decoder
 # ==========================================================================
+
+
+# ==========================================================================
+# JPEG (baseline sequential DCT, ITU-T T.81 + JFIF / ITU-T T.871)
+# ==========================================================================
+# Spec-derived like the PNG/GIF machinery above: Annex K quantization +
+# Huffman tables, canonical Huffman code construction, byte-stuffed
+# entropy-coded segments, restart markers, zigzag + 8x8 DCT-II via a
+# numpy basis-matrix product. Baseline sequential only: progressive
+# (SOF2), arithmetic coding, 12-bit precision and hierarchical modes
+# raise NotImplementedError (the multimodal ladder reports those as
+# ``unsupported``, never ``corrupt``). Reference treats IMAGE as a
+# first-class format class (atra/src/format/supported.rs:31-60); JPEG
+# is the dominant web image format, so the feature pass must decode it.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1/K.2 quantization tables (in natural row-major order)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3-K.6 Huffman specs: (BITS[1..16], HUFFVAL)
+_HT_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# DCT-II basis matrix: C[k, n] = s(k) cos((2n+1) k pi / 16)
+_DCT_C = np.array([
+    [
+        (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+        * np.cos((2 * n + 1) * k * np.pi / 16)
+        for n in range(8)
+    ]
+    for k in range(8)
+])
+
+
+def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) by the T.81 Annex C canonical rule."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, the decoder-side view of the same
+    canonical assignment."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _jpeg_canonical_codes(bits, vals).items()
+    }
+
+
+def _scale_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's published quality->scaling mapping (IJG jcparam.c,
+    public knowledge): 5000/q below 50, 200-2q above."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qt = (base * scale + 50) // 100
+    return np.clip(qt, 1, 255)
+
+
+def _csize(v: int) -> int:
+    """Category (bit size) of a DC difference / AC coefficient."""
+    return int(abs(int(v))).bit_length()
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (B.1.1.5)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def pad_to_byte(self) -> None:
+        if self._n:
+            self.write(0x7F, 8 - self._n)  # pad with 1-bits (B.1.1.5)
+
+
+def _fdct_quant(block: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Level-shift, 2-D DCT-II, quantize; returns 64 zigzagged ints."""
+    coef = _DCT_C @ (block.astype(np.float64) - 128.0) @ _DCT_C.T
+    q = np.round(coef.reshape(64) / qt.astype(np.float64))
+    return q.astype(np.int64)[_ZIGZAG]
+
+
+def _encode_block(
+    w: _BitWriter, zz: np.ndarray, pred: int,
+    dc_codes: dict, ac_codes: dict,
+) -> int:
+    diff = int(zz[0]) - pred
+    size = _csize(diff)
+    code, length = dc_codes[size]
+    w.write(code, length)
+    if size:
+        w.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if i > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            w.write(c, ln)
+            run -= 16
+        size = _csize(v)
+        c, ln = ac_codes[(run << 4) | size]
+        w.write(c, ln)
+        w.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        w.write(c, ln)
+    return int(zz[0])
+
+
+def _jfif_headers(
+    out: bytearray, w: int, h: int, n_comp: int,
+    qts: list[np.ndarray], samps: list[tuple[int, int]],
+    restart_interval: int,
+) -> None:
+    out += b"\xff\xd8"  # SOI
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tq, qt in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
+            int(x) for x in qt[_ZIGZAG]
+        )
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for ci in range(n_comp):
+        hs, vs = samps[ci]
+        tq = 0 if ci == 0 else 1
+        sof += struct.pack(">BBB", ci + 1, (hs << 4) | vs, min(tq, len(qts) - 1))
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    tables = [(0x00, _HT_DC_LUMA), (0x10, _HT_AC_LUMA)]
+    if n_comp == 3:
+        tables += [(0x01, _HT_DC_CHROMA), (0x11, _HT_AC_CHROMA)]
+    for tc_th, (bits, vals) in tables:
+        body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline-sequential JFIF encoder: grayscale (HxW) or RGB
+    (HxWx3) uint8, Annex K tables scaled by ``quality``, optional
+    4:2:0 chroma subsampling and DRI/RSTn restart intervals. The
+    decoder below round-trips everything this emits; goldens are
+    golden-by-construction (encode -> decode -> features)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3):
+        raise EncodeError(f"unsupported array shape {arr.shape}")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise EncodeError(f"unsupported subsampling {subsampling}")
+    h, w, n_comp = a.shape
+    sub = subsampling == "4:2:0" and n_comp == 3
+    if n_comp == 3:
+        rgb = a.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+        planes = [y, cb, cr]
+        samps = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1), (1, 1), (1, 1)]
+    else:
+        planes = [a[..., 0].astype(np.float64)]
+        samps = [(1, 1)]
+    qt_l = _scale_qt(_QT_LUMA, quality)
+    qts = [qt_l] + ([_scale_qt(_QT_CHROMA, quality)] if n_comp == 3 else [])
+    maxh = max(s[0] for s in samps)
+    maxv = max(s[1] for s in samps)
+    mcu_w, mcu_h = 8 * maxh, 8 * maxv
+    mcux = -(-w // mcu_w)
+    mcuy = -(-h // mcu_h)
+
+    def comp_plane(p: np.ndarray, hs: int, vs: int) -> np.ndarray:
+        """Pad to MCU grid (edge replicate), then box-downsample."""
+        ph, pw = mcuy * mcu_h, mcux * mcu_w
+        padded = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        if hs == maxh and vs == maxv:
+            return padded
+        fy, fx = maxv // vs, maxh // hs
+        return padded.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+    comp_px = [comp_plane(p, *s) for p, s in zip(planes, samps)]
+    out = bytearray()
+    _jfif_headers(out, w, h, n_comp, qts, samps, restart_interval)
+    sos = struct.pack(">B", n_comp)
+    for ci in range(n_comp):
+        td_ta = 0x00 if ci == 0 else 0x11
+        sos += struct.pack(">BB", ci + 1, td_ta)
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    dc_codes = [
+        _jpeg_canonical_codes(*(_HT_DC_LUMA if ci == 0 else _HT_DC_CHROMA))
+        for ci in range(n_comp)
+    ]
+    ac_codes = [
+        _jpeg_canonical_codes(*(_HT_AC_LUMA if ci == 0 else _HT_AC_CHROMA))
+        for ci in range(n_comp)
+    ]
+    comp_qt = [qts[0] if ci == 0 else qts[1] for ci in range(n_comp)]
+    writer = _BitWriter()
+    preds = [0] * n_comp
+    rst = 0
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                writer.pad_to_byte()
+                out += writer.buf
+                writer = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * n_comp
+            for ci in range(n_comp):
+                hs, vs = samps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        r0 = (my * vs + by) * 8
+                        c0 = (mx * hs + bx) * 8
+                        block = comp_px[ci][r0:r0 + 8, c0:c0 + 8]
+                        zz = _fdct_quant(block, comp_qt[ci])
+                        preds[ci] = _encode_block(
+                            writer, zz, preds[ci], dc_codes[ci], ac_codes[ci]
+                        )
+            n_mcu += 1
+    writer.pad_to_byte()
+    out += writer.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over the entropy-coded segment with 0xFF00
+    unstuffing; stops AT markers (the scan loop handles RSTn)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise DecodeError("jpeg: truncated entropy segment")
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    raise DecodeError("jpeg: marker inside entropy segment")
+            else:
+                self.pos += 1
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self._n = 0
+
+    def at_marker(self) -> int | None:
+        """Peek a marker at the (byte-aligned) cursor, or None."""
+        if self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt != 0x00:
+                return nxt
+        return None
+
+
+def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise DecodeError("jpeg: invalid huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline-sequential JFIF decoder (T.81 SOI/DQT/DHT/SOF0/DRI/SOS
+    parse, Huffman + DC-predictor entropy decode, dequant, inverse
+    zigzag, basis-matrix IDCT, replicated chroma upsample, T.871
+    YCbCr->RGB). Progressive/arithmetic/12-bit/hierarchical streams
+    raise NotImplementedError (-> ``unsupported``); malformed streams
+    raise DecodeError (-> ``corrupt``)."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise DecodeError("jpeg: missing SOI")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None  # (h, w, comps) with comps = [(id, hs, vs, tq)]
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise DecodeError("jpeg: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before any scan
+            raise DecodeError("jpeg: no scan data")
+        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise NotImplementedError("jpeg: progressive mode")
+        if marker in (0xC1, 0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
+            raise NotImplementedError("jpeg: non-baseline frame type")
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2 : pos + seglen]
+        if len(seg) < seglen - 2:
+            raise DecodeError("jpeg: truncated segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("jpeg: 16-bit quant table")
+                if p + 65 > len(seg):
+                    raise DecodeError("jpeg: truncated quant table")
+                zz = np.frombuffer(seg, dtype=np.uint8, count=64, offset=p + 1)
+                qt = np.zeros(64, dtype=np.int64)
+                qt[_ZIGZAG] = zz
+                qts[tq] = qt
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                if len(bits) < 16 or p + 17 + n > len(seg):
+                    raise DecodeError("jpeg: truncated huffman table")
+                vals = list(seg[p + 17 : p + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _jpeg_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError("jpeg: 12-bit precision")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise NotImplementedError("jpeg: sampling factor > 2")
+                comps.append((cid, hs, vs, tq))
+            frame = (h, w, comps)
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise DecodeError("jpeg: SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
+                scan.append((cs, tdta >> 4, tdta & 0x0F))
+            return _decode_scan(
+                data, pos + seglen, frame, scan, qts, dc_tabs, ac_tabs,
+                restart_interval,
+            )
+        pos += seglen
+    raise DecodeError("jpeg: truncated stream")
+
+
+def _decode_scan(
+    data, pos, frame, scan, qts, dc_tabs, ac_tabs, restart_interval
+) -> np.ndarray:
+    h, w, comps = frame
+    if [c[0] for c in comps] != [s[0] for s in scan]:
+        raise NotImplementedError("jpeg: non-interleaved scan order")
+    maxh = max(c[1] for c in comps)
+    maxv = max(c[2] for c in comps)
+    mcux = -(-w // (8 * maxh))
+    mcuy = -(-h // (8 * maxv))
+    planes = [
+        np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
+        for _, hs, vs, _ in comps
+    ]
+    for _, _, _, tq in comps:
+        if tq not in qts:
+            raise DecodeError(f"jpeg: missing quant table {tq}")
+    r = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    rst_expect = 0
+    for n_mcu in range(mcux * mcuy):
+        if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+            r.align()
+            m = r.at_marker()
+            if m is None or not (0xD0 <= m <= 0xD7):
+                raise DecodeError("jpeg: missing restart marker")
+            if m != 0xD0 + rst_expect:
+                raise DecodeError("jpeg: restart marker out of order")
+            r.pos += 2
+            rst_expect = (rst_expect + 1) % 8
+            preds = [0] * len(comps)
+        my, mx = divmod(n_mcu, mcux)
+        for ci, ((_, hs, vs, tq), (_, td, ta)) in enumerate(zip(comps, scan)):
+            if td not in dc_tabs or ta not in ac_tabs:
+                raise DecodeError("jpeg: missing huffman table")
+            for by in range(vs):
+                for bx in range(hs):
+                    zz = np.zeros(64, dtype=np.int64)
+                    size = _huff_decode(r, dc_tabs[td])
+                    preds[ci] += _extend(r.bits(size), size) if size else 0
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(r, ac_tabs[ta])
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise DecodeError("jpeg: AC index overflow")
+                        zz[k] = _extend(r.bits(size), size)
+                        k += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[_ZIGZAG] = (zz * qts[tq]).astype(np.float64)
+                    blk = _DCT_C.T @ coef.reshape(8, 8) @ _DCT_C + 128.0
+                    r0, c0 = (my * vs + by) * 8, (mx * hs + bx) * 8
+                    planes[ci][r0:r0 + 8, c0:c0 + 8] = blk
+    full = []
+    for (_, hs, vs, _), p in zip(comps, planes):
+        fy, fx = maxv // vs, maxh // hs
+        if fy > 1 or fx > 1:
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        full.append(p[: h, : w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    if len(full) != 3:
+        raise NotImplementedError(f"jpeg: {len(full)}-component color")
+    y, cb, cr = full
+    rch = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([rch, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
 def to_gray(arr: np.ndarray) -> np.ndarray:

@@ -41,6 +41,7 @@ from .media_codecs import (
     ahash64,
     decode_bmp,
     decode_gif,
+    decode_jpeg,
     decode_png,
     decode_pnm,
     decode_wav,
@@ -247,6 +248,7 @@ FRAME_SCHEMA = StructType(
 # (decode_media, _decode_frames, the fingerprint pass) dispatches here.
 _STILL_DECODERS = {
     "image/png": decode_png,
+    "image/jpeg": decode_jpeg,
     "image/bmp": decode_bmp,
     "image/x-portable-anymap": decode_pnm,
 }
@@ -540,9 +542,9 @@ def media_phash_near_dup(features: DataFrame, max_hamming: int = 8) -> DataFrame
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic REAL media table for tests/benches: payloads are
-    genuine PNG/GIF/BMP/WAV bytes produced by the codec layer's
+    genuine PNG/JPEG/GIF/BMP/WAV bytes produced by the codec layer's
     encoders, plus planted exact duplicates, near-duplicate images
-    (small pixel noise), an unsupported format (JPEG magic) and a
+    (small pixel noise), an unsupported format (progressive JPEG) and a
     corrupt payload — every ``decoded`` status is represented."""
     media, _golden = synth_media_with_golden(n, seed)
     return spark.createDataFrame(media, MEDIA_SCHEMA)
@@ -631,6 +633,31 @@ def _synth_row(i: int, seed: int):
                 {"frames": [q], "delays": [0.0]},
             )
         if slot == 2:
+            if i % 16 == 10:
+                # real baseline JPEG (codec layer's own encoder). JPEG is
+                # LOSSY, so this family's golden is golden-by-construction
+                # through the decoder: the expected array is DEFINED as
+                # decode(encode(src)) — both the fixture generator and the
+                # Spark pass run the identical pure function, and decoder
+                # correctness itself is pinned against source arrays in
+                # tests/test_media_codecs.py. i%32==26 is a near-duplicate
+                # of i%32==10's gradient (one perturbed pixel) so JPEG rows
+                # join the perceptual-hash near-dup pairs.
+                from .media_codecs import decode_jpeg, encode_jpeg
+
+                k = i // 32
+                yy, xx = np.mgrid[0 : 16 + k % 3, 0:16]
+                src = np.stack(
+                    [(yy * 3 + xx * 5 + k * 37 + c * 11) % 256 for c in range(3)],
+                    axis=-1,
+                ).astype(np.uint8)
+                if i % 32 == 26:
+                    src = src.copy()
+                    src[1, 1] = (src[1, 1].astype(int) + 4).clip(0, 255).astype(np.uint8)
+                payload = encode_jpeg(src, quality=90)
+                dec = decode_jpeg(payload)
+                return ("image", payload, _image_info(dec), "ok",
+                        {"frames": [dec], "delays": [0.0]})
             return ("image", encode_bmp(arr), _image_info(arr), "ok",
                     {"frames": [arr], "delays": [0.0]})
         return ("image", encode_png(arr), _image_info(arr), "ok",
@@ -659,8 +686,11 @@ def _synth_row(i: int, seed: int):
         }
         return ("audio", encode_wav(x, 8000), info, "ok",
                 {"samples": pcm, "sr": 8000})
-    if slot == 4:  # unsupported: JPEG magic + deterministic noise
-        return "image", b"\xff\xd8\xff\xe0" + rng.bytes(96), {}, "unsupported", None
+    if slot == 4:
+        # unsupported: PROGRESSIVE JPEG (SOF2) — a valid format outside
+        # the baseline decoder's declared scope, reported `unsupported`
+        # never `corrupt` (the deterministic tail varies payload hashes)
+        return "image", b"\xff\xd8\xff\xc2" + rng.bytes(96), {}, "unsupported", None
     if slot == 6:  # corrupt: truncated PNG
         png = encode_png(rng.randint(0, 256, (12, 12, 3)).astype(np.uint8))
         return "image", png[:40], {}, "corrupt", None

@@ -79,7 +79,7 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,
     threshold: float = 0.25,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     seed: int = 42,
     max_bucket: int = 64,
     vec_col: str = "embedding",
@@ -104,7 +104,20 @@ def embedding_near_dup_pairs(
     recall-approximate by design: a near-dup pair split across buckets
     is missed; run with several ``seed`` values and union the pairs to
     add bands (each band is an independent, identically-shaped pass).
+
+    ``n_planes=None`` (default) auto-sizes to the corpus: one cheap
+    count picks ``max(8, ceil(log2(n / max_bucket)) + 1)`` so the mean
+    bucket population sits at ~max_bucket/2 and default recall does not
+    collapse at scale (at 8 fixed planes a 100k-vector corpus would
+    overflow — and thus DROP — essentially every bucket). Pass an
+    explicit ``n_planes`` to skip the count (and to keep a pinned
+    bucketing across runs, e.g. the test oracle's seeded literals).
     """
+    if n_planes is None:
+        import math
+
+        n = df.count()
+        n_planes = max(8, math.ceil(math.log2(max(n, 1) / max_bucket)) + 1)
     bucketed = add_lsh_bucket(df, dim, n_planes, seed, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "lsh_bucket"
     )

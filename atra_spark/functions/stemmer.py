@@ -2826,6 +2826,97 @@ SNOWBALL_STOPWORDS["swe"] = SNOWBALL_STOPWORDS["swedish"]
 SNOWBALL_STOPWORDS["nor"] = SNOWBALL_STOPWORDS["norwegian"]
 SNOWBALL_STOPWORDS["nld"] = SNOWBALL_STOPWORDS["dutch"]
 SNOWBALL_STOPWORDS["por"] = SNOWBALL_STOPWORDS["portuguese"]
+# the remaining six Snowball-stemmer languages, so stopword coverage
+# matches the 18-algorithm stemmer surface (the reference registers a
+# list per ISO language through iso_stopwords,
+# text_processing/src/stopword_registry.rs:17); closed-class function
+# words per language, same provenance note as above in COVERAGE.md
+SNOWBALL_STOPWORDS["hungarian"] = frozenset("""
+    a az és hogy nem is egy volt vele ha meg de mert csak már még mint
+    el ez azt ki mi ő ők mikor át ezek amely amelyek aki akik ahol
+    amikor azonban ezt ezzel arra abban ahhoz annak azok azokat azzal
+    bár be benne cikk cikkek egyes egyetlen egyéb egyik ekkor emilyen
+    ennek erre fel felé hanem hiszen hogyan igen ill illetve ilyen
+    ilyenkor ismét itt jobban jó kell kellett keresztül ki lehet lenne
+    lesz lett maga magát majd mellett mely melyek mit mivel most nagyon nagy
+    nagyobb nekem neki nincs néha néhány nélkül ott pedig persze rá s
+    saját sem semmi sok sokat sokkal számára szemben szerint szinte
+    talán tehát teljes tovább továbbá több úgy ugyanis új újabb újra
+    után utána utolsó vagy vagyis valaki valami valamint való van
+    vannak vissza viszont volna voltak voltam voltunk
+""".split())
+SNOWBALL_STOPWORDS["hun"] = SNOWBALL_STOPWORDS["hungarian"]
+SNOWBALL_STOPWORDS["romanian"] = frozenset("""
+    a acea aceasta această aceea acei aceia acel acela acele acelea
+    acest acesta aceste acestea acești aceștia acolo acum ai aia aibă
+    aici al ale alea altceva altcineva am ar are asemenea asta astea
+    astăzi asupra au avea avem aveți azi bine bucur bună ca care căci
+    când ce cel ceva chiar cinci cine cineva cât câte câți către cu cum
+    cumva da dacă dar datorită de deci deja deoarece departe deși din
+    dinaintea dintr dintre drept după ea ei el ele eram este eu face
+    fără fi fie fiecare fii fim fiți iar ieri îi îl îmi împotriva în
+    înainte înaintea încât încît încotro între întrucât întrucît îți la
+    lângă le li lîngă lor lui mă mai mea mei mele mereu meu mi mine mult
+    multă mulți ne nicăieri nici nimeni nimic niște noastră noastre
+    noi noștri nostru nu ori oricând oricare oricât orice oricând
+    oricine oricum oriunde până pe pentru peste prea prima primul prin
+    printr sa să săi sale sau se și sunt suntem sunteți sută ta tale
+    tău te ți toată toate tot toți totuși tu un una unde unei unele
+    uneori unor vă vi voastre vostru vouă vreo vreun
+""".split())
+SNOWBALL_STOPWORDS["ron"] = SNOWBALL_STOPWORDS["romanian"]
+SNOWBALL_STOPWORDS["turkish"] = frozenset("""
+    acaba ama ancak artık aslında az bana bazen bazı belki ben beni
+    benim beri beş bile bin bir biraz birçok biri birkaç birşey biz
+    bize bizden bizi bizim böyle böylece bu buna bunda bundan bunlar
+    bunları bunların bunu bunun burada çok çünkü da daha dahi de defa
+    değil diğer diye doksan dokuz dolayı dört elli en gibi göre halen
+    hangi hatta hem henüz hep hepsi her herhangi herkes hiç hiçbir için
+    iki ile ilgili ise işte itibaren kadar karşın kendi kendine kez ki
+    kim kimden kime kimi mı mi mu mü nasıl ne neden nedenle nerde
+    nerede nereye niye niçin o olan olarak oldu olduğu olmak olması
+    olur on ona ondan onlar onlardan onları onların onu onun otuz oysa
+    öyle pek rağmen sana sanki sekiz seksen sen senden seni senin siz
+    sizden sizi sizin şey şeyden şeyi şeyler şöyle şu şuna şunda şundan
+    şunları şunu tüm üç üzere var vardı ve veya ya yani yedi yerine
+    yetmiş yine yirmi yoksa yüz zaten
+""".split())
+SNOWBALL_STOPWORDS["tur"] = SNOWBALL_STOPWORDS["turkish"]
+SNOWBALL_STOPWORDS["arabic"] = frozenset("""
+    في من على و ان أن إن الى إلى عن مع هذا هذه ذلك تلك التي الذي الذين
+    اللاتي اللواتي ما لا لم لن له لها لهم لنا لك لي به بها بهم بنا هو
+    هي هم هن انت أنت انتم أنتم نحن انا أنا كان كانت كانوا يكون تكون
+    اكون أكون قد وقد كل بعض غير بين حتى اذا إذا أو او ثم أم ام لكن
+    ولكن كما فيه فيها منه منها عنه عنها اليه إليه اليها إليها هناك
+    هنالك هنا حيث عند عندما بعد قبل خلال دون ضد حول أي اي أيضا ايضا
+    فقط ليس ليست كيف متى أين اين لماذا ماذا يا ألا إلا الا إما اما إذ
+    اذ منذ لدى لديه سوف سوى ضمن نفس عليه عليها علي إنه انه إنها انها
+""".split())
+SNOWBALL_STOPWORDS["ara"] = SNOWBALL_STOPWORDS["arabic"]
+SNOWBALL_STOPWORDS["greek"] = frozenset("""
+    ο η το οι τα του της των τον την και κι κ είμαι είσαι είναι είμαστε
+    είστε στο στον στη στην στα στις στους με σε από για προς κατά μετά
+    χωρίς πριν πρώτος ως πως πώς που πού ποιος ποια ποιο ποιοι ποιες
+    ποιων ποιον τι αυτός αυτή αυτό αυτοί αυτές αυτά αυτού αυτής αυτών
+    αυτόν εκείνος εκείνη εκείνο εκείνοι εκείνες εκείνα όπως όταν όπου
+    ότι ό,τι αν δεν δε μη μην μα αλλά αλλα όμως ενώ επειδή γιατί διότι
+    ναι όχι θα να ας μου σου του μας σας τους μένα σένα εμείς εσείς εγώ
+    εσύ κάθε κάτι κάποιος κάποια κάποιο τίποτα πολύ πολλά λίγο άλλος
+    άλλη άλλο ακόμα ακόμη μόνο μέσα έξω πάνω κάτω εδώ εκεί τώρα μετά
+    πάλι πια πιο σαν ούτε είτε ήταν ήμουν έχει έχω έχεις έχουμε έχετε
+    έχουν είχε είχα υπό επί περί ανά εκ εξ
+""".split())
+SNOWBALL_STOPWORDS["ell"] = SNOWBALL_STOPWORDS["greek"]
+SNOWBALL_STOPWORDS["tamil"] = frozenset("""
+    ஒரு என்று மற்றும் இந்த இது அது என்ற அந்த ஆகும் அல்லது இன்னும் ஆனால்
+    எனவே மிகவும் இதன் அதன் தான் நான் நீ அவன் அவள் அவர் அவர்கள் நாம்
+    நாங்கள் நீங்கள் எது எந்த யார் என்ன எப்போது எங்கே ஏன் எப்படி இங்கே
+    அங்கே உள்ள உள்ளது உள்ளன இருந்து இருந்தது இருக்கும் இருக்கிறது வேண்டும்
+    முடியும் கூட மட்டும் போன்ற போல் போது பின்னர் முன்னர் மேலும் சில பல
+    எல்லா அனைத்து மூலம் பற்றி உடன் இல்லை இல்லாமல் ஆக வை என எனக்கு உனக்கு
+    அவருக்கு எங்கள் உங்கள் அவர்களின் அதே இதை அதை இவை அவை
+""".split())
+SNOWBALL_STOPWORDS["tam"] = SNOWBALL_STOPWORDS["tamil"]
 
 STEMMERS = {"english": stem_english, "eng": stem_english,
             "german": stem_german, "deu": stem_german,

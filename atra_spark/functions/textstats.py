@@ -152,7 +152,18 @@ _STOPWORDS = {w for words in MARKERS.values() for w in words}
 
 import re as _re
 
-_WORD_RE = _re.compile(r"\w+", _re.UNICODE)
+# Python re's \w excludes combining marks (categories Mn/Mc/Me), which
+# fragments Brahmic-script words (Tamil/Devanagari vowel signs) into
+# useless shards and silently defeats stopword matching for those
+# languages. Let a token CONTINUE through marks (it still must start on
+# a word char), which leaves ASCII/Latin tokenization byte-identical —
+# so the DuckDB oracle twins (whitespace/\w splits over ASCII fixtures)
+# are unaffected. Marks live below U+3000 for every living script we
+# profile (langdata.py); the scan is ~12k category() calls at import.
+_COMBINING_MARKS = "".join(
+    chr(c) for c in range(0x3000) if unicodedata.category(chr(c)).startswith("M")
+)
+_WORD_RE = _re.compile(rf"\w[\w{_re.escape(_COMBINING_MARKS)}]*", _re.UNICODE)
 
 
 def tokenize(

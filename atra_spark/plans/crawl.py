@@ -433,6 +433,15 @@ class CrawlEngine:
         # salted two-phase dedup to unique candidates w/ lowest depth
         candidates = aggregate_candidates(expanded)
 
+        # diagnostic sub-phase timing (OFF in benchmarks: the caches +
+        # counts change the plan): localizes non-scaling stages inside
+        # the frontier_write interval
+        _timing_fine = _timing and _os.environ.get("ATRA_PHASE_TIMING_FINE") == "1"
+        if _timing_fine:
+            candidates = candidates.cache()
+            candidates.count()
+            _phase("fw:expand+dedup")
+
         # ---- seen-set membership (the core operator): bucket-routed
         # bloom probe + exact confirm against the persistent SeenIndex.
         # The seen TABLE is not shuffled at all here — each task reads
@@ -447,6 +456,10 @@ class CrawlEngine:
         ).withColumn("host", origin_udf(F.col("url"))).filter(
             F.col("host").isNotNull()
         )
+        if _timing_fine:
+            new_urls = new_urls.cache()
+            new_urls.count()
+            _phase("fw:probe+origin")
 
         # ---- state transitions for this round (batch MERGE): one
         # branch over the committed results (fetched -> Processed,

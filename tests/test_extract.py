@@ -309,6 +309,18 @@ class TestLangIdWidening:
         "lat": "paginae servatae sunt quia textum perdere non vis sed etiam vincula quae in rete sunt",
     }
 
+    # round-5 tail: the LAST five whatlang languages — all Latin-script
+    # with hard family neighbours (jav/ind Malayo-Polynesian,
+    # tuk/tur/aze/uzb Turkic, zul/sna Bantu). 69 languages total =
+    # whatlang's full coverage.
+    HELD_OUT_R5 = {
+        "jav": "kaca kaca wis disimpen amarga sampeyan ora pengin kelangan teks nanging uga pranala sing ana ing jaringan",
+        "tuk": "sahypalar saklandy sebäbi siz teksti ýitirmek islemeýärsiňiz emma torda bolan baglanyşyklary hem",
+        "aka": "wɔakora nkrataafa no ɛfiri sɛ wompɛ sɛ wohwere atwerɛdeɛ no nanso nkitahodie a ɛwɔ ntam no nso",
+        "zul": "amakhasi agciniwe ngoba awufuni ukulahlekelwa umbhalo kodwa nezixhumanisi ezikhona kunethiwekhi",
+        "sna": "mapeji akachengetwa nokuti haudi kurasikirwa nemazwi asi nezvisungo zviri mumambure",
+    }
+
     # round-4 calibration: script-first detection (whatlang's own
     # architecture) removed the round-3 ideographic floor — one
     # threshold now means the same thing in every script
@@ -318,11 +330,12 @@ class TestLangIdWidening:
         from atra_spark.functions.langdata import DETECT_LANGS, LANGS
 
         assert len(LANGS) == 7  # frozen fixture set untouched
-        assert len(DETECT_LANGS) == 64
+        assert len(DETECT_LANGS) == 69
 
     def test_held_out_sentences(self):
         for lang, text in {
-            **self.HELD_OUT, **self.HELD_OUT_R4, **self.HELD_OUT_R4B
+            **self.HELD_OUT, **self.HELD_OUT_R4, **self.HELD_OUT_R4B,
+            **self.HELD_OUT_R5,
         }.items():
             got, conf = detect_lang(text)
             assert got == lang, f"{lang} -> {got}"

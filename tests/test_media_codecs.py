@@ -457,3 +457,115 @@ def test_resize_nearest_extreme_aspect_floor():
     arr = _img(2, 100)
     out = resize_nearest(arr, 8)
     assert out.shape == (1, 8, 3)  # height floors at 1, never 0
+
+
+# ==========================================================================
+# JPEG (baseline sequential, T.81 + JFIF)
+# ==========================================================================
+
+def _gradient(h, w, k=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [((yy * 3 + xx * 5 + k * 37 + c * 11) % 256) for c in range(3)], axis=-1
+    ).astype(np.uint8)
+
+
+class TestJpeg:
+    def test_flat_blocks_roundtrip_exactly(self):
+        """DC-only images survive quantization exactly — the loss-free
+        corner that pins level shift, DC prediction and dequant."""
+        from atra_spark.functions.media_codecs import decode_jpeg, encode_jpeg
+
+        for v in (0, 1, 128, 137, 255):
+            arr = np.full((16, 24, 3), v, dtype=np.uint8)
+            out = decode_jpeg(encode_jpeg(arr, quality=90))
+            assert out.shape == arr.shape
+            assert (out == arr).all(), v
+
+    def test_smooth_image_decodes_close_to_source(self):
+        """Lossy by design: the decoder must land within a few gray
+        levels of the source on smooth content at quality 90."""
+        from atra_spark.functions.media_codecs import decode_jpeg, encode_jpeg
+
+        arr = _gradient(33, 24)
+        out = decode_jpeg(encode_jpeg(arr, quality=90))
+        assert out.shape == arr.shape
+        err = np.abs(out.astype(int) - arr.astype(int))
+        assert err.mean() < 4.0 and np.percentile(err, 95) < 16
+
+    def test_grayscale_single_component(self):
+        from atra_spark.functions.media_codecs import decode_jpeg, encode_jpeg
+
+        g = _gradient(17, 19)[:, :, 0]
+        out = decode_jpeg(encode_jpeg(g, quality=95))
+        assert out.shape == g.shape and out.ndim == 2
+        assert np.abs(out.astype(int) - g.astype(int)).mean() < 4.0
+
+    def test_chroma_subsampling_420_mcu_interleave(self):
+        """2x2 sampling factors: 4 luma blocks + 1 Cb + 1 Cr per MCU,
+        chroma box-downsampled then replicated back up."""
+        from atra_spark.functions.media_codecs import decode_jpeg, encode_jpeg
+
+        arr = _gradient(24, 33)  # non-multiple-of-16 edges exercise padding
+        out = decode_jpeg(encode_jpeg(arr, quality=90, subsampling="4:2:0"))
+        assert out.shape == arr.shape
+        assert np.abs(out.astype(int) - arr.astype(int)).mean() < 8.0
+
+    def test_restart_markers(self):
+        """DRI/RSTn: predictors reset at each interval, markers byte-aligned
+        and consumed in sequence."""
+        from atra_spark.functions.media_codecs import decode_jpeg, encode_jpeg
+
+        arr = _gradient(24, 40)
+        enc = encode_jpeg(arr, quality=90, restart_interval=2)
+        assert b"\xff\xdd" in enc  # DRI present
+        assert any(bytes([0xFF, 0xD0 + k]) in enc for k in range(8))
+        out = decode_jpeg(enc)
+        # this 40-wide gradient wraps mid-block (ringing), so the bound
+        # is looser; exactness vs the unrestarted stream is pinned below
+        assert np.abs(out.astype(int) - arr.astype(int)).mean() < 8.0
+
+    def test_restart_stream_equals_unrestarted_decode(self):
+        from atra_spark.functions.media_codecs import decode_jpeg, encode_jpeg
+
+        arr = _gradient(16, 16, k=3)
+        a = decode_jpeg(encode_jpeg(arr, quality=90))
+        b = decode_jpeg(encode_jpeg(arr, quality=90, restart_interval=1))
+        assert (a == b).all()  # same coefficients, different framing
+
+    def test_byte_stuffing_path(self):
+        """Noise at high quality reliably produces 0xFF bytes in the
+        entropy segment — the stuffed 0xFF00 pairs must round-trip."""
+        from atra_spark.functions.media_codecs import decode_jpeg, encode_jpeg
+
+        rng = np.random.RandomState(5)
+        arr = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+        enc = encode_jpeg(arr, quality=95)
+        assert b"\xff\x00" in enc
+        out = decode_jpeg(enc)
+        assert out.shape == arr.shape  # lossy on noise; shape + no raise
+
+    def test_progressive_and_corrupt_ladder(self):
+        from atra_spark.functions.media_codecs import (
+            DecodeError, decode_jpeg, encode_jpeg,
+        )
+
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(b"\xff\xd8\xff\xc2" + b"\x00" * 16)  # SOF2
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(b"\xff\xd8\xff\xc9" + b"\x00" * 16)  # arithmetic
+        with pytest.raises(DecodeError):
+            decode_jpeg(b"\xff\xd8hello")  # garbage after SOI
+        with pytest.raises(DecodeError):
+            decode_jpeg(b"\xff\xd8\xff\xd9")  # EOI, no scan
+        enc = bytearray(encode_jpeg(_gradient(16, 16), quality=90))
+        with pytest.raises(DecodeError):
+            decode_jpeg(bytes(enc[: len(enc) // 2]))  # truncated ECS
+
+    def test_quality_monotonic_size(self):
+        from atra_spark.functions.media_codecs import encode_jpeg
+
+        rng = np.random.RandomState(7)
+        arr = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+        sizes = [len(encode_jpeg(arr, quality=q)) for q in (20, 60, 95)]
+        assert sizes[0] < sizes[1] < sizes[2]

@@ -26,6 +26,22 @@ from pyspark.sql import functions as F
 from atra_spark.operators.seen_index import SeenIndex
 
 
+@pytest.fixture(autouse=True, params=["local", "flat_object"])
+def bucket_storage_impl(request, monkeypatch):
+    """Run EVERY SeenIndex test under BOTH storage implementations —
+    the POSIX-directory LocalBucketStorage default and the flat-
+    namespace object-store-shaped FlatObjectBucketStorage — proving
+    the seam is a real swap point, not a single-implementation
+    abstraction (VERDICT r4 #9)."""
+    from atra_spark.operators import seen_index as si
+
+    if request.param == "flat_object":
+        monkeypatch.setattr(
+            si, "_default_storage", lambda root: si.FlatObjectBucketStorage(root)
+        )
+    return request.param
+
+
 def _urls_df(spark, urls):
     return spark.createDataFrame([(u,) for u in urls], "url string")
 
@@ -108,12 +124,9 @@ class TestSeenIndexIncrementality:
         idx.commit()
 
         def _snapshot():
-            out = {}
-            for d in os.listdir(root):
-                if d.startswith("bucket="):
-                    p = os.path.join(root, d)
-                    out[d] = sorted(os.listdir(p))
-            return out
+            # through the storage seam so the check is layout-agnostic
+            # (bucket= dirs locally, flat prefixed keys on object store)
+            return {b: idx.storage.list_bucket(b) for b in range(4)}
 
         before = _snapshot()
         # a round that touches exactly one URL -> exactly one bucket

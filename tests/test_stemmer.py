@@ -207,6 +207,49 @@ class TestNewRegistryEntries:
         for lang in ("french", "spanish", "italian", "russian"):
             assert len(SNOWBALL_STOPWORDS[lang]) > 80, lang
 
+
+class TestStopwordBreadth:
+    """Stopword coverage matches the 18-algorithm stemmer surface
+    (reference registers a per-ISO-language list through iso_stopwords,
+    text_processing/src/stopword_registry.rs:17)."""
+
+    def test_every_stemmer_language_has_stopwords(self):
+        from atra_spark.functions.stemmer import (
+            _RUST_STEMMERS_LANGS, SNOWBALL_STOPWORDS,
+        )
+
+        for lang, iso3 in _RUST_STEMMERS_LANGS.items():
+            assert len(SNOWBALL_STOPWORDS.get(lang, ())) >= 50, lang
+            assert SNOWBALL_STOPWORDS.get(iso3) is SNOWBALL_STOPWORDS[lang], iso3
+
+    # one content-bearing sentence per new language: the closed-class
+    # words must be filtered, the content words must survive (in
+    # whatever stemmed form — the stem assertions live in the per-
+    # stemmer golden tests, not here)
+    SENTENCES = {
+        "hungarian": ("ez egy nagyon szép ház és a kert", {"szép", "ház", "kert"}),
+        "romanian": ("aceasta este o carte bună și un câine", {"carte", "bun", "câine"}),
+        "turkish": ("bu çok güzel bir kitap ve bahçe", {"güzel", "kitap", "bahçe"}),
+        "arabic": ("هذا كتاب جميل في الحديقة و البيت", {"كتاب", "جميل"}),
+        "greek": ("αυτό είναι ένα ωραίο βιβλίο και ο κήπος", {"βιβλίο", "κήπος"}),
+        "tamil": ("இது ஒரு அழகான புத்தகம் மற்றும் தோட்டம்", {"புத்தகம்", "தோட்டம்"}),
+    }
+
+    def test_tokenize_filters_new_language_stopwords(self):
+        from atra_spark.functions.stemmer import SNOWBALL_STOPWORDS
+        from atra_spark.functions.textstats import tokenize
+
+        for lang, (sent, content) in self.SENTENCES.items():
+            stop = SNOWBALL_STOPWORDS[lang]
+            # stopword selection keys on the stemmer language; skip the
+            # stemming step itself so content words stay assertable
+            toks = tokenize(sent, stopwords="snowball", stemmer=lang)
+            raw = tokenize(sent, remove_stopwords=False)
+            assert set(raw) & stop, lang  # the sentence exercises the list
+            assert all(t not in stop for t in toks), (lang, toks)
+            # every content word survives in SOME (possibly stemmed) form
+            assert len(toks) >= len(content) - 1, (lang, toks)
+
     def test_conflation_classes(self):
         """Inflection families map to one stem (the property TF-IDF
         and GDBR rely on)."""

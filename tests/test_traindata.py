@@ -480,8 +480,9 @@ class TestMultimodal:
         media = multimodal.synth_media(spark, n=32)
         feats = {r["media_id"]: r for r in multimodal.extract_media_features(media).collect()}
         assert len(feats) == 32
-        # slot layout: 0=png 1=gif 2=bmp 3=wav 4=jpeg(unsupported)
-        # 5=png-near-dup 6=corrupt-png 7=empty
+        # slot layout: 0=png 1=gif 2=bmp/jpeg 3=wav
+        # 4=progressive-jpeg(unsupported) 5=png-near-dup 6=corrupt-png
+        # 7=empty
         assert feats[0]["sniffed_mime"] == "image/png"
         assert feats[0]["decoded"] == "ok"
         assert feats[0]["width"] == 16 and feats[0]["channels"] == 3
@@ -495,7 +496,11 @@ class TestMultimodal:
         assert feats[3]["sample_rate"] == 8000 and feats[3]["duration_s"] == 0.23
         assert feats[3]["rms"] is not None and 0.1 < feats[3]["rms"] < 0.3
         assert feats[4]["sniffed_mime"] == "image/jpeg"
-        assert feats[4]["decoded"] == "unsupported"
+        assert feats[4]["decoded"] == "unsupported"  # SOF2 progressive
+        # i%16==10: REAL baseline JPEG decoded by the spec-derived codec
+        assert feats[10]["sniffed_mime"] == "image/jpeg"
+        assert feats[10]["decoded"] == "ok"
+        assert feats[10]["width"] == 16 and feats[10]["ahash"] is not None
         assert feats[6]["decoded"] == "corrupt" and feats[6]["width"] is None
         assert feats[7]["decoded"] == "empty" and feats[7]["n_bytes"] == 0
 
@@ -755,6 +760,51 @@ class TestEmbeddingNearDup:
             rows, "vec_id long, embedding array<float>"
         ), dim=16, threshold=0.5, max_bucket=4)
         assert out.count() == 0
+
+    def test_auto_n_planes_keeps_buckets_under_cap_at_100k(self, spark):
+        """The auto-sized default must not collapse recall at scale: on
+        a 100k-vector corpus the chosen plane count keeps > 90% of LSH
+        buckets under the drop cap (at the old fixed 8 planes nearly
+        every bucket would exceed it and be dropped)."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from atra_spark.functions.similarity import add_lsh_bucket
+
+        # dim matches the embeddings fixture: the cell count of k random
+        # hyperplanes through the origin in R^d is capped at
+        # sum_{i<=d} C(k,i), so in VERY low dim (d=8: ~2k cells for
+        # k=12) no plane count can keep 100k vectors under the cap —
+        # the guarantee is about realistic embedding dims
+        n, dim, max_bucket = 100_000, 64, 64
+        df = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.rand(seed=100 + i) - 0.5).cast("float")
+                      for i in range(dim)]).alias("embedding"),
+        )
+        # same formula embedding_near_dup_pairs applies when n_planes=None
+        n_planes = max(8, math.ceil(math.log2(n / max_bucket)) + 1)
+        assert n_planes > 8
+        sizes = [
+            r["c"]
+            for r in add_lsh_bucket(df, dim, n_planes, seed=42)
+            .groupBy("lsh_bucket").agg(F.count("*").alias("c")).collect()
+        ]
+        under = sum(1 for c in sizes if c <= max_bucket)
+        assert under / len(sizes) > 0.9, f"{under}/{len(sizes)} buckets under cap"
+
+    def test_auto_n_planes_small_corpus_keeps_seeded_default(self, spark):
+        """At oracle scale the auto default resolves to the same 8
+        seeded planes the SQL twin pins, so the hash stays stable."""
+        from atra_spark.functions.similarity import embedding_near_dup_pairs
+
+        rng = np.random.default_rng(7)
+        rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(20)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        auto = embedding_near_dup_pairs(df, dim=16, threshold=0.25)
+        pinned = embedding_near_dup_pairs(df, dim=16, threshold=0.25, n_planes=8)
+        assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, pinned.collect()))
 
 
 class TestPageRank:
@@ -1735,6 +1785,72 @@ class TestBpe:
             kept = word_freqs(docs, max_words=3)
             assert kept.count() == 3
         assert any("cap" in r.message for r in caplog.records)
+
+
+class TestBpeBatch:
+    def test_batch_fold_equals_sequential_single_merges(self, spark):
+        """One map-lookup scan over symbol-disjoint pairs == applying
+        each pair's single-merge fold in sequence."""
+        from atra_spark.functions.bpe import _apply_merge, _apply_merge_batch
+
+        rows = [
+            (["a", "b", "c", "d", "a", "b"], 3),
+            (["c", "d", "c", "d", "x</w>"], 2),
+            (["a", "a", "b", "b"], 1),
+        ]
+        df = spark.createDataFrame(rows, "symbols array<string>, freq long")
+        pairs = [("a", "b"), ("c", "d")]
+        batch = {tuple(r["symbols"]): r["freq"]
+                 for r in _apply_merge_batch(df, pairs).collect()}
+        seq = df
+        for l, r in pairs:
+            seq = _apply_merge(seq, l, r)
+        sequential = {tuple(r["symbols"]): r["freq"] for r in seq.collect()}
+        assert batch == sequential
+        assert ("ab", "cd", "ab") in batch
+
+    def test_batch_training_equals_serial_on_disjoint_corpus(self, spark):
+        """Corpus of 2-letter words over pairwise-disjoint alphabets:
+        every merge collapses a whole word (creates no new pairs), so
+        batch rounds are byte-identical to the one-merge-at-a-time
+        serial reference."""
+        from atra_spark.functions import bpe
+
+        alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+        words = [alphabet[i] + alphabet[i + 1] for i in range(0, 36, 2)]
+        # strictly decreasing frequencies -> unambiguous global order
+        texts = [" ".join([w] * (100 - 3 * k)) for k, w in enumerate(words)]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got, rounds = bpe.bpe_train_batch(docs, n_merges=18, batch_k=8)
+        want = bpe.bpe_train_serial(texts, n_merges=18)
+        assert got == want
+        assert len(got) == 18
+        assert rounds == 3  # ceil(18 / 8): the batching actually batched
+
+    def test_thousand_merges_in_bounded_rounds(self, spark):
+        """The scale criterion: a 1,000-merge training run completes in
+        <= ~50 Spark rounds (vs 1,000 sequential jobs on the exact
+        path), each merge rank recorded with its selection-time count."""
+        import random
+
+        from atra_spark.functions import bpe
+
+        rng = random.Random(42)
+        alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+        words = {
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(8, 12)))
+            for _ in range(1500)
+        }
+        text = " ".join(w for w in sorted(words) for _ in range(3))
+        docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        merges, rounds = bpe.bpe_train_batch(docs, n_merges=1000, batch_k=64)
+        assert len(merges) == 1000
+        assert rounds <= 50, f"took {rounds} rounds"
+        assert [m[0] for m in merges] == list(range(1000))
+        # within a round, accepted pairs keep the sorted-count order
+        assert all(n >= 2 for _, _, _, n in merges)
 
 
 class TestBpeVocab:
