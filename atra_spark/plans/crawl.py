@@ -54,6 +54,69 @@ from ..operators.politeness import admit_window, schedule_hosts
 from ..operators.seen import aggregate_candidates
 
 
+def expand_links(res_read: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
+    """One round's link expansion over the committed results snapshot:
+    returns ``(edges, expanded)`` — the web-graph edge rows and the
+    per-link candidate rows (url + advanced depth triple) feeding the
+    dedup agg + seen probe.
+
+    Plan shape (pinned by
+    tests/test_plan_quality.py::TestAlignedFrontierPath): a pure JVM
+    scan -> explode -> project with no per-link Python stage AND no
+    join of any kind. The link's politeness origin (full PSL) was
+    computed inside the extraction batch (LINK_STRUCT.host) and the
+    parent's depth triple rides the results row itself, so the former
+    broadcast of the admitted set — a driver-serial hash-relation
+    build plus one probe per exploded link, and past the broadcast
+    threshold outright at 10^10-frontier scale — is gone.
+
+    Depth advance (url_with_depth.rs:69-110) as column expressions.
+    The same-host test uses FULL hostname equality (atra_uri.rs
+    compare_hosts :200-225), not the registrable-domain politeness
+    key: a subdomain hop (blog.x.com -> www.x.com) RESETS
+    depth_on_website and increments distance_to_seed. "host" stays
+    the origin/politeness/partition key only.
+
+    Bandwidth diet: the expand->agg->probe shuffle carries ONLY
+    (url, 3 depth longs). host (PSL origin, a pure function of url)
+    is recomputed after the seen-filter on the surviving new-URL set —
+    orders of magnitude smaller than the exploded link set — instead
+    of riding the exchange as a second string."""
+    links = (
+        res_read.filter(F.col("fetched"))
+        .select(
+            F.col("url").alias("src"),
+            *[F.col(c).alias(f"p_{c}") for c in DEPTH_COLS],
+            F.explode("links").alias("l"),
+        )
+        .filter(F.col("l.kind") != "data")
+        .select(
+            "src",
+            *[f"p_{c}" for c in DEPTH_COLS],
+            F.col("l.url").alias("url"),
+            F.col("l.host").alias("host"),
+        )
+        .filter(F.col("host").isNotNull())
+    )
+    edges = links.select(
+        "src", F.col("url").alias("dst"), F.lit("link").alias("kind"), F.lit(rnd).alias("round")
+    )
+    same_host = host_col(F.col("url")) == host_col(F.col("src"))
+    expanded = links.select(
+        "url",
+        F.when(same_host, F.col("p_depth_on_website") + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("depth_on_website"),
+        F.when(same_host, F.col("p_distance_to_seed"))
+        .otherwise(F.col("p_distance_to_seed") + 1)
+        .cast("long")
+        .alias("distance_to_seed"),
+        (F.col("p_total_distance_to_seed") + 1).cast("long").alias("total_distance_to_seed"),
+    )
+    return edges, expanded
+
+
 @dataclass
 class RoundStats:
     round: int
@@ -321,9 +384,20 @@ class CrawlEngine:
             if "headers" in extracted.columns
             else empty_map
         )
+        # results rows carry the crawl state of their OWN admission —
+        # is_seed + the three depth longs — so every downstream
+        # consumer (link expansion, state transitions) reads them from
+        # the committed snapshot instead of re-joining a broadcast of
+        # the admitted set. At 10^10-frontier scale the admitted set is
+        # millions of rows per round: rebuilding it as a driver-side
+        # broadcast hash relation twice per round is a serial stage the
+        # plan doesn't need (12 extra bytes per results row does the
+        # same job shuffle-free).
         results = extracted.join(F.broadcast(admitted_meta), on="url").select(
             "url",
             "host",
+            "is_seed",
+            *DEPTH_COLS,
             F.lit(rnd).alias("fetched_round"),
             F.col("warc_ts").alias("fetched_at"),
             status_expr.cast("int").alias("status"),
@@ -342,6 +416,8 @@ class CrawlEngine:
         miss_results = misses.select(
             "url",
             "host",
+            "is_seed",
+            *DEPTH_COLS,
             F.lit(rnd).alias("fetched_round"),
             F.lit(None).cast("timestamp").alias("fetched_at"),
             F.lit(404).alias("status"),
@@ -383,52 +459,8 @@ class CrawlEngine:
         res_read = spark.read.parquet(results_path)
 
         # ---- link expansion from the committed links column (columnar
-        # pruning: only url+links are read back) ----
-        parent = admitted.select(
-            F.col("url").alias("src"),
-            F.col("host").alias("src_host"),
-            *[F.col(c).alias(f"p_{c}") for c in DEPTH_COLS],
-        )
-        # the link's politeness origin (full PSL) was computed inside
-        # the extraction batch (LINK_STRUCT.host) — the expansion stays
-        # a pure JVM projection with no per-link Python stage
-        links = (
-            res_read.filter(F.col("fetched"))
-            .select(F.col("url").alias("src"), F.explode("links").alias("l"))
-            .filter(F.col("l.kind") != "data")
-            .select("src", F.col("l.url").alias("url"), F.col("l.host").alias("host"))
-            .join(F.broadcast(parent), on="src", how="inner")
-            .filter(F.col("host").isNotNull())
-        )
-
-        edges = links.select(
-            "src", F.col("url").alias("dst"), F.lit("link").alias("kind"), F.lit(rnd).alias("round")
-        )
-
-        # depth advance (url_with_depth.rs:69-110) as column expressions.
-        # The same-host test uses FULL hostname equality (atra_uri.rs
-        # compare_hosts :200-225), not the registrable-domain politeness
-        # key: a subdomain hop (blog.x.com -> www.x.com) RESETS
-        # depth_on_website and increments distance_to_seed. "host" stays
-        # the origin/politeness/partition key only.
-        same_host = host_col(F.col("url")) == host_col(F.col("src"))
-        # bandwidth diet: the expand->agg->probe shuffle carries ONLY
-        # (url, 3 depth longs). host (PSL origin, a pure function of
-        # url) is recomputed after the seen-filter on the surviving
-        # new-URL set — orders of magnitude smaller than the exploded
-        # link set — instead of riding the exchange as a second string.
-        expanded = links.select(
-            "url",
-            F.when(same_host, F.col("p_depth_on_website") + 1)
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("depth_on_website"),
-            F.when(same_host, F.col("p_distance_to_seed"))
-            .otherwise(F.col("p_distance_to_seed") + 1)
-            .cast("long")
-            .alias("distance_to_seed"),
-            (F.col("p_total_distance_to_seed") + 1).cast("long").alias("total_distance_to_seed"),
-        )
+        # pruning: only url + depth triple + links are read back) ----
+        edges, expanded = expand_links(res_read, rnd)
 
         # salted two-phase dedup to unique candidates w/ lowest depth
         candidates = aggregate_candidates(expanded)
@@ -439,7 +471,7 @@ class CrawlEngine:
         _timing_fine = _timing and _os.environ.get("ATRA_PHASE_TIMING_FINE") == "1"
         if _timing_fine:
             candidates = candidates.cache()
-            candidates.count()
+            print(f"[fine] candidates={candidates.count()}", flush=True)
             _phase("fw:expand+dedup")
 
         # ---- seen-set membership (the core operator): bucket-routed
@@ -464,21 +496,17 @@ class CrawlEngine:
         # ---- state transitions for this round (batch MERGE): one
         # branch over the committed results (fetched -> Processed,
         # miss -> InternalError) ----
-        fetch_updates = (
-            res_read.select("url", "fetched")
-            .join(F.broadcast(admitted_meta), on="url")
-            .select(
-                "url",
-                "host",
-                F.when(F.col("fetched"), F.lit(KIND_PROCESSED_AND_STORED))
-                .otherwise(F.lit(KIND_INTERNAL_ERROR))
-                .alias("kind"),
-                F.lit(254).alias("last_significant_kind"),
-                F.lit(False).alias("recrawl"),
-                "is_seed",
-                F.current_timestamp().alias("ts"),
-                *DEPTH_COLS,
-            )
+        fetch_updates = res_read.select(
+            "url",
+            "host",
+            F.when(F.col("fetched"), F.lit(KIND_PROCESSED_AND_STORED))
+            .otherwise(F.lit(KIND_INTERNAL_ERROR))
+            .alias("kind"),
+            F.lit(254).alias("last_significant_kind"),
+            F.lit(False).alias("recrawl"),
+            "is_seed",
+            F.current_timestamp().alias("ts"),
+            *DEPTH_COLS,
         )
         # ---- next frontier = deferred + newly discovered ----
         new_frontier = new_urls.select(

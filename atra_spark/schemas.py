@@ -106,6 +106,15 @@ RESULTS_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
         StructField("host", StringType(), False),
+        # the admission's own crawl state: carrying is_seed + the
+        # depth triple on the row lets the link expansion and the
+        # state-transition branch read them from the committed
+        # snapshot instead of re-joining a (driver-serial) broadcast
+        # of the admitted set
+        StructField("is_seed", BooleanType(), False),
+        StructField("depth_on_website", LongType(), False),
+        StructField("distance_to_seed", LongType(), False),
+        StructField("total_distance_to_seed", LongType(), False),
         StructField("fetched_round", IntegerType(), False),
         StructField("fetched_at", TimestampType(), True),
         StructField("status", IntegerType(), False),  # 200 on hit, 404 on miss

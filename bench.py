@@ -384,7 +384,8 @@ def scaling(n_pages: int) -> None:
             str(c): [r["gate"]["gated_through_contended"] for r in rs]
             for c, rs in reps.items()
         },
-        "gate_conf": {"min_membw_mb_s": min_membw, "max_wait_s": gate_wait},
+        "gate_conf": {"min_membw_mb_s": min_membw, "max_wait_s": gate_wait,
+                      "max_loadavg_1m": max_load},
         "raw_sec": {str(c): [r["crawl_sec"] for r in rs] for c, rs in reps.items()},
         "pages": n_pages, "cores": list(core_pair)}))
 

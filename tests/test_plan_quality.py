@@ -172,6 +172,44 @@ class TestAlignedFrontierPath:
         # and it is still the exact anti-join
         assert out.count() == 100
 
+    def test_link_expansion_is_joinless_jvm_scan(self, spark, tmp_path):
+        """Round-5: the results rows carry is_seed + the parent depth
+        triple, so the link expansion is scan -> explode -> project —
+        NO join (the former broadcast of the admitted set was a
+        driver-serial hash-relation build plus one probe per exploded
+        link), no Python stage, and the scan is pruned to exactly the
+        columns the expansion needs (never text/html payloads)."""
+        from atra_spark.plans.crawl import expand_links
+        from atra_spark.schemas import LINK_STRUCT, RESULTS_SCHEMA
+        from pyspark.sql.types import ArrayType, StructField, StructType
+
+        schema = StructType(
+            RESULTS_SCHEMA.fields + [StructField("links", ArrayType(LINK_STRUCT), False)]
+        )
+        rows = [
+            (
+                f"https://h{i}.example/p", f"h{i}.example", False, 0, 0, 0,
+                0, None, 200, {}, None, "HTML", "utf-8", False, "en", 0.9,
+                "body text", 1, True,
+                [{"url": f"https://h{i}.example/q", "kind": "href",
+                  "method": "GET", "host": f"h{i}.example"}],
+            )
+            for i in range(8)
+        ]
+        path = str(tmp_path / "results")
+        spark.createDataFrame(rows, schema).write.parquet(path)
+        edges, expanded = expand_links(spark.read.parquet(path), rnd=0)
+        for df in (edges, expanded):
+            plan = _plan(df, "simple")
+            assert "Join" not in plan, plan
+            assert "Exchange" not in plan, plan  # map-side only
+            assert "InPandas" not in plan and "PythonUDF" not in plan, plan
+        # column pruning reaches the scan: text (the payload) is not read
+        formatted = _plan(expanded, "formatted")
+        read_schema = [ln for ln in formatted.splitlines() if "ReadSchema" in ln]
+        assert read_schema and "text" not in read_schema[0], formatted
+        assert expanded.count() == 8
+
 
 class TestRobotsJoinShapes:
     """The robots join must be a broadcast hash join below the
