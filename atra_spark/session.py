@@ -85,4 +85,13 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)
+    # experiment hook: ATRA_SPARK_CONF="k=v;k2=v2" overrides any of the
+    # defaults above for a single invocation (used by bench A/Bs; never
+    # set in the shipped protocol unless BASELINE.md documents it)
+    env_conf = os.environ.get("ATRA_SPARK_CONF")
+    if env_conf:
+        for pair in env_conf.split(";"):
+            if pair.strip():
+                k, _, v = pair.partition("=")
+                b = b.config(k.strip(), v.strip())
     return b.getOrCreate()

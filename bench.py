@@ -22,6 +22,7 @@ import json
 import os
 import sys
 import time
+from shutil import which as shutil_which
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
@@ -222,7 +223,8 @@ def mega_round_bench(spark, n_pages: int) -> tuple[float, int]:
         max_rounds=1,
         audit_tables=False,
     )
-    store_root = tempfile.mkdtemp(
+    keep_dir = os.environ.get("ATRA_MEGA_STORE_DIR")
+    store_root = keep_dir or tempfile.mkdtemp(
         prefix="atra_mega_store",
         dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
     )
@@ -236,9 +238,10 @@ def mega_round_bench(spark, n_pages: int) -> tuple[float, int]:
         wall = time.monotonic() - t0
         return wall, rs.fetched_ok + rs.fetch_errors
     finally:
-        import shutil
+        if not keep_dir:
+            import shutil
 
-        shutil.rmtree(store_root, ignore_errors=True)
+            shutil.rmtree(store_root, ignore_errors=True)
 
 
 def crawl_only(cores: int, n_pages: int) -> None:
@@ -249,8 +252,19 @@ def crawl_only(cores: int, n_pages: int) -> None:
     # shuffle partitioning / bucketing layout is IDENTICAL at both core
     # counts — only compute resources differ (cluster-scaling analog)
     spark = get_spark(f"atra-scale-{cores}", cores=cores, shuffle_partitions=32)
-    # warm up the JVM/Python workers so we measure steady state, not startup
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # warm up so we measure STEADY STATE, not startup: a miniature of
+    # the measured job itself (2k pages through the identical round
+    # plan) forks + imports every Python worker, JIT-compiles every
+    # codegen'd stage shape, and touches the parquet read/write and
+    # Arrow paths once. On a real cluster a 10^10-frontier round runs
+    # for minutes-to-hours and this startup amortizes to zero; leaving
+    # it inside the timed window measures process bring-up, not the
+    # engine. Identical warmup at BOTH core counts (same pages, same
+    # plan), so it cannot bias the N-vs-4N ratio.
+    if os.environ.get("ATRA_SCALING_WARMUP", "1") == "1":
+        mega_round_bench(spark, 2000)
+    else:
+        spark.range(1000).selectExpr("sum(id)").collect()
     sec, fetched = mega_round_bench(spark, n_pages)
     print(
         json.dumps(
@@ -347,15 +361,28 @@ def scaling(n_pages: int) -> None:
     min_membw = float(os.environ.get("ATRA_SCALING_MIN_MEMBW", "1000"))
     gate_wait = float(os.environ.get("ATRA_SCALING_GATE_WAIT_S", "600"))
     max_load = float(os.environ.get("ATRA_SCALING_MAX_LOAD", "3.0"))
+    pin = os.environ.get("ATRA_SCALING_PIN", "1") == "1" and shutil_which("taskset")
     lo, hi = core_pair
     reps: dict[int, list[dict]] = {lo: [], hi: []}
     for _ in range(repeats):
         for cores in core_pair:
             gate = _contention_gate(min_membw, gate_wait, max_load)
             load = _load_probe()
+            cmd = [sys.executable, os.path.abspath(__file__), "--crawl-only", str(cores),
+                   "--pages", str(n_pages)]
+            if pin:
+                # cpuset-pin the leg to exactly `cores` host CPUs: the
+                # cluster analog is N whole executors, where GC / JIT /
+                # Python workers all live INSIDE the executor's cores.
+                # Unpinned local[N] on a 32-core host hands the N-core
+                # leg ~28 idle cores of free JVM background work (G1
+                # concurrent+parallel GC threads, C2 compiler threads,
+                # forked Python workers), inflating the small leg and
+                # depressing measured efficiency below what a real
+                # N-executor cluster would show.
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--crawl-only", str(cores),
-                 "--pages", str(n_pages)],
+                cmd,
                 capture_output=True, text=True, check=True,
             )
             line = out.stdout.strip().splitlines()[-1]
@@ -387,7 +414,9 @@ def scaling(n_pages: int) -> None:
         "gate_conf": {"min_membw_mb_s": min_membw, "max_wait_s": gate_wait,
                       "max_loadavg_1m": max_load},
         "raw_sec": {str(c): [r["crawl_sec"] for r in rs] for c, rs in reps.items()},
-        "pages": n_pages, "cores": list(core_pair)}))
+        "pages": n_pages, "cores": list(core_pair),
+        "cpuset_pinned": bool(pin),
+        "warmup": os.environ.get("ATRA_SCALING_WARMUP", "1") == "1"}))
 
 
 def main() -> None:
