@@ -1080,10 +1080,21 @@ def extract_pages_batch(
     for pdf in batches:
         rows = []
         has_ct = "content_type" in pdf.columns
-        # metadata columns of the pages table pass through untouched
-        # (real response status/headers when the input carries them,
-        # crawl/crawler/result.rs:32-90 meta fidelity)
-        passthrough = [c for c in ("warc_ts", "status", "headers") if c in pdf.columns]
+        # metadata columns pass through untouched: pages-table response
+        # metadata (real status/headers when the input carries them,
+        # crawl/crawler/result.rs:32-90 meta fidelity) and the admitted
+        # row's crawl state (host/is_seed/depth triple), which rides
+        # the fetch join through extraction so the round plan never
+        # rebuilds the admitted set as a second broadcast hash relation
+        passthrough = [
+            c
+            for c in (
+                "warc_ts", "status", "headers",
+                "host", "is_seed",
+                "depth_on_website", "distance_to_seed", "total_distance_to_seed",
+            )
+            if c in pdf.columns
+        ]
         for i in range(len(pdf)):
             url = pdf["url"].iat[i]
             raw = pdf["html"].iat[i]

@@ -31,11 +31,28 @@ def host_col(url: Column) -> Column:
 _MAX_K = 5  # longest PSL rule depth (incl. wildcard label)
 
 
-def _psl_exact_df(spark: SparkSession) -> DataFrame:
-    from ..urlkit import _psl_load
+_PSL_DF_CACHE: dict[int, DataFrame] = {}
 
-    exact, _wild, _exc = _psl_load()
-    return spark.createDataFrame([(s,) for s in sorted(exact)], "psl_suffix string")
+
+def _psl_exact_df(spark: SparkSession) -> DataFrame:
+    """The 9.4k-row exact-rule PSL table, memoized per SparkSession.
+
+    attach_origin runs once per crawl round; rebuilding this local
+    relation each time re-serializes 9.4k tuples through py4j on the
+    DRIVER — measured ~1 s of per-round serial wall that a 16-core leg
+    pays at the same price as a 4-core leg (scripts/fixed_cost_probe).
+    The cached plan is a deterministic LocalRelation, so reuse is safe
+    across rounds and jobs within a session."""
+    key = id(spark)
+    df = _PSL_DF_CACHE.get(key)
+    if df is None:
+        from ..urlkit import _psl_load
+
+        exact, _wild, _exc = _psl_load()
+        df = spark.createDataFrame([(s,) for s in sorted(exact)], "psl_suffix string")
+        _PSL_DF_CACHE.clear()  # one live session at a time in practice
+        _PSL_DF_CACHE[key] = df
+    return df
 
 
 def attach_origin(

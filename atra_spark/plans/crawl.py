@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
 from ..functions.extract import extract_pages_batch
-from ..functions.jvm_url import attach_origin, host_col
+from ..functions.jvm_url import attach_origin
 from ..functions.url_udfs import canonicalize_udf, origin_udf
 from ..schemas import (
     DEPTH_COLS,
@@ -92,6 +92,7 @@ def expand_links(res_read: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
         .filter(F.col("l.kind") != "data")
         .select(
             "src",
+            F.col("l.kind").alias("link_kind"),
             *[f"p_{c}" for c in DEPTH_COLS],
             F.col("l.url").alias("url"),
             F.col("l.host").alias("host"),
@@ -101,7 +102,16 @@ def expand_links(res_read: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
     edges = links.select(
         "src", F.col("url").alias("dst"), F.lit("link").alias("kind"), F.lit(rnd).alias("round")
     )
-    same_host = host_col(F.col("url")) == host_col(F.col("src"))
+    # full-hostname equality was already decided per link INSIDE the
+    # extraction batch: kind == "onseed" iff host_of(link) ==
+    # host_of(page) (extract.py link classification — the exact
+    # atra_uri.rs compare_hosts :200-225 rule the oracle crawler uses,
+    # sources/oracle_crawler.py:196). Reading the stored bit replaces
+    # TWO regexp hostname extractions per exploded link (~27M regex
+    # evaluations per 480k-page round — measured 293 CPU-seconds in
+    # this stage at 16 cores before, the round's largest JVM cost
+    # after extraction itself).
+    same_host = F.col("link_kind") == F.lit("onseed")
     expanded = links.select(
         "url",
         F.when(same_host, F.col("p_depth_on_website") + 1)
@@ -338,16 +348,25 @@ class CrawlEngine:
             "url",
         )
 
-        # ---- simulated fetch: broadcast the admitted URL list into the
-        # pages scan (payloads never shuffle; misses = fetch-error analog
-        # -> InternalError, crawler.rs:608-622). Above the configured
-        # threshold the broadcast itself would be multi-GB, so fall back
-        # to a shuffled join — n_polled (an upper bound on admissions)
-        # comes free from the frontier parquet footers ----
-        adm_urls = admitted.select("url")
+        # ---- simulated fetch: broadcast the admitted rows (url + the
+        # crawl state the results rows need: host/is_seed/depth triple)
+        # into the pages scan (payloads never shuffle; misses =
+        # fetch-error analog -> InternalError, crawler.rs:608-622).
+        # ONE broadcast serves both the fetch semi-join and the results
+        # metadata: the admitted-side columns ride the join output
+        # through the extraction pass as passthrough columns, so the
+        # round never builds a SECOND driver-side hash relation of the
+        # admitted set (each build is serial driver wall — collect +
+        # relation build — that a 16-core leg pays at the same price as
+        # a 4-core leg). Above the configured threshold the broadcast
+        # itself would be multi-GB, so fall back to a shuffled join —
+        # n_polled (an upper bound on admissions) comes free from the
+        # frontier parquet footers ----
+        admitted_meta = admitted.select("url", "host", "is_seed", *DEPTH_COLS)
+        adm_side = admitted_meta
         if n_polled <= cfg.broadcast_fetch_max_urls:
-            adm_urls = F.broadcast(adm_urls)
-        hit_pages = self.pages.join(adm_urls, on="url", how="inner")
+            adm_side = F.broadcast(adm_side)
+        hit_pages = self.pages.join(adm_side, on="url", how="inner")
 
         # ---- extraction (decode -> text -> links -> lang), map-side ----
         respect_nofollow = cfg.respect_nofollow
@@ -358,16 +377,26 @@ class CrawlEngine:
                 it, respect_nofollow=respect_nofollow, aggressive=aggressive
             )
 
+        from pyspark.sql.types import BooleanType, LongType, StringType, StructField
+
         from ..schemas import extracted_schema_with_passthrough
 
         page_fields = {f.name: f for f in self.pages.schema.fields}
+        # passthrough order must match extract_pages_batch's canonical
+        # column order: pages metadata first, then the admitted row's
+        # crawl state
         passthrough = [
             page_fields[c]
             for c in ("warc_ts", "status", "headers")
             if c in page_fields
+        ] + [
+            StructField("host", StringType(), True),
+            StructField("is_seed", BooleanType(), True),
+            *[StructField(c, LongType(), True) for c in DEPTH_COLS],
         ]
         extracted = hit_pages.select(
-            "url", "warc_ts", "html", *self._page_meta
+            "url", "warc_ts", "html", *self._page_meta,
+            "host", "is_seed", *DEPTH_COLS,
         ).mapInPandas(_extract, extracted_schema_with_passthrough(passthrough))
         # materialize the (small) admission state once; every later
         # consumer (results join, deferred, admission log, host_state)
@@ -380,9 +409,6 @@ class CrawlEngine:
         # column alone (columnar-pruned scan), NOT from the extraction
         # output, so extraction stays a single pass
         misses = admitted.join(self.pages.select("url"), on="url", how="left_anti")
-
-        # admitted-side metadata rejoined after extraction (broadcast)
-        admitted_meta = admitted.select("url", "host", "is_seed", *DEPTH_COLS)
 
         # ---- results rows (single extraction pass, links included —
         # CrawlResult carries its outlinks in the reference too,
@@ -402,15 +428,16 @@ class CrawlEngine:
             else empty_map
         )
         # results rows carry the crawl state of their OWN admission —
-        # is_seed + the three depth longs — so every downstream
-        # consumer (link expansion, state transitions) reads them from
-        # the committed snapshot instead of re-joining a broadcast of
-        # the admitted set. At 10^10-frontier scale the admitted set is
-        # millions of rows per round: rebuilding it as a driver-side
-        # broadcast hash relation twice per round is a serial stage the
-        # plan doesn't need (12 extra bytes per results row does the
-        # same job shuffle-free).
-        results = extracted.join(F.broadcast(admitted_meta), on="url").select(
+        # host + is_seed + the three depth longs — passed through the
+        # fetch join and the extraction batch (passthrough columns), so
+        # every downstream consumer (link expansion, state transitions)
+        # reads them from the committed snapshot and the round builds
+        # NO second hash relation of the admitted set. At 10^10-frontier
+        # scale the admitted set is millions of rows per round:
+        # rebuilding it as a driver-side broadcast is a serial stage
+        # the plan doesn't need (20 extra bytes per results row does
+        # the same job shuffle-free AND join-free).
+        results = extracted.select(
             "url",
             "host",
             "is_seed",

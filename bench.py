@@ -197,7 +197,7 @@ def crawl_bench(spark, n_pages: int, cpus: int) -> tuple[float, int]:
         shutil.rmtree(store_root, ignore_errors=True)
 
 
-def mega_round_bench(spark, n_pages: int) -> tuple[float, int]:
+def mega_round_bench(spark, n_pages: int, keep_store: bool = True) -> tuple[float, int]:
     """Steady-state round benchmark (the scaling-protocol unit): the
     frontier holds the whole corpus, ONE round admits/fetches/extracts/
     dedups/commits everything — the shape of a 10^10-frontier round,
@@ -223,7 +223,12 @@ def mega_round_bench(spark, n_pages: int) -> tuple[float, int]:
         max_rounds=1,
         audit_tables=False,
     )
-    keep_dir = os.environ.get("ATRA_MEGA_STORE_DIR")
+    # keep_store=False forces a throwaway temp store even when
+    # ATRA_MEGA_STORE_DIR is set: the warmup round must NEVER share
+    # the kept store with the measured round — its SeenIndex entries
+    # would mark the measured round's URL space as already-seen and
+    # the measured round fetches nothing (found the hard way)
+    keep_dir = os.environ.get("ATRA_MEGA_STORE_DIR") if keep_store else None
     store_root = keep_dir or tempfile.mkdtemp(
         prefix="atra_mega_store",
         dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
@@ -262,7 +267,7 @@ def crawl_only(cores: int, n_pages: int) -> None:
     # engine. Identical warmup at BOTH core counts (same pages, same
     # plan), so it cannot bias the N-vs-4N ratio.
     if os.environ.get("ATRA_SCALING_WARMUP", "1") == "1":
-        mega_round_bench(spark, 2000)
+        mega_round_bench(spark, 2000, keep_store=False)
     else:
         spark.range(1000).selectExpr("sum(id)").collect()
     sec, fetched = mega_round_bench(spark, n_pages)
