@@ -287,6 +287,31 @@ def _load_probe() -> float:
     return round(os.getloadavg()[0], 2)
 
 
+def _steal_cpu_s() -> float:
+    """Cumulative hypervisor steal time (CPU-seconds) from /proc/stat.
+
+    Third noise signal with a blind spot the other two can't cover:
+    the round-5 960k sweep's one slow t16 leg ate ~215 stolen CPU-s in
+    80 s of wall time while BOTH launch gates (loadavg, membw) read
+    calm — steal is charged DURING the leg by the hypervisor, so no
+    pre-leg probe can see it coming. Recording the per-leg DELTA makes
+    a steal episode attributable after the fact instead of reading as
+    an unexplained regression. Returns -1.0 where /proc/stat is
+    unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as fh:
+            fields = fh.readline().split()
+        # cpu  user nice system idle iowait irq softirq steal ...
+        return round(int(fields[8]) / os.sysconf("SC_CLK_TCK"), 2)
+    except (OSError, IndexError, ValueError):
+        return -1.0
+
+
+def _steal_delta(since: float) -> float:
+    now = _steal_cpu_s()
+    return round(now - since, 2) if since >= 0 and now >= 0 else -1.0
+
+
 def _membw_probe() -> float:
     """Single-thread memcpy MB/s over a 64 MB working set — the box's
     DRAM bandwidth is a SHARED resource external tenants contend for
@@ -373,6 +398,7 @@ def scaling(n_pages: int) -> None:
         for cores in core_pair:
             gate = _contention_gate(min_membw, gate_wait, max_load)
             load = _load_probe()
+            steal0 = _steal_cpu_s()
             cmd = [sys.executable, os.path.abspath(__file__), "--crawl-only", str(cores),
                    "--pages", str(n_pages)]
             if pin:
@@ -394,6 +420,7 @@ def scaling(n_pages: int) -> None:
             r = json.loads(line)
             r["loadavg_pre"] = load
             r["membw_mb_s_pre"] = gate["membw_mb_s"]
+            r["steal_cpu_s"] = _steal_delta(steal0)
             r["gate"] = gate
             print(json.dumps(r), file=sys.stderr)
             reps[cores].append(r)
@@ -412,6 +439,7 @@ def scaling(n_pages: int) -> None:
         "pair_efficiencies": pair_effs,
         "loadavg": {str(c): [r["loadavg_pre"] for r in rs] for c, rs in reps.items()},
         "membw_mb_s": {str(c): [r["membw_mb_s_pre"] for r in rs] for c, rs in reps.items()},
+        "steal_cpu_s": {str(c): [r["steal_cpu_s"] for r in rs] for c, rs in reps.items()},
         "gated_through_contended": {
             str(c): [r["gate"]["gated_through_contended"] for r in rs]
             for c, rs in reps.items()
@@ -460,16 +488,22 @@ def _main_bench() -> None:
                                            "steady_state_round": []}
     membw_log: dict[str, list[float]] = {"query_pass": [], "crawl_bench": [],
                                          "steady_state_round": []}
+    # Per-leg hypervisor steal DELTA (CPU-seconds charged during the
+    # leg) — the one noise source the pre-leg gates can't see coming.
+    steal_log: dict[str, list[float]] = {"query_pass": [], "crawl_bench": [],
+                                         "steady_state_round": []}
     timings: dict[str, float] = {}
     for _rep in range(query_reps):
         loadavg_log["query_pass"].append(_load_probe())
         membw_log["query_pass"].append(_membw_probe())
+        steal0 = _steal_cpu_s()
         for name in HEADLINE:
             t0 = time.monotonic()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             sec = round(time.monotonic() - t0, 3)
             timings[name] = min(timings.get(name, sec), sec)
+        steal_log["query_pass"].append(_steal_delta(steal0))
 
     # crawl + steady-state legs INTERLEAVED (crawl, steady, crawl,
     # steady, steady, ...) so both metrics' best-of-N reps sample
@@ -484,21 +518,27 @@ def _main_bench() -> None:
         if _rep < crawl_reps:
             loadavg_log["crawl_bench"].append(_load_probe())
             membw_log["crawl_bench"].append(_membw_probe())
+            steal0 = _steal_cpu_s()
             sec, fetched = crawl_bench(spark, n_pages, cpus)
             crawl_secs.append(sec)
+            steal_log["crawl_bench"].append(_steal_delta(steal0))
         if _rep < steady_reps:
             loadavg_log["steady_state_round"].append(_load_probe())
             membw_log["steady_state_round"].append(_membw_probe())
+            steal0 = _steal_cpu_s()
             sec, mega_fetched = mega_round_bench(spark, n_pages)
             mega_secs.append(sec)
+            steal_log["steady_state_round"].append(_steal_delta(steal0))
     media_reps = int(os.environ.get("ATRA_BENCH_MEDIA_REPS", "2"))
     media_items = int(os.environ.get("ATRA_BENCH_MEDIA_ITEMS", "60000"))
     media_secs, media_bytes = [], 0
     for _rep in range(media_reps):
         loadavg_log.setdefault("media_bench", []).append(_load_probe())
         membw_log.setdefault("media_bench", []).append(_membw_probe())
+        steal0 = _steal_cpu_s()
         sec, _n, media_bytes = media_bench(spark, media_items)
         media_secs.append(sec)
+        steal_log.setdefault("media_bench", []).append(_steal_delta(steal0))
     timings["media_bench"] = round(min(media_secs), 3)
 
     archive_reps = int(os.environ.get("ATRA_BENCH_ARCHIVE_REPS", "1"))
@@ -506,8 +546,10 @@ def _main_bench() -> None:
     for _rep in range(archive_reps):
         loadavg_log.setdefault("archive_bench", []).append(_load_probe())
         membw_log.setdefault("archive_bench", []).append(_membw_probe())
+        steal0 = _steal_cpu_s()
         sec, archive_bytes, archive_back = archive_bench(spark, n_pages)
         archive_secs.append(sec)
+        steal_log.setdefault("archive_bench", []).append(_steal_delta(steal0))
     timings["archive_bench"] = round(min(archive_secs), 3)
 
     crawl_sec = min(crawl_secs)
@@ -561,6 +603,7 @@ def _main_bench() -> None:
                 },
                 "loadavg_pre": loadavg_log,
                 "membw_mb_s_pre": membw_log,
+                "steal_cpu_s": steal_log,
             }
         )
     )
