@@ -3632,6 +3632,236 @@ FROM n
 """
 
 
+def _page_augment_sql(dialect: str) -> str:
+    """Deterministic multi-line "web page" structure over documents
+    (the parquet corpus is single-line), exercising every branch of
+    the Gopher/C4 rule set: a nav line with no terminal punctuation,
+    a real sentence, an every-other-doc second sentence, a bullet
+    line (doc_id%3), an ellipsis teaser (%5), a javascript notice
+    (%7), a symbol-hash run (%11), a lorem-ipsum block phrase (%13),
+    and a closing sentence. chr(10) is <256 so Spark's mod-256 chr
+    agrees with DuckDB's; substr past end is '' in both engines."""
+    return """
+SELECT doc_id, source,
+  'Home | About | Contact' || chr(10)
+  || substr(text, 1, 80 + (doc_id % 7) * 20)
+  || ' and that it should have been with the data.' || chr(10)
+  || CASE WHEN doc_id % 2 = 0
+       THEN 'It is known that the data should be good here.' || chr(10)
+       ELSE '' END
+  || CASE WHEN doc_id % 3 = 0 THEN '- bullet item for menu' || chr(10) ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN 'Read more…' || chr(10) ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+       THEN 'Please enable javascript to view this page properly now.' || chr(10)
+       ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN '# # # # # # # # # # # #' || chr(10) ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+       THEN 'Lorem ipsum dolor sit amet placeholder text here.' || chr(10)
+       ELSE '' END
+  || substr(text, 161, 80 + (doc_id % 5) * 30) || ' of the table!' AS text
+FROM documents
+"""
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 appendix A;
+    atra_spark.functions.webfilters.gopher_quality — shuffle-free
+    columnar pass) over documents with injected page structure.
+    Oracle: sql_gopher_quality."""
+    from atra_spark.functions.webfilters import gopher_quality
+
+    _register(spark, sf_dir)
+    out = gopher_quality(spark.sql(_page_augment_sql("spark")))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len", "frac_alpha_words", "symbol_ratio",
+        "frac_bullet_lines", "frac_ellipsis_lines",
+        F.col("n_stop_hits").cast("long").alias("n_stop_hits"),
+        "keep",
+    )
+
+
+def sql_gopher_quality(dialect: str) -> str:
+    """Twin of webfilters.gopher_quality: same token/line conventions,
+    4-dp HALF_UP fractions, same rule thresholds."""
+    words = r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')"
+    lines = "list_filter(string_split(text, chr(10)), x -> trim(x) <> '')"
+    stop_list = "['" + "', '".join(
+        ("the", "be", "to", "of", "and", "that", "have", "with")
+    ) + "']"
+    return f"""
+WITH aug AS ({_page_augment_sql(dialect)}),
+t AS (
+  SELECT doc_id, text, {words} AS w, {lines} AS l FROM aug
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS wlen,
+    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS nalpha,
+    (length(text) - length(replace(text, '#', '')))
+      + (length(text) - length(replace(text, '…', ''))) AS nsym,
+    len(l) AS nlines,
+    len(list_filter(l, x -> substr(ltrim(x), 1, 1) = '-'
+        OR substr(ltrim(x), 1, 1) = '*'
+        OR substr(ltrim(x), 1, 1) = '•')) AS nbullet,
+    len(list_filter(l, x -> rtrim(x) LIKE '%...' OR rtrim(x) LIKE '%…')) AS nellip,
+    CAST(len(list_filter({stop_list}, s -> list_contains(w, s))) AS BIGINT) AS n_stop_hits
+  FROM t
+),
+r AS (
+  SELECT doc_id, n_words,
+    {_rnd("CASE WHEN n_words > 0 THEN wlen * 1.0 / n_words ELSE 0.0 END", 4)} AS mean_word_len,
+    {_rnd("CASE WHEN n_words > 0 THEN nalpha * 1.0 / n_words ELSE 0.0 END", 4)} AS frac_alpha_words,
+    {_rnd("CASE WHEN n_words > 0 THEN nsym * 1.0 / n_words ELSE 0.0 END", 4)} AS symbol_ratio,
+    {_rnd("CASE WHEN nlines > 0 THEN nbullet * 1.0 / nlines ELSE 0.0 END", 4)} AS frac_bullet_lines,
+    {_rnd("CASE WHEN nlines > 0 THEN nellip * 1.0 / nlines ELSE 0.0 END", 4)} AS frac_ellipsis_lines,
+    n_stop_hits
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, frac_alpha_words, symbol_ratio,
+       frac_bullet_lines, frac_ellipsis_lines, n_stop_hits,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_ratio <= 0.1
+        AND frac_bullet_lines <= 0.1
+        AND frac_ellipsis_lines <= 0.3
+        AND frac_alpha_words >= 0.8
+        AND n_stop_hits >= 2) AS keep
+FROM r
+"""
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2;
+    atra_spark.functions.webfilters.c4_line_filter — shuffle-free)
+    over documents with injected page structure. Oracle:
+    sql_c4_line_filter."""
+    from atra_spark.functions.webfilters import c4_line_filter
+
+    _register(spark, sf_dir)
+    out = c4_line_filter(spark.sql(_page_augment_sql("spark")))
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "doc_keep", "clean_text",
+    )
+
+
+def sql_c4_line_filter(dialect: str) -> str:
+    """Twin of webfilters.c4_line_filter: terminal-punct + >=5-word
+    lines, javascript/'{{' line drops, lorem-ipsum / <3-kept-line
+    page drops."""
+    return f"""
+WITH aug AS ({_page_augment_sql(dialect)}),
+t AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(
+        list_filter(string_split(text, chr(10)), x -> trim(x) <> ''),
+        x -> trim(x)),
+      l -> (substr(l, length(l), 1) = '.' OR substr(l, length(l), 1) = '!'
+            OR substr(l, length(l), 1) = '?' OR substr(l, length(l), 1) = '"')
+        AND len(list_filter(regexp_split_to_array(l, '\\s+'), y -> y <> '')) >= 5
+        AND NOT contains(lower(l), 'javascript')
+        AND NOT contains(l, '{{')
+    ) AS k,
+    CAST(len(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')) AS BIGINT)
+      AS n_lines,
+    contains(lower(text), 'lorem ipsum') AS blocked
+  FROM aug
+)
+SELECT doc_id, n_lines, CAST(len(k) AS BIGINT) AS n_kept,
+       (len(k) >= 3 AND NOT blocked) AS doc_keep,
+       array_to_string(k, chr(10)) AS clean_text
+FROM t
+"""
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact paragraph dedup, Dolma-style keep-first
+    (atra_spark.functions.webfilters.paragraph_dedup — one winner
+    shuffle on the 60-bit paragraph hash) over documents with
+    injected page structure (the nav/bullet/teaser lines repeat
+    across docs; the body lines are unique). Oracle:
+    sql_paragraph_dedup."""
+    from atra_spark.functions.webfilters import paragraph_dedup
+
+    _register(spark, sf_dir)
+    return paragraph_dedup(spark.sql(_page_augment_sql("spark")))
+
+
+def sql_paragraph_dedup(dialect: str) -> str:
+    """Twin of webfilters.paragraph_dedup: same trimmed-line unit,
+    60-bit md5 hash, packed (doc_id << 20 | line_idx) winner
+    election, ordered reassembly."""
+    return f"""
+WITH aug AS ({_page_augment_sql(dialect)}),
+arr AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+pos AS (
+  SELECT doc_id, CAST(i AS INT) AS line_idx,
+         trim(ls[CAST(i + 1 AS INT)]) AS line
+  FROM (SELECT doc_id, ls, unnest(range(len(ls))) AS i FROM arr) u
+),
+nb AS (SELECT * FROM pos WHERE line <> ''),
+hashed AS (
+  SELECT doc_id, line_idx, line, {_hex_hash('line', 'duckdb')} AS fp,
+         doc_id * 1048576 + line_idx AS pos_key
+  FROM nb
+),
+win AS (SELECT fp, min(pos_key) AS w FROM hashed GROUP BY fp),
+flagged AS (
+  SELECT h.doc_id, h.line_idx, h.line, (h.pos_key = win.w) AS kept
+  FROM hashed h JOIN win ON h.fp = win.fp
+)
+SELECT doc_id, count(*) AS n_lines,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(line, chr(10) ORDER BY line_idx) FILTER (WHERE kept), '')
+         AS dedup_text
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+def q_hashed_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear quality scorer — the map-only
+    CCNet/DCLM classifier-scoring plan shape
+    (atra_spark.functions.webfilters.hashed_linear_score). Oracle:
+    sql_hashed_quality_score."""
+    from atra_spark.functions.webfilters import hashed_linear_score
+
+    _register(spark, sf_dir)
+    out = hashed_linear_score(spark.table("documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "score", "keep",
+    )
+
+
+def sql_hashed_quality_score(dialect: str) -> str:
+    """Twin of webfilters.hashed_linear_score: per-token weight
+    (hash60 % 2001 - 1000)/1000, mean over tokens, 4-dp HALF_UP."""
+    words = r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')"
+    weight = f"(({_hex_hash('x', 'duckdb')} % 2001) - 1000) / 1000.0"
+    return f"""
+WITH t AS (SELECT doc_id, {words} AS w FROM documents),
+s AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         coalesce(list_sum(list_transform(w, x -> {weight})), 0.0) AS raw
+  FROM t
+),
+r AS (
+  SELECT doc_id, n_words,
+         {_rnd("CASE WHEN n_words > 0 THEN raw / n_words ELSE 0.0 END", 4)} AS score
+  FROM s
+)
+SELECT doc_id, n_words, score, (score > 0) AS keep FROM r
+"""
+
+
 _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans,
     "warc_revisit": q_warc_revisit,
@@ -3694,6 +3924,10 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonical_dedup": q_url_canonical_dedup,
     "site_boilerplate": q_site_boilerplate,
     "normalize_text": q_normalize_text,
+    "gopher_quality": q_gopher_quality,
+    "c4_line_filter": q_c4_line_filter,
+    "paragraph_dedup": q_paragraph_dedup,
+    "hashed_quality_score": q_hashed_quality_score,
 }
 
 
@@ -3764,6 +3998,10 @@ def _custom_oracles() -> dict[str, str]:
         ),
         "site_boilerplate": sql_site_boilerplate("duckdb"),
         "normalize_text": sql_normalize_text("duckdb"),
+        "gopher_quality": sql_gopher_quality("duckdb"),
+        "c4_line_filter": sql_c4_line_filter("duckdb"),
+        "paragraph_dedup": sql_paragraph_dedup("duckdb"),
+        "hashed_quality_score": sql_hashed_quality_score("duckdb"),
         "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
@@ -3788,6 +4026,8 @@ def _custom_oracles() -> dict[str, str]:
 # row-for-row against the same oracles by tests/test_entry_contract.py
 # regardless of sampling order.
 _DRIVER_PRIORITY = [
+    "gopher_quality", "c4_line_filter", "paragraph_dedup",
+    "hashed_quality_score",
     "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
     "event_sessions", "dsir_weights", "source_quality", "host_graph",
     "event_window_rollup", "value_percentiles", "weighted_host_pagerank",
