@@ -3862,6 +3862,66 @@ SELECT doc_id, n_words, score, (score > 0) AS keep FROM r
 """
 
 
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring removal, Lee et al. 2022 ExactSubstr
+    semantics at 8-token window (atra_spark.functions.dedup.
+    exact_substring_dedup — keep-first, hash-relational suffix-span
+    excision) over documents with injected page structure (the
+    repeated nav/notice/teaser sentences form cross-doc duplicated
+    spans). Oracle: sql_exact_substring_dedup."""
+    from atra_spark.functions.dedup import exact_substring_dedup
+
+    _register(spark, sf_dir)
+    return exact_substring_dedup(spark.sql(_page_augment_sql("spark")), window=8)
+
+
+def sql_exact_substring_dedup(dialect: str) -> str:
+    """Twin of dedup.exact_substring_dedup at window=8: same token
+    convention, 60-bit gram hash, packed-position keep-first election,
+    covered-index union, ordered reassembly."""
+    words = r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')"
+    gram = _hex_hash(
+        "array_to_string(toks[CAST(p + 1 AS INT):CAST(p + 8 AS INT)], ' ')", "duckdb"
+    )
+    return f"""
+WITH aug AS ({_page_augment_sql(dialect)}),
+base AS (SELECT doc_id, {words} AS toks FROM aug),
+tokens AS (
+  SELECT doc_id, CAST(i AS INT) AS idx, toks[CAST(i + 1 AS INT)] AS tok
+  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM base) u
+),
+grams AS (
+  SELECT doc_id, CAST(p AS INT) AS pos, {gram} AS g,
+         doc_id * 1048576 + p AS pos_key
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(CASE WHEN len(toks) >= 8 THEN len(toks) - 7 ELSE 0 END)) AS p
+    FROM base
+  ) u
+),
+elect AS (SELECT g, min(pos_key) AS first_key, count(*) AS cnt FROM grams GROUP BY g),
+losers AS (
+  SELECT doc_id, pos FROM grams JOIN elect USING (g)
+  WHERE cnt > 1 AND pos_key <> first_key
+),
+removal AS (
+  SELECT DISTINCT doc_id, CAST(pos + j AS INT) AS idx
+  FROM (SELECT doc_id, pos, unnest(range(8)) AS j FROM losers) u
+),
+flagged AS (
+  SELECT t.doc_id, t.idx, t.tok, (r.idx IS NOT NULL) AS rm
+  FROM tokens t LEFT JOIN removal r ON t.doc_id = r.doc_id AND t.idx = r.idx
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       coalesce(string_agg(tok, ' ' ORDER BY idx) FILTER (WHERE NOT rm), '')
+         AS dedup_text
+FROM flagged
+GROUP BY doc_id
+"""
+
+
 _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans,
     "warc_revisit": q_warc_revisit,
@@ -3928,6 +3988,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_line_filter": q_c4_line_filter,
     "paragraph_dedup": q_paragraph_dedup,
     "hashed_quality_score": q_hashed_quality_score,
+    "exact_substring_dedup": q_exact_substring_dedup,
 }
 
 
@@ -4002,6 +4063,7 @@ def _custom_oracles() -> dict[str, str]:
         "c4_line_filter": sql_c4_line_filter("duckdb"),
         "paragraph_dedup": sql_paragraph_dedup("duckdb"),
         "hashed_quality_score": sql_hashed_quality_score("duckdb"),
+        "exact_substring_dedup": sql_exact_substring_dedup("duckdb"),
         "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
@@ -4027,7 +4089,7 @@ def _custom_oracles() -> dict[str, str]:
 # regardless of sampling order.
 _DRIVER_PRIORITY = [
     "gopher_quality", "c4_line_filter", "paragraph_dedup",
-    "hashed_quality_score",
+    "hashed_quality_score", "exact_substring_dedup",
     "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
     "event_sessions", "dsir_weights", "source_quality", "host_graph",
     "event_window_rollup", "value_percentiles", "weighted_host_pagerank",

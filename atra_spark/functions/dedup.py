@@ -445,3 +445,96 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+) -> DataFrame:
+    """Exact duplicated-substring removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    ExactSubstr, at whitespace-token granularity): any ``window``-token
+    span whose content occurs at >= 2 positions corpus-wide is removed
+    from every position EXCEPT the globally-first one (first = lowest
+    (doc_id, token_pos)); overlapping duplicated windows compose, so
+    maximal duplicated regions are excised, exactly like the paper's
+    suffix-array spans. The keep-first convention matches chunk_dedup /
+    paragraph_dedup. Default window=50 tokens is the paper's.
+
+    The paper builds one giant suffix array; the distributed shape here
+    is hash-relational instead: per-position window hashes (the 60-bit
+    engine hash over the materialized gram — transient, codegen-local),
+    ONE map-side-combined HashAggregate on the gram hash for the
+    (count, first-position) election, a semi-join back for non-winner
+    occurrences, expansion to covered token indices, and an anti-join
+    against the token table before per-doc ordered reassembly. Text
+    tokens shuffle exactly once (the reassembly groupBy); everything
+    between the scan and reassembly moves only (id, idx, hash)
+    triples. Hot boilerplate grams skew onto their hash key, but both
+    aggregates are algebraic (min/count), so map-side partials absorb
+    them. Bound: docs up to 2^20 tokens (packed position key).
+
+    Returns (doc_id, n_tokens, n_removed, dedup_text) — every input
+    doc appears, empty/short docs pass through untouched.
+    """
+    w = int(window)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+
+    tokens = base.select(
+        "id", F.posexplode("toks").alias("idx", "tok")
+    )  # idx 0-based
+
+    gram_idx = F.when(
+        F.size("toks") >= w, F.sequence(F.lit(0), F.size("toks") - w)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "id", F.explode(gram_idx).alias("pos"), F.col("toks")
+    ).select(
+        "id",
+        "pos",
+        content_hash(F.concat_ws(" ", F.slice("toks", F.col("pos") + 1, w))).alias("g"),
+        (F.shiftleft(F.col("id"), 20) + F.col("pos")).alias("pos_key"),
+    )
+    elect = grams.groupBy("g").agg(
+        F.min("pos_key").alias("first_key"), F.count("*").alias("cnt")
+    )
+    losers = (
+        grams.join(elect, on="g")
+        .where((F.col("cnt") > 1) & (F.col("pos_key") != F.col("first_key")))
+        .select("id", "pos")
+    )
+    removal = losers.select(
+        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (w - 1))).alias("idx")
+    ).distinct()
+
+    flagged = tokens.join(removal.withColumn("rm", F.lit(True)), ["id", "idx"], "left")
+    out = flagged.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.coalesce(F.col("rm"), F.lit(False)).cast("int")).alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("rm").isNull(), F.struct(F.col("idx"), F.col("tok")))
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("dedup_text"),
+    )
+    return (
+        base.select("id")
+        .join(out, on="id", how="left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+        )
+    )

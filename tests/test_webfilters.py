@@ -148,3 +148,66 @@ class TestHashedLinearScore:
     def test_map_only(self, spark):
         plan = _plan(hashed_linear_score(_rows(spark, [(1, GOOD)])))
         assert "Exchange" not in plan, "hashed scorer must not shuffle"
+
+
+class TestExactSubstringDedup:
+    """dedup.exact_substring_dedup — Lee et al. 2022 ExactSubstr
+    semantics at token granularity, keep-first."""
+
+    def test_keep_first_and_span_composition(self, spark):
+        from atra_spark.functions.dedup import exact_substring_dedup
+
+        dup = "one two three four five six seven eight"  # exactly 8 tokens
+        rows = [
+            (1, f"alpha {dup} beta"),
+            (2, f"{dup} gamma delta"),  # later doc: span removed
+        ]
+        out = {
+            r.doc_id: r
+            for r in exact_substring_dedup(
+                _rows(spark, rows), window=8
+            ).collect()
+        }
+        assert out[1].n_removed == 0 and "one two" in out[1].dedup_text
+        assert out[2].n_removed == 8
+        assert out[2].dedup_text == "gamma delta"
+
+    def test_overlapping_windows_excise_maximal_region(self, spark):
+        from atra_spark.functions.dedup import exact_substring_dedup
+
+        # a 10-token duplicated region = three overlapping 8-windows;
+        # the union must remove all 10 tokens in the later doc
+        region = "a b c d e f g h i j"
+        rows = [(1, f"{region} tail1"), (2, f"head2 {region}")]
+        out = {
+            r.doc_id: r
+            for r in exact_substring_dedup(
+                _rows(spark, rows), window=8
+            ).collect()
+        }
+        assert out[1].n_removed == 0
+        assert out[2].n_removed == 10 and out[2].dedup_text == "head2"
+
+    def test_short_and_empty_docs_pass_through(self, spark):
+        from atra_spark.functions.dedup import exact_substring_dedup
+
+        rows = [(1, "just a few words"), (2, ""), (3, "just a few words")]
+        out = {
+            r.doc_id: r
+            for r in exact_substring_dedup(
+                _rows(spark, rows), window=8
+            ).collect()
+        }
+        # shorter than the window: no grams, nothing removed, even
+        # though docs 1 and 3 are identical
+        assert out[1].n_removed == 0 and out[3].n_removed == 0
+        assert out[3].dedup_text == "just a few words"
+        assert out[2].n_tokens == 0 and out[2].dedup_text == ""
+
+    def test_election_stays_hash_aggregate(self, spark):
+        from atra_spark.functions.dedup import exact_substring_dedup
+
+        df = _rows(spark, [(i, "w x y z " * 4) for i in range(4)])
+        plan = _plan(exact_substring_dedup(df, window=8))
+        assert "SortAggregate" not in plan
+        assert "HashAggregate" in plan
