@@ -3862,6 +3862,46 @@ SELECT doc_id, n_words, score, (score > 0) AS keep FROM r
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res; atra_spark.functions.sample.
+    weighted_sample — hash-derived draw, TakeOrderedAndProject top-k)
+    over documents weighted by word count. Oracle:
+    sql_weighted_sample."""
+    from atra_spark.functions.sample import weighted_sample
+
+    _register(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != F.lit("")
+    )
+    docs = spark.table("documents").select(
+        "doc_id", F.size(toks).cast("double").alias("w")
+    )
+    out = weighted_sample(docs, 200, "w")
+    return out.select("doc_id", F.col("weight").cast("long").alias("weight"), "ares_key")
+
+
+def sql_weighted_sample(dialect: str) -> str:
+    """Twin of sample.weighted_sample at k=200, weight = word count:
+    u = (hash60(doc_id)+0.5)/2^60, key = ln(u)/w, top-200 by
+    (key DESC, doc_id ASC), key reported at 6-dp HALF_UP."""
+    words = r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')"
+    h = _hex_hash("CAST(doc_id AS VARCHAR)", "duckdb")
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({words}) AS DOUBLE) AS w FROM documents
+),
+s AS (
+  SELECT doc_id, w,
+         ln(({h} + 0.5) / 1152921504606846976.0) / w AS k
+  FROM t WHERE w > 0
+)
+SELECT doc_id, CAST(w AS BIGINT) AS weight,
+       floor(k * 1e6 + 0.5 + 1e-7) / 1e6 AS ares_key
+FROM s ORDER BY k DESC, doc_id ASC LIMIT 200
+"""
+
+
 def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring removal, Lee et al. 2022 ExactSubstr
     semantics at 8-token window (atra_spark.functions.dedup.
@@ -3989,6 +4029,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "hashed_quality_score": q_hashed_quality_score,
     "exact_substring_dedup": q_exact_substring_dedup,
+    "weighted_sample": q_weighted_sample,
 }
 
 
@@ -4064,6 +4105,7 @@ def _custom_oracles() -> dict[str, str]:
         "paragraph_dedup": sql_paragraph_dedup("duckdb"),
         "hashed_quality_score": sql_hashed_quality_score("duckdb"),
         "exact_substring_dedup": sql_exact_substring_dedup("duckdb"),
+        "weighted_sample": sql_weighted_sample("duckdb"),
         "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
@@ -4089,7 +4131,7 @@ def _custom_oracles() -> dict[str, str]:
 # regardless of sampling order.
 _DRIVER_PRIORITY = [
     "gopher_quality", "c4_line_filter", "paragraph_dedup",
-    "hashed_quality_score", "exact_substring_dedup",
+    "hashed_quality_score", "exact_substring_dedup", "weighted_sample",
     "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
     "event_sessions", "dsir_weights", "source_quality", "host_graph",
     "event_window_rollup", "value_percentiles", "weighted_host_pagerank",

@@ -99,3 +99,64 @@ def temperature_mixing_weights(
         ]
     )
     return df.sparkSession.createDataFrame(out, schema)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-Res scheme (Inf. Process. Lett. 97(5), 2006):
+    each row draws u in (0,1) and competes with key ln(u)/w; the k
+    LARGEST keys win, which is distribution-identical to sequential
+    weighted draws without replacement. The draw is not random():
+    u = (hash60(key) + 0.5) / 2^60, so the sample is reproducible
+    across runs, engines (SQL twin draws the identical u), and — unlike
+    rand(seed), whose stream is partition-indexed — across
+    REPARTITIONINGS of the same table.
+
+    This is the "sample a 2 T-token training mix from a 100 TB pool,
+    upweighting by quality score" primitive. Scale shape: the key is
+    map-only column math; global top-k compiles to
+    TakeOrderedAndProject (per-partition bounded heap, driver merges
+    k per partition — never a global sort, pinned by
+    tests/test_sample.py); the per-group variant is one shuffle on
+    ``group_col`` with the same bounded-heap window. Rows with
+    weight <= 0 or NULL can never be drawn and are filtered out before
+    the heap.
+
+    Returns (key, group?, weight, ares_key) rows, ares_key rounded
+    half-up at 6 dp for cross-engine value parity; selection order uses
+    the UNROUNDED key with the row key as tiebreak.
+    """
+    u = (content_hash(F.col(key_col).cast("string")) + F.lit(0.5)) / F.lit(
+        float(_HASH_SPACE)
+    )
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    eps_round = F.floor(key * 1e6 + F.lit(0.5) + F.lit(1e-7)) / 1e6
+    scored = (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(
+            F.col(key_col),
+            *([F.col(group_col)] if group_col else []),
+            w.alias("weight"),
+            key.alias("_k"),
+            eps_round.alias("ares_key"),
+        )
+    )
+    if group_col is None:
+        picked = scored.orderBy(F.col("_k").desc(), F.col(key_col).asc()).limit(int(k))
+    else:
+        win = Window.partitionBy(group_col).orderBy(
+            F.col("_k").desc(), F.col(key_col).asc()
+        )
+        picked = (
+            scored.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") <= int(k))
+            .drop("_rn")
+        )
+    return picked.drop("_k")

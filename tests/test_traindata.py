@@ -1900,3 +1900,51 @@ class TestTemperatureMixing:
         assert w5["small"]["upsample_factor"] > 1.0 > w5["big"]["upsample_factor"]
         # shares always sum to 1 (mod the 1e-6 per-share rounding)
         assert abs(sum(r["mix_share"] for r in w5.values()) - 1.0) < 1e-5
+
+
+class TestWeightedSample:
+    """sample.weighted_sample — Efraimidis–Spirakis A-Res with a
+    hash-derived deterministic draw."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, lang string, w double")
+
+    def test_deterministic_across_partitionings(self, spark):
+        from atra_spark.functions.sample import weighted_sample
+
+        rows = [(i, "en", 1.0 + (i % 7)) for i in range(300)]
+        df = self._df(spark, rows)
+        a = sorted(map(tuple, weighted_sample(df.repartition(1), 25, "w").collect()))
+        b = sorted(map(tuple, weighted_sample(df.repartition(13), 25, "w").collect()))
+        assert a == b and len(a) == 25
+
+    def test_heavy_weight_always_wins(self, spark):
+        from atra_spark.functions.sample import weighted_sample
+
+        rows = [(i, "en", 1e-6) for i in range(1, 500)] + [(0, "en", 1e6)]
+        out = weighted_sample(self._df(spark, rows), 1, "w").collect()
+        assert [r["doc_id"] for r in out] == [0]
+
+    def test_nonpositive_and_null_weights_never_drawn(self, spark):
+        from atra_spark.functions.sample import weighted_sample
+
+        rows = [(1, "en", 0.0), (2, "en", -3.0), (3, "en", None), (4, "en", 0.5)]
+        out = weighted_sample(self._df(spark, rows), 10, "w").collect()
+        assert [r["doc_id"] for r in out] == [4]
+
+    def test_per_group_quota(self, spark):
+        from atra_spark.functions.sample import weighted_sample
+
+        rows = [(i, "en" if i % 2 else "de", 1.0) for i in range(100)]
+        out = weighted_sample(self._df(spark, rows), 7, "w", group_col="lang").collect()
+        by = {}
+        for r in out:
+            by.setdefault(r["lang"], []).append(r["doc_id"])
+        assert len(by["en"]) == 7 and len(by["de"]) == 7
+
+    def test_global_topk_is_bounded_heap_not_global_sort(self, spark):
+        from atra_spark.functions.sample import weighted_sample
+
+        df = self._df(spark, [(i, "en", 1.0) for i in range(50)])
+        plan = weighted_sample(df, 5, "w")._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
