@@ -2889,6 +2889,55 @@ FROM c
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing of the documents token stream into
+    512-token training blocks, splitting documents across block
+    boundaries (atra_spark.functions.multimodal.pack_sequences —
+    distributed two-phase prefix sum + bounded sequence() explode).
+    Oracle: sql_pack_sequences (single-window cumsum + generate_series
+    twin)."""
+    from atra_spark.functions.multimodal import pack_sequences
+    from atra_spark.functions.textstats import token_count_col
+
+    _register(spark, sf_dir)
+    sized = spark.table("documents").select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(sized, size_col="n_tokens", block_tokens=512,
+                          order_col="doc_id")
+
+
+def sql_pack_sequences(dialect: str) -> str:
+    """Twin of multimodal.pack_sequences: global token prefix sum in
+    doc_id order, then one row per (doc, block) segment for every
+    512-token block the document's span [start, start+n) touches."""
+    toks = _split_ws("text", "duckdb")
+    return f"""
+WITH c AS (
+  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens,
+         sum(CAST(len({toks}) AS BIGINT))
+           OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens, CAST(cum - n_tokens AS BIGINT) AS start_pos
+  FROM c WHERE n_tokens > 0
+), e AS (
+  SELECT doc_id, n_tokens, start_pos,
+         unnest(generate_series(start_pos // 512,
+                                (start_pos + n_tokens - 1) // 512)) AS block_id
+  FROM s
+)
+SELECT doc_id, CAST(block_id AS BIGINT) AS block_id,
+       CAST(greatest(start_pos, block_id * 512) - block_id * 512 AS BIGINT)
+         AS block_offset,
+       CAST(greatest(start_pos, block_id * 512) - start_pos AS BIGINT)
+         AS doc_offset,
+       CAST(least(start_pos + n_tokens, (block_id + 1) * 512)
+            - greatest(start_pos, block_id * 512) AS BIGINT) AS seg_len
+FROM e
+"""
+
+
 def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Freshness-driven recrawl priority per user (host analog):
     staleness = time-since-last-event in units of the key's observed
@@ -4030,6 +4079,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hashed_quality_score": q_hashed_quality_score,
     "exact_substring_dedup": q_exact_substring_dedup,
     "weighted_sample": q_weighted_sample,
+    "pack_sequences": q_pack_sequences,
 }
 
 
@@ -4106,6 +4156,7 @@ def _custom_oracles() -> dict[str, str]:
         "hashed_quality_score": sql_hashed_quality_score("duckdb"),
         "exact_substring_dedup": sql_exact_substring_dedup("duckdb"),
         "weighted_sample": sql_weighted_sample("duckdb"),
+        "pack_sequences": sql_pack_sequences("duckdb"),
         "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
@@ -4132,7 +4183,7 @@ def _custom_oracles() -> dict[str, str]:
 _DRIVER_PRIORITY = [
     "gopher_quality", "c4_line_filter", "paragraph_dedup",
     "hashed_quality_score", "exact_substring_dedup", "weighted_sample",
-    "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
+    "pack_sequences", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
     "event_sessions", "dsir_weights", "source_quality", "host_graph",
     "event_window_rollup", "value_percentiles", "weighted_host_pagerank",
     "bigram_pmi", "zipf_table", "url_templates", "recrawl_priority",

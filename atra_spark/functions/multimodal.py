@@ -749,3 +749,61 @@ def shard_pack(
             F.col(size_col).cast("long").alias("size"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    size_col: str,
+    block_tokens: int = 2048,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate all documents in global
+    ``order_col`` order and cut the token stream into fixed
+    ``block_tokens``-size training blocks, SPLITTING documents across
+    block boundaries (the concat-and-chunk regime of GPT/LLaMA
+    pretraining — the complement of ``shard_pack``, which never splits
+    an item). Emits one row per (document, block) SEGMENT:
+
+      order_col     — the document
+      block_id      — which fixed-size block the segment lands in
+      block_offset  — segment start position inside the block
+      doc_offset    — segment start position inside the document
+      seg_len       — segment length in tokens
+
+    A loader materializes block b by concatenating its segments in
+    block_offset order (and derives attention-mask document boundaries
+    from the segment edges). Zero-length documents are dropped — they
+    occupy no positions in the stream.
+
+    Scale: the document's global start position is the shared
+    two-phase distributed prefix sum (``functions/prefix.py``) — never
+    a single-task global window. A document spanning k blocks explodes
+    into ceil(size/block_tokens)+1 <= k+1 rows via a bounded
+    ``sequence()``; all arithmetic is integer (DIV, not floor(double/),
+    for the same 2^53 reason as shard_pack). Everything is
+    whole-stage JVM; the only shuffle is the prefix sum's range
+    exchange. The result is a pure function of the global order, so a
+    single-window SQL twin reproduces it exactly.
+    """
+    from .prefix import distributed_prefix_sum
+
+    b = int(block_tokens)
+    packed = (
+        distributed_prefix_sum(df, order_col, size_col, out_col="_cum")
+        .filter(F.col(size_col) > 0)
+        .withColumn("_start", (F.col("_cum") - F.col(size_col)).cast("long"))
+        .withColumn("_end", F.col("_cum").cast("long"))
+    )
+    exploded = packed.withColumn(
+        "block_id",
+        F.explode(F.sequence(F.expr(f"_start DIV {b}"), F.expr(f"(_end - 1) DIV {b}"))),
+    )
+    seg_start = F.greatest(F.col("_start"), F.col("block_id") * F.lit(b))
+    seg_end = F.least(F.col("_end"), (F.col("block_id") + 1) * F.lit(b))
+    return exploded.select(
+        F.col(order_col),
+        F.col("block_id").cast("long").alias("block_id"),
+        (seg_start - F.col("block_id") * F.lit(b)).cast("long").alias("block_offset"),
+        (seg_start - F.col("_start")).cast("long").alias("doc_offset"),
+        (seg_end - seg_start).cast("long").alias("seg_len"),
+    )

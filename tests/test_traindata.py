@@ -1455,6 +1455,85 @@ class TestShardPack:
         assert (got[3]["shard_id"], got[3]["offset_in_shard"]) == (1, 400)
 
 
+class TestPackSequences:
+    @staticmethod
+    def _serial(rows, b):
+        """Reference concat-and-chunk: walk the token stream serially."""
+        out, pos = [], 0
+        for doc_id, n in rows:
+            if n <= 0:
+                continue
+            start, end = pos, pos + n
+            blk = start // b
+            while blk * b < end:
+                s = max(start, blk * b)
+                e = min(end, (blk + 1) * b)
+                out.append((doc_id, blk, s - blk * b, s - start, e - s))
+                blk += 1
+            pos = end
+        return sorted(out)
+
+    def test_matches_serial_packing(self, spark):
+        # sizes cross boundaries, exceed a block, and include zeros
+        rows = [(i, (i * 137) % 700) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        got = sorted(
+            (r["doc_id"], r["block_id"], r["block_offset"], r["doc_offset"], r["seg_len"])
+            for r in multimodal.pack_sequences(
+                df, size_col="n_tokens", block_tokens=512
+            ).collect()
+        )
+        assert got == self._serial(rows, 512)
+
+    def test_invariant_under_input_partitioning(self, spark):
+        rows = [(i, 300 + (i % 5) * 111) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        a = sorted(map(tuple, multimodal.pack_sequences(df, "n_tokens", 512).collect()))
+        b = sorted(
+            map(tuple, multimodal.pack_sequences(df.repartition(7), "n_tokens", 512).collect())
+        )
+        c = sorted(
+            map(tuple, multimodal.pack_sequences(df.coalesce(1), "n_tokens", 512).collect())
+        )
+        assert a == b == c
+
+    def test_blocks_tile_exactly(self, spark):
+        """Every block but the last is exactly full, segments tile it
+        contiguously from offset 0, and per-doc segments cover the doc."""
+        rows = [(i, 100 + (i * 61) % 400) for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        segs = multimodal.pack_sequences(df, "n_tokens", 256).collect()
+        total = sum(n for _, n in rows)
+        by_block = {}
+        for r in segs:
+            by_block.setdefault(r["block_id"], []).append(r)
+        assert set(by_block) == set(range((total + 255) // 256))
+        for blk, rs in by_block.items():
+            rs.sort(key=lambda r: r["block_offset"])
+            pos = 0
+            for r in rs:
+                assert r["block_offset"] == pos
+                pos += r["seg_len"]
+            assert pos == (256 if blk < max(by_block) else total - 256 * blk)
+        by_doc = {}
+        for r in segs:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for doc_id, n in rows:
+            rs = sorted(by_doc[doc_id], key=lambda r: r["doc_offset"])
+            assert rs[0]["doc_offset"] == 0
+            assert sum(r["seg_len"] for r in rs) == n
+
+    def test_zero_length_docs_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10), (2, 0), (3, 10)], "doc_id long, n_tokens long"
+        )
+        got = multimodal.pack_sequences(df, "n_tokens", 16).collect()
+        assert {r["doc_id"] for r in got} == {1, 3}
+        # doc 3 starts right after doc 1 — the zero doc holds no positions
+        d3 = next(r for r in got if r["doc_id"] == 3)
+        assert (d3["block_id"], d3["block_offset"]) == (0, 10)
+
+
 class TestQualityDecilesAndBudget:
     def test_deciles_equal_population_and_order(self, spark):
         from atra_spark.functions.textstats import quality_deciles
