@@ -3187,10 +3187,11 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(spark.table("embeddings"), k=8, n_iter=3)
 
 
-def sql_kmeans(dialect: str, k: int = 8, n_iter: int = 3) -> str:
-    """Unrolled-iteration twin of kmeans_assign: a{i} assigns against
-    c{i} (argmin of 6dp-rounded squared L2, tie-break lowest cid),
-    c{i+1} averages the assigned members per dimension."""
+def _kmeans_ctes(dialect: str, k: int, n_iter: int) -> list[str]:
+    """Shared unrolled-iteration CTE chain for kmeans_assign twins:
+    a{i} assigns against c{i} (argmin of 6dp-rounded squared L2,
+    tie-break lowest cid), c{i+1} averages the assigned members per
+    dimension. Final assignment is a{n_iter}."""
     if dialect == "spark":
         comps = "SELECT vec_id, posexplode(embedding) AS (pos, v) FROM embeddings"
     else:
@@ -3224,9 +3225,57 @@ def sql_kmeans(dialect: str, k: int = 8, n_iter: int = 3) -> str:
                 f"FROM a{i} a JOIN comps ON comps.vec_id = a.vec_id "
                 "GROUP BY a.cid, comps.pos)"
             )
+    return parts
+
+
+def sql_kmeans(dialect: str, k: int = 8, n_iter: int = 3) -> str:
+    """Twin of kmeans_assign (see _kmeans_ctes)."""
+    parts = _kmeans_ctes(dialect, k, n_iter)
     return (
         "WITH " + ",\n".join(parts)
         + f"\nSELECT vec_id, cid AS cluster, dist FROM a{n_iter}"
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table
+    (functions/similarity.semdedup): k-means blocking (k=8, 3
+    iterations) then within-cluster pairwise cosine pruning at
+    threshold 0.35 with keep-first-by-id election. The threshold is
+    tuned to the synthetic isotropic embeddings (real corpora use
+    ~0.95 on normalized sentence embeddings); it exercises the prune
+    path without collapsing the corpus. Oracle: sql_semdedup."""
+    from atra_spark.functions.similarity import semdedup
+
+    _register(spark, sf_dir)
+    return semdedup(spark.table("embeddings"), k=8, n_iter=3, threshold=0.35)
+
+
+def sql_semdedup(dialect: str, k: int = 8, n_iter: int = 3,
+                 threshold: float = 0.35) -> str:
+    """Twin of similarity.semdedup: the shared kmeans CTE chain for
+    assignments, then per-cluster pairwise 6dp-rounded cosine; keep =
+    no lower-id cluster-mate at cosine >= threshold."""
+    parts = _kmeans_ctes(dialect, k, n_iter)
+    cos = _rnd("sum(ci.v * cj.v) / (n1.nrm * n2.nrm)", 6)
+    parts.append(
+        "norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) "
+        "* CAST(v AS DOUBLE))) AS nrm FROM comps GROUP BY vec_id)"
+    )
+    parts.append(
+        f"pruned AS (SELECT DISTINCT aj.vec_id FROM a{n_iter} ai "
+        f"JOIN a{n_iter} aj ON ai.cid = aj.cid AND ai.vec_id < aj.vec_id "
+        "JOIN comps ci ON ci.vec_id = ai.vec_id "
+        "JOIN comps cj ON cj.vec_id = aj.vec_id AND cj.pos = ci.pos "
+        "JOIN norms n1 ON n1.vec_id = ai.vec_id "
+        "JOIN norms n2 ON n2.vec_id = aj.vec_id "
+        "GROUP BY ai.vec_id, aj.vec_id, n1.nrm, n2.nrm "
+        f"HAVING {cos} >= {threshold})"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT a.vec_id, a.cid AS cluster, p.vec_id IS NULL AS keep"
+        + f"\nFROM a{n_iter} a LEFT JOIN pruned p ON p.vec_id = a.vec_id"
     )
 
 
@@ -4080,6 +4129,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_substring_dedup": q_exact_substring_dedup,
     "weighted_sample": q_weighted_sample,
     "pack_sequences": q_pack_sequences,
+    "semdedup": q_semdedup,
 }
 
 
@@ -4157,6 +4207,7 @@ def _custom_oracles() -> dict[str, str]:
         "exact_substring_dedup": sql_exact_substring_dedup("duckdb"),
         "weighted_sample": sql_weighted_sample("duckdb"),
         "pack_sequences": sql_pack_sequences("duckdb"),
+        "semdedup": sql_semdedup("duckdb"),
         "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
@@ -4183,7 +4234,7 @@ def _custom_oracles() -> dict[str, str]:
 _DRIVER_PRIORITY = [
     "gopher_quality", "c4_line_filter", "paragraph_dedup",
     "hashed_quality_score", "exact_substring_dedup", "weighted_sample",
-    "pack_sequences", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
+    "pack_sequences", "semdedup", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
     "event_sessions", "dsir_weights", "source_quality", "host_graph",
     "event_window_rollup", "value_percentiles", "weighted_host_pagerank",
     "bigram_pmi", "zipf_table", "url_templates", "recrawl_priority",

@@ -346,3 +346,75 @@ def kmeans_assign(
     return assign(cent).select(
         "vec_id", F.col("cid").alias("cluster"), "dist"
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside k-means clusters
+# --------------------------------------------------------------------------
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Semantic deduplication (Abbas et al. 2023, SemDeDup): cluster
+    the embedding corpus with k-means, then prune near-duplicates by
+    pairwise cosine similarity WITHIN each cluster — the clustering is
+    the blocking key that keeps the quadratic comparison local, which
+    is the paper's whole scaling argument. Returns
+    ``(vec_id, cluster, keep)``; ``keep = false`` iff a lower-id
+    member of the same cluster has rounded cosine >= ``threshold``
+    (deterministic greedy keep-first election — the repo-wide dedup
+    convention, replacing the paper's centroid-proximity tie-break so
+    the result is a pure function of ids and the rounded similarity).
+
+    100 TB plan: assignments come from ``kmeans_assign`` (broadcast
+    centroids, narrow updates); vectors shuffle ONCE on the cluster
+    key for the self-join; the pairwise stage is O(sum c_i^2) — bound
+    it by scaling k with the corpus (the paper runs k ~ n/1000, so
+    clusters stay ~1000 vectors regardless of n). Cosines are
+    HALF_UP-rounded to ``round_dp`` before the threshold compare, so
+    the discrete keep/prune decision is immune to double
+    summation-order noise and reproduces exactly in a SQL twin.
+    """
+    assign = kmeans_assign(df, k, n_iter, vec_col, id_col, round_dp)
+    sq = F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.sqrt(sq))
+    m = assign.join(vecs, "vec_id").select("vec_id", "cluster", "v", "nrm")
+    left = m.select(
+        F.col("vec_id").alias("i"), "cluster",
+        F.col("v").alias("vi"), F.col("nrm").alias("ni"),
+    )
+    right = m.select(
+        F.col("vec_id").alias("j"), "cluster",
+        F.col("v").alias("vj"), F.col("nrm").alias("nj"),
+    )
+    dot = F.aggregate(
+        F.zip_with("vi", "vj", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = _round_col(dot / (F.col("ni") * F.col("nj")), round_dp)
+    pruned = (
+        left.join(right, on="cluster")
+        .filter(F.col("i") < F.col("j"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("j").alias("vec_id"))
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return (
+        assign.join(pruned, on="vec_id", how="left")
+        .select(
+            "vec_id", "cluster",
+            F.col("_pruned").isNull().alias("keep"),
+        )
+    )

@@ -1659,6 +1659,69 @@ class TestKmeans:
         assert sorted(map(key, a)) == sorted(map(key, b))
 
 
+class TestSemDeDup:
+    """similarity.semdedup vs a serial numpy reference of the same
+    spec: kmeans blocking, within-cluster pairwise 6dp-rounded cosine,
+    keep-first-by-id election at the threshold."""
+
+    @staticmethod
+    def _serial(vecs: np.ndarray, clusters: dict[int, int], thr: float):
+        norms = np.sqrt((vecs ** 2).sum(axis=1))
+        keep = {}
+        for j in range(len(vecs)):
+            pruned = False
+            for i in range(j):
+                if clusters[i] != clusters[j]:
+                    continue
+                cos = float(vecs[i] @ vecs[j]) / (norms[i] * norms[j])
+                cos = np.floor(cos * 1e6 + 0.5 + 1e-6) / 1e6
+                if cos >= thr:
+                    pruned = True
+                    break
+            keep[j] = not pruned
+        return keep
+
+    def test_matches_serial_reference(self, spark):
+        rng = np.random.RandomState(3)
+        # 3 blobs: tight blobs produce genuine within-cluster near-dups
+        blobs = np.concatenate(
+            [rng.randn(15, 6) * 0.2 + c for c in (1.0, 5.0, -5.0)]
+        ).astype(np.float64)
+        df = spark.createDataFrame(
+            [(int(i), [float(x) for x in blobs[i]]) for i in range(len(blobs))],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r["vec_id"]: (r["cluster"], r["keep"])
+            for r in similarity.semdedup(df, k=3, n_iter=2, threshold=0.9).collect()
+        }
+        clusters = {i: got[i][0] for i in got}
+        want = self._serial(blobs, clusters, 0.9)
+        assert {i: k for i, (_, k) in got.items()} == want
+        # the tight blobs actually dedup: some rows pruned, some kept
+        kept = sum(got[i][1] for i in got)
+        assert 0 < kept < len(blobs)
+        # every cluster retains at least one representative
+        for c in set(clusters.values()):
+            assert any(got[i][1] for i in got if got[i][0] == c)
+
+    def test_invariant_under_input_partitioning(self, spark):
+        rng = np.random.RandomState(5)
+        vecs = rng.randn(30, 4)
+        rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(30)]
+        a = similarity.semdedup(
+            spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+            k=3, n_iter=2, threshold=0.5,
+        ).collect()
+        b = similarity.semdedup(
+            spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+            .repartition(7),
+            k=3, n_iter=2, threshold=0.5,
+        ).collect()
+        key = lambda r: (r["vec_id"], r["cluster"], r["keep"])
+        assert sorted(map(key, a)) == sorted(map(key, b))
+
+
 class TestPiiScrub:
     def test_counts_and_redaction(self, spark):
         from atra_spark.functions.scrub import pii_scrub
