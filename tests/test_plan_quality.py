@@ -527,3 +527,48 @@ class TestBpeAndMediaPlans:
         plan = _plan(multimodal.extract_media_features(media), "simple")
         assert plan.count("MapInPandas") == 1
         assert "Exchange" not in plan
+
+
+class TestRound5PackingAndSemDeDupPlans:
+    """Plan-shape guardrails for sequence packing and SemDeDup."""
+
+    def test_pack_sequences_explode_is_jvm_generate(self, spark):
+        """The per-document block fan-out must be a JVM Generate over a
+        bounded sequence() — no Python stage, and no single-partition
+        global window over the full relation (the only SinglePartition
+        exchange allowed is the prefix sum's #partitions-row base
+        offsets)."""
+        from atra_spark.functions import multimodal
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 7 * 100).alias("n_tokens")
+        )
+        plan = _plan(multimodal.pack_sequences(df, "n_tokens", 256), "simple")
+        assert "Generate explode" in plan
+        assert "Python" not in plan and "ArrowEval" not in plan
+        # the prefix sum's range exchange sits behind the
+        # localCheckpoint (Scan ExistingRDD); what must hold in the
+        # visible plan: the per-partition base offsets BROADCAST back
+        # to the big side, and the only SinglePartition funnel is the
+        # #partitions-row totals window, never the full relation
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+        assert plan.count("Exchange SinglePartition") == 1
+        assert "HashAggregate" in plan.split("Exchange SinglePartition")[1]
+
+    def test_semdedup_pairwise_joins_on_cluster(self, spark):
+        """The quadratic stage must be an equi-join keyed on the
+        k-means cluster (the paper's blocking argument) — never a
+        cartesian/broadcast-nested-loop pairing of the corpus with
+        itself."""
+        from atra_spark.functions.similarity import semdedup
+
+        df = spark.createDataFrame(
+            [(i, [float(i % 5), 1.0, 0.5]) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        plan = _plan(semdedup(df, k=2, n_iter=1, threshold=0.9), "simple")
+        assert "CartesianProduct" not in plan
+        # every nested-loop join in the plan must be a centroid-side
+        # broadcast (k rows), never vector-vector pairing: the pair
+        # stage itself shows up as an equi-join on cluster
+        assert "cluster" in plan
