@@ -49,29 +49,70 @@ def repetition_metrics(
     """Gopher-style repetition signals (Rae et al. 2021, appendix A —
     the classic web-corpus quality filters): fraction of duplicate
     lines, fraction of characters inside duplicate lines, and the
-    share of the most frequent word bigram. Pure column math — one
-    explode + aggregate per signal family, no Python; every expression
-    has an exact SQL twin for the DuckDB oracle.
+    share of the most frequent word bigram.
+
+    ZERO-shuffle spelling: every signal is a pure per-document
+    statistic, so instead of explode + two groupBys per family (four
+    exchanges on doc_id, the round-4 plan), each document sorts its
+    own line/bigram array and folds run lengths with a JVM
+    higher-order ``aggregate`` — the whole operator is one map-only
+    Project, text never leaves its scan task. Results are exact
+    integer counts, so the SQL twin (which still spells it
+    relationally) matches bit-for-bit.
 
     Output: (doc_id, dup_line_frac, dup_line_char_frac,
     top_bigram_frac), HALF_UP-rounded to 4dp like every fractional
     driver query."""
     rnd = lambda c: F.floor(c * 10000 + 0.5 + 1e-6).cast("double") / 10000
-    ids = df.select(F.col(id_col).alias("doc_id"))
 
-    lines = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
-    ).filter(F.trim(F.col("line")) != "")
-    per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
-    line_stats = per_line.groupBy("doc_id").agg(
-        (1.0 - F.count("*") / F.sum("c")).alias("dup_line_frac"),
-        (
-            F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("line")).otherwise(0))
-            / F.sum(F.col("c") * F.length("line"))
-        ).alias("dup_line_char_frac"),
+    # A map-only plan inherits the SCAN's parallelism. At corpus scale
+    # the scan has thousands of splits and this is a no-op; a small
+    # single-file input (one split) would otherwise run the whole fold
+    # on one core, so fan it out once with a round-robin exchange of
+    # the narrow (id, text) relation — still strictly less movement
+    # than the old explode+groupBy spelling, which shuffled every
+    # exploded bigram.
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+
+    def run_fold(arr: F.Column, with_chars: bool) -> F.Column:
+        """Fold a SORTED array into (n_distinct, dupchars, totchars,
+        maxrun) via linear run-length scan."""
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("runlen"),
+            F.lit(0).cast("long").alias("n_distinct"),
+            F.lit(0).cast("long").alias("dupchars"),
+            F.lit(0).cast("long").alias("totchars"),
+            F.lit(0).cast("long").alias("maxrun"),
+        )
+
+        def merge(acc: F.Column, x: F.Column) -> F.Column:
+            same = x.eqNullSafe(acc["prev"])
+            ln = F.length(x).cast("long") if with_chars else F.lit(0).cast("long")
+            runlen = F.when(same, acc["runlen"] + 1).otherwise(F.lit(1).cast("long"))
+            # when a run reaches 2, its first element joins the
+            # duplicate-char mass retroactively
+            dup_add = F.when(
+                same, ln + F.when(acc["runlen"] == 1, ln).otherwise(F.lit(0).cast("long"))
+            ).otherwise(F.lit(0).cast("long"))
+            return F.struct(
+                x.alias("prev"),
+                runlen.alias("runlen"),
+                F.when(same, acc["n_distinct"])
+                .otherwise(acc["n_distinct"] + 1)
+                .alias("n_distinct"),
+                (acc["dupchars"] + dup_add).alias("dupchars"),
+                (acc["totchars"] + ln).alias("totchars"),
+                F.greatest(acc["maxrun"], runlen).alias("maxrun"),
+            )
+
+        return F.aggregate(F.array_sort(arr), init, merge)
+
+    lines_arr = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != ""
     )
-
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
     )
@@ -82,25 +123,36 @@ def repetition_metrics(
             lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bigs = df.select(F.col(id_col).alias("doc_id"), F.explode(bigs_arr).alias("big"))
-    bi_counts = bigs.groupBy("doc_id", "big").agg(F.count("*").alias("c"))
-    bi_stats = bi_counts.groupBy("doc_id").agg(
-        (F.max("c") / F.sum("c")).alias("top_bigram_frac")
-    )
 
-    return (
-        ids.join(line_stats, on="doc_id", how="left")
-        .join(bi_stats, on="doc_id", how="left")
-        .select(
-            "doc_id",
-            rnd(F.coalesce(F.col("dup_line_frac"), F.lit(0.0))).alias("dup_line_frac"),
-            rnd(F.coalesce(F.col("dup_line_char_frac"), F.lit(0.0))).alias(
-                "dup_line_char_frac"
-            ),
-            rnd(F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))).alias(
-                "top_bigram_frac"
-            ),
-        )
+    lf = run_fold(lines_arr, with_chars=True)
+    bf = run_fold(bigs_arr, with_chars=False)
+    n_lines = F.size(lines_arr).cast("long")
+    n_bigs = F.size(bigs_arr).cast("long")
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        lf.alias("_lf"),
+        bf.alias("_bf"),
+        n_lines.alias("_nl"),
+        n_bigs.alias("_nb"),
+    ).select(
+        "doc_id",
+        rnd(
+            F.when(
+                F.col("_nl") > 0, 1.0 - F.col("_lf.n_distinct") / F.col("_nl")
+            ).otherwise(F.lit(0.0))
+        ).alias("dup_line_frac"),
+        rnd(
+            F.when(
+                F.col("_lf.totchars") > 0,
+                F.col("_lf.dupchars") / F.col("_lf.totchars"),
+            ).otherwise(F.lit(0.0))
+        ).alias("dup_line_char_frac"),
+        rnd(
+            F.when(
+                F.col("_nb") > 0, F.col("_bf.maxrun") / F.col("_nb")
+            ).otherwise(F.lit(0.0))
+        ).alias("top_bigram_frac"),
     )
 
 

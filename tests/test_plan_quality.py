@@ -572,3 +572,20 @@ class TestRound5PackingAndSemDeDupPlans:
         # broadcast (k rows), never vector-vector pairing: the pair
         # stage itself shows up as an equi-join on cluster
         assert "cluster" in plan
+
+    def test_repetition_metrics_is_map_only(self, spark):
+        """All three Gopher repetition signals are per-document: the
+        plan must contain NO aggregation exchange — at most one
+        round-robin fan-out of the narrow (id, text) relation when the
+        scan has fewer splits than cores (never the old
+        explode+groupBy spelling that shuffled every bigram)."""
+        from atra_spark.functions.textstats import repetition_metrics
+
+        df = spark.createDataFrame(
+            [(i, "a b c\nd e f\na b c") for i in range(10)],
+            "doc_id long, text string",
+        )
+        plan = _plan(repetition_metrics(df), "simple")
+        assert "HashAggregate" not in plan and "SortMergeJoin" not in plan
+        assert plan.count("Exchange") <= 1
+        assert "Python" not in plan and "ArrowEval" not in plan
