@@ -122,14 +122,38 @@ def minhash_signatures(
     num_hashes: int = 8,
     k: int = 3,
 ) -> DataFrame:
-    """MinHash signature columns h0..h{n-1} per doc — pure aggregation:
-    h_i(doc) = min over shingles of hash('s{i}|' + shingle)."""
-    sh = shingles(df, text_col, id_col, k)
-    aggs = [
-        F.min(content_hash(F.concat(F.lit(f"s{i}|"), F.col("sh")))).alias(f"h{i}")
+    """MinHash signature columns h0..h{n-1} per doc:
+    h_i(doc) = min over shingles of hash('s{i}|' + shingle).
+
+    ZERO-shuffle spelling (round 5): min over a multiset ignores
+    duplicates, so the per-doc signature is a row-local
+    ``array_min(transform(shingles, hash))`` — the document's shingle
+    array never explodes and never shuffles (the round-4 plan paid a
+    dropDuplicates exchange plus a groupBy exchange on every shingle
+    string). Docs with fewer than k tokens produce no shingles and are
+    dropped, exactly as the exploded groupBy dropped them."""
+    from .par import fan_out
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    staged = (
+        fan_out(df)
+        .select(F.col(id_col).alias("id"), sh.alias("_sh"))
+        .filter(F.size("_sh") > 0)
+    )
+    cols = [
+        F.array_min(
+            F.transform(
+                "_sh", lambda s: content_hash(F.concat(F.lit(f"s{i}|"), s))
+            )
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return staged.select("id", *cols)
 
 
 def minhash_lsh_candidates(

@@ -65,16 +65,9 @@ def repetition_metrics(
     driver query."""
     rnd = lambda c: F.floor(c * 10000 + 0.5 + 1e-6).cast("double") / 10000
 
-    # A map-only plan inherits the SCAN's parallelism. At corpus scale
-    # the scan has thousands of splits and this is a no-op; a small
-    # single-file input (one split) would otherwise run the whole fold
-    # on one core, so fan it out once with a round-robin exchange of
-    # the narrow (id, text) relation — still strictly less movement
-    # than the old explode+groupBy spelling, which shuffled every
-    # exploded bigram.
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    from .par import fan_out
+
+    df = fan_out(df)
 
     def run_fold(arr: F.Column, with_chars: bool) -> F.Column:
         """Fold a SORTED array into (n_distinct, dupchars, totchars,
@@ -260,12 +253,19 @@ def rolling_fingerprints(
 ) -> DataFrame:
     """Winnowing-style document fingerprints: hash of every ``window``-
     token shingle, keep per-doc minima per 64-bucket — a compact
-    rolling-hash sketch for containment detection. Pure column math.
+    rolling-hash sketch for containment detection.
+
+    ZERO-shuffle spelling (round 5): the per-bucket minima are a pure
+    per-document statistic, so each row sorts its (bucket, hash) pairs
+    and keeps the bucket-run heads — only the <= 64-entry sketch
+    explodes, never the grams (the round-4 plan exploded every gram
+    and paid a (id, bucket) groupBy exchange on all of them).
 
     The gram hash is the engine-wide 60-bit md5 prefix (so the DuckDB
     oracle computes the identical sketch); swap in F.xxhash64 when
     oracle parity is not needed and per-byte hash cost matters."""
     from .dedup import content_hash
+    from .par import fan_out
 
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n = F.size(toks)
@@ -273,11 +273,27 @@ def rolling_fingerprints(
         F.array().cast("array<int>")
     )
     grams = F.transform(idx, lambda i: content_hash(F.concat_ws(" ", F.slice(toks, i, window))))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
-        .withColumn("bucket", F.pmod(F.col("g"), F.lit(64)).cast("int"))
-        .groupBy("id", "bucket")
-        .agg(F.min("g").alias("fp"))
+    pairs = F.array_sort(
+        F.transform(
+            grams,
+            lambda g: F.struct(
+                F.pmod(g, F.lit(64)).cast("int").alias("bucket"), g.alias("fp")
+            ),
+        )
+    )
+    staged = fan_out(df).select(F.col(id_col).alias("id"), pairs.alias("_pairs"))
+    # sorted by (bucket, fp): each bucket run's FIRST element is that
+    # bucket's minimum — filter with the index lambda (element_at is
+    # 1-based, so element_at(_pairs, i) is the 0-based predecessor)
+    mins = F.filter(
+        F.col("_pairs"),
+        lambda x, i: (i == F.lit(0))
+        | (F.element_at(F.col("_pairs"), i)["bucket"] != x["bucket"]),
+    )
+    return staged.select("id", F.explode(mins).alias("_m")).select(
+        "id",
+        F.col("_m.bucket").alias("bucket"),
+        F.col("_m.fp").alias("fp"),
     )
 
 
