@@ -168,16 +168,30 @@ def minhash_lsh_candidates(
 
     bands = num_hashes / rows_per_band; the band bucket join is keyed
     on (band, h_a, h_b) so only same-bucket docs ever meet.
+
+    The band fan-out is ONE Generate over a literal band-struct array
+    over a pinned sig relation — not a union of per-band projections,
+    which would re-evaluate the zero-shuffle signature expressions
+    once per band per join side.
     """
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
     n_bands = num_hashes // rows_per_band
-    bands = None
-    for b in range(n_bands):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        part = sig.select(
-            F.col("id"), F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = (
+        sig.localCheckpoint(eager=False)
+        .select("id", F.explode(band_structs).alias("_b"))
+        .select("id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket"))
+    )
     a = bands.select(F.col("id").alias("doc_a"), "band", "bucket")
     b = bands.select(F.col("id").alias("doc_b"), "band", "bucket")
     return (
@@ -258,35 +272,37 @@ SIMHASH_BITS = 60  # md5-prefix token hash is 60 bits; so is the signature
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash per document — fully JVM-side, no Python worker.
 
-    explode whitespace tokens (occurrences, not distinct — classic
-    frequency-weighted SimHash) -> 60-bit md5 token hash -> one
-    aggregation with a +1/-1 vote per bit -> majority bits packed into
-    a BIGINT. The identical expression family runs in the DuckDB oracle
+    ZERO-shuffle spelling (round 5): the signature is a pure per-row
+    statistic, so each document hashes its own whitespace tokens
+    (occurrences, not distinct — classic frequency-weighted SimHash)
+    into a 60-bit md5 hash array and takes per-bit majorities with
+    row-local bit-count filters; bit b is set iff set-votes exceed
+    unset-votes (2*count_set > n; ties clear the bit, exactly the
+    explode+groupBy ``vote > 0`` rule it replaces). The identical
+    expression family runs in the DuckDB oracle
     (``__spark_entry__.sql_simhash``). Docs with no tokens get 0.
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-    toks = (
-        base.select("id", F.explode(F.split(F.lower(F.trim(F.col("_t"))), r"\s+")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .withColumn("h", content_hash(F.col("tok")))
+    from .par import fan_out
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
     )
-    votes = toks.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(SIMHASH_BITS)
-        ]
+    staged = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, content_hash).alias("_h"),
     )
+    n = F.size("_h")
     sig_expr = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
+        count_set = F.size(
+            F.filter(
+                "_h", lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+            )
+        )
         sig_expr = sig_expr + F.when(
-            F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")
+            count_set * 2 > n, F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    sig = votes.select("id", sig_expr.alias("simhash"))
-    return base.select("id").join(sig, on="id", how="left").select(
-        "id", F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash")
-    )
+    return staged.select("id", sig_expr.alias("simhash"))
 
 
 def band_slices(bits: int, n_bands: int) -> list[tuple[int, int]]:
@@ -309,17 +325,31 @@ def simhash_near_pairs_from_sigs(sig: DataFrame, max_hamming: int = 3) -> DataFr
     max_hamming bands, so by pigeonhole at least one of the
     max_hamming+1 bands matches exactly — 100% recall by construction
     (the round-1 fixed-4-band version silently dropped pairs at
-    Hamming 4..max_hamming)."""
+    Hamming 4..max_hamming).
+
+    The band fan-out is ONE Generate over a literal band-struct array
+    — not a union of per-band projections, which would re-evaluate the
+    upstream signature expression once per band per join side (8× for
+    the now map-only zero-shuffle simhash). The sig relation is also
+    pinned (localCheckpoint — narrow (id, long) rows) so the two join
+    sides share one computation of the signatures."""
     n_bands = max_hamming + 1
-    bands = None
-    for b, (off, w) in enumerate(band_slices(SIMHASH_BITS, n_bands)):
-        part = sig.select(
-            "id",
-            "simhash",
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1)).alias("key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("key"),
+            )
+            for b, (off, w) in enumerate(band_slices(SIMHASH_BITS, n_bands))
+        ]
+    )
+    bands = (
+        sig.localCheckpoint(eager=False)
+        .select("id", "simhash", F.explode(band_structs).alias("_b"))
+        .select("id", "simhash", F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
+    )
     a = bands.select(F.col("id").alias("doc_a"), F.col("simhash").alias("sa"), "band", "key")
     b = bands.select(F.col("id").alias("doc_b"), F.col("simhash").alias("sb"), "band", "key")
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
