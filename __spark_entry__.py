@@ -1260,6 +1260,67 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), rounded.alias("lm_logprob"))
 
 
+def q_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained trigram LM with Stupid Backoff (Brants et
+    al. 2007; atra_spark.functions.textstats.trigram_backoff_score) —
+    count-pruned at min_count=2 so the backoff chain actually fires on
+    a self-trained model. Oracle: sql_trigram_backoff."""
+    from atra_spark.functions.textstats import trigram_backoff_score
+
+    _register(spark, sf_dir)
+    out = trigram_backoff_score(spark.table("documents"))
+    rounded = (
+        F.floor(F.col("trigram_logprob") * 1000000 + 0.5 + 1e-6).cast("double")
+        / 1000000
+    )
+    return out.select(F.col("id").alias("doc_id"), rounded.alias("trigram_logprob"))
+
+
+def sql_trigram_backoff(dialect: str, alpha: float = 0.4, min_count: int = 2) -> str:
+    """Twin of textstats.trigram_backoff_score: same whitespace
+    tokens, pruned trigram/bigram count relations, CASE backoff chain,
+    mean ln-score per doc, 1e-6 half-up rounding."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CAST(generate_subscripts(arr, 1) - 1 AS INT) AS pos, unnest(arr) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr FROM documents) d
+),
+w AS (
+  SELECT doc_id, tok AS a,
+         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS b,
+         lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS c
+  FROM toks
+),
+occ AS (SELECT doc_id, a, b, c FROM w WHERE c IS NOT NULL),
+pairs AS (SELECT a AS prev, b AS cur FROM w WHERE b IS NOT NULL),
+tric AS (
+  SELECT a, b, c, CAST(count(*) AS DOUBLE) AS tc FROM occ
+  GROUP BY a, b, c HAVING count(*) >= {min_count}
+),
+biraw AS (SELECT prev, cur, CAST(count(*) AS DOUBLE) AS bc FROM pairs GROUP BY prev, cur),
+bipruned AS (SELECT prev, cur, bc FROM biraw WHERE bc >= {min_count}),
+uni AS (SELECT tok, CAST(count(*) AS DOUBLE) AS uc FROM toks GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM toks),
+scored AS (
+  SELECT occ.doc_id,
+         CASE WHEN t.tc IS NOT NULL THEN t.tc / x.bc
+              WHEN p.bc IS NOT NULL THEN {alpha} * p.bc / ub.uc
+              ELSE {alpha * alpha} * ucc.uc / tot.n_total END AS s
+  FROM occ
+  LEFT JOIN tric t ON t.a = occ.a AND t.b = occ.b AND t.c = occ.c
+  JOIN biraw x ON x.prev = occ.a AND x.cur = occ.b
+  LEFT JOIN bipruned p ON p.prev = occ.b AND p.cur = occ.c
+  JOIN uni ub ON ub.tok = occ.b
+  JOIN uni ucc ON ucc.tok = occ.c
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(floor(avg(ln(s)) * 1000000 + 0.5 + 1e-6) AS DOUBLE) / 1000000
+         AS trigram_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
 def sql_bigram_lm_score(dialect: str) -> str:
     """Twin of textstats.bigram_lm_score: same whitespace tokens, add-k
     bigram model trained on the corpus, mean ln-probability per doc."""
@@ -4130,6 +4191,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "pack_sequences": q_pack_sequences,
     "semdedup": q_semdedup,
+    "trigram_backoff": q_trigram_backoff,
 }
 
 
@@ -4208,6 +4270,7 @@ def _custom_oracles() -> dict[str, str]:
         "weighted_sample": sql_weighted_sample("duckdb"),
         "pack_sequences": sql_pack_sequences("duckdb"),
         "semdedup": sql_semdedup("duckdb"),
+        "trigram_backoff": sql_trigram_backoff("duckdb"),
         "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
@@ -4234,7 +4297,7 @@ def _custom_oracles() -> dict[str, str]:
 _DRIVER_PRIORITY = [
     "gopher_quality", "c4_line_filter", "paragraph_dedup",
     "hashed_quality_score", "exact_substring_dedup", "weighted_sample",
-    "pack_sequences", "semdedup", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
+    "pack_sequences", "semdedup", "trigram_backoff", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
     "event_sessions", "dsir_weights", "source_quality", "host_graph",
     "event_window_rollup", "value_percentiles", "weighted_host_pagerank",
     "bigram_pmi", "zipf_table", "url_templates", "recrawl_priority",

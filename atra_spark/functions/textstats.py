@@ -494,6 +494,112 @@ def bigram_lm_score(
     )
 
 
+def trigram_backoff_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-self-trained trigram LM with Stupid Backoff (Brants et
+    al. 2007) — the scalable spelling of CCNet's KenLM perplexity
+    filter one order up from ``bigram_lm_score``:
+
+        S(c|a,b) = tc(a,b,c)/bc(a,b)          if tc >= min_count
+                 = alpha * bc(b,c)/uc(b)      elif bc(b,c) >= min_count
+                 = alpha^2 * uc(c)/N          otherwise
+
+    Count pruning (``min_count``) is what makes backoff real on a
+    self-trained model: every trigram of a scored document occurs at
+    least once in the corpus (the document itself), so unpruned
+    self-training would never back off. Pruning singleton trigrams/
+    bigrams routes rare continuations through the backoff chain —
+    exactly the storage/robustness trade a production LM table makes.
+
+    Output: (doc_id, trigram_logprob) = mean ln S over trigram
+    positions; documents with < 3 tokens are absent.
+
+    100 TB plan: the "model" is three count relations built by
+    map-side-combined groupBys; scoring left-joins the occurrence
+    relation on the trigram/backoff keys (one hash shuffle each) and
+    the 1-row corpus total broadcasts. Persist the count relations to
+    amortize repeated scoring runs.
+    """
+    toks_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks_arr.alias("toks"))
+    n = F.size("toks")
+    tris = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.struct(
+                F.get("toks", i).alias("a"),
+                F.get("toks", i + 1).alias("b"),
+                F.get("toks", i + 2).alias("c"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string,c:string>>"))
+    occ = base.select("id", F.explode(tris).alias("t")).select(
+        "id", F.col("t.a").alias("a"), F.col("t.b").alias("b"), F.col("t.c").alias("c")
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("toks", 1, n - 1),
+            F.slice("toks", 2, n - 1),
+            lambda x, y: F.struct(x.alias("prev"), y.alias("cur")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pairs = base.select(F.explode(bigrams).alias("p")).select(
+        F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    tri_c = (
+        occ.groupBy("a", "b", "c")
+        .agg(F.count("*").alias("tc"))
+        .filter(F.col("tc") >= min_count)
+    )
+    bi_raw = pairs.groupBy("prev", "cur").agg(F.count("*").alias("bc"))
+    bi_pruned = bi_raw.filter(F.col("bc") >= min_count).select(
+        F.col("prev").alias("bo_prev"), F.col("cur").alias("bo_cur"),
+        F.col("bc").alias("bo_bc"),
+    )
+    toks_rel = base.select(F.explode("toks").alias("tok"))
+    uni = toks_rel.groupBy("tok").agg(F.count("*").alias("uc"))
+    total = toks_rel.agg(F.count("*").cast("double").alias("n_total"))
+    a = float(alpha)
+    s = (
+        F.when(
+            F.col("tc").isNotNull(), F.col("tc") / F.col("ctx_bc")
+        )
+        .when(
+            F.col("bo_bc").isNotNull(),
+            F.lit(a) * F.col("bo_bc") / F.col("uc_b"),
+        )
+        .otherwise(F.lit(a * a) * F.col("uc_c") / F.col("n_total"))
+    )
+    return (
+        occ.join(tri_c, on=["a", "b", "c"], how="left")
+        .join(
+            bi_raw.select(
+                F.col("prev").alias("a"), F.col("cur").alias("b"),
+                F.col("bc").alias("ctx_bc"),
+            ),
+            on=["a", "b"],
+        )
+        .join(
+            bi_pruned,
+            on=[F.col("b") == F.col("bo_prev"), F.col("c") == F.col("bo_cur")],
+            how="left",
+        )
+        .join(uni.select(F.col("tok").alias("b"), F.col("uc").alias("uc_b")), on="b")
+        .join(uni.select(F.col("tok").alias("c"), F.col("uc").alias("uc_c")), on="c")
+        .crossJoin(F.broadcast(total))
+        .select("id", F.log(s).alias("lp"))
+        .groupBy("id")
+        .agg(F.avg("lp").alias("trigram_logprob"))
+    )
+
+
 def dsir_logweight(
     df: DataFrame,
     target_cond: F.Column | None = None,

@@ -2090,3 +2090,72 @@ class TestWeightedSample:
         df = self._df(spark, [(i, "en", 1.0) for i in range(50)])
         plan = weighted_sample(df, 5, "w")._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestTrigramBackoff:
+    """textstats.trigram_backoff_score vs a serial reference of the
+    same spec (pruned counts, Stupid Backoff chain, mean ln score)."""
+
+    @staticmethod
+    def _serial(texts, alpha=0.4, min_count=2):
+        import math
+        from collections import Counter
+
+        toks = {i: t.strip().lower().split() for i, t in texts}
+        tri, bi, uni, total = Counter(), Counter(), Counter(), 0
+        for ws in toks.values():
+            total += len(ws)
+            uni.update(ws)
+            bi.update(zip(ws, ws[1:]))
+            tri.update(zip(ws, ws[1:], ws[2:]))
+        out = {}
+        for i, ws in toks.items():
+            lps = []
+            for j in range(2, len(ws)):
+                a, b, c = ws[j - 2], ws[j - 1], ws[j]
+                if tri[(a, b, c)] >= min_count:
+                    s = tri[(a, b, c)] / bi[(a, b)]
+                elif bi[(b, c)] >= min_count:
+                    s = alpha * bi[(b, c)] / uni[b]
+                else:
+                    s = alpha * alpha * uni[c] / total
+                lps.append(math.log(s))
+            if lps:
+                out[i] = sum(lps) / len(lps)
+        return out
+
+    def test_matches_serial_reference(self, spark):
+        # repeated phrases (trigrams survive pruning), singletons
+        # (trigram backoff), rare bigrams (double backoff), short docs
+        texts = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox sleeps"),
+            (2, "the quick brown fox jumps again and again"),
+            (3, "zzz qqq vvv"),          # all-singleton: full backoff
+            (4, "the quick brown cat"),  # rare continuation
+            (5, "two words"),            # < 3 tokens: absent
+            (6, "the quick brown fox jumps over the lazy dog"),
+        ]
+        from atra_spark.functions.textstats import trigram_backoff_score
+
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r["id"]: r["trigram_logprob"]
+            for r in trigram_backoff_score(df).collect()
+        }
+        want = self._serial(texts)
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i] == pytest.approx(want[i], abs=1e-9), i
+        # the duplicated fluent doc outscores the gibberish doc
+        assert got[0] > got[3]
+
+    def test_invariant_under_input_partitioning(self, spark):
+        from atra_spark.functions.textstats import trigram_backoff_score
+
+        texts = [(i, f"w{i % 3} w{(i + 1) % 3} w{(i + 2) % 3} w{i % 5}")
+                 for i in range(30)]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        a = sorted(map(tuple, trigram_backoff_score(df).collect()))
+        b = sorted(map(tuple, trigram_backoff_score(df.repartition(7)).collect()))
+        assert [(i, round(v, 9)) for i, v in a] == [(i, round(v, 9)) for i, v in b]
