@@ -374,6 +374,64 @@ FROM bands a JOIN bands b
 """
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch near-dup detection via the persistent MinHash band
+    index (atra_spark.operators.neardup_index.NearDupIndex): even
+    doc_ids are the admitted history, odd doc_ids the arriving batch;
+    flagged rows are (doc_id, dup_of, est_jaccard) with the index's
+    deterministic best-match rule. At threshold 0.7 > 1 - 4/8 the
+    pigeonhole guarantee makes the banded result equal the exhaustive
+    signature comparison, which is what the oracle computes in plain
+    SQL. Oracle: sql_incremental_neardup."""
+    from atra_spark.operators.neardup_index import NearDupIndex
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    root = tempfile.mkdtemp(prefix="atra_entry_ndx")
+    idx = NearDupIndex(os.path.join(root, "ndx"), num_buckets=8)
+    idx.admit(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    idx.commit()
+    return idx.probe(docs.filter(F.col("doc_id") % 2 == 1))
+
+
+def sql_incremental_neardup(dialect: str) -> str:
+    """Twin of NearDupIndex.probe at threshold 0.7 (n_eq >= 6 of 8):
+    exhaustive odd-vs-even signature comparison with the same
+    (max n_eq, min dup_of) best-match election — equal to the banded
+    index by the pigeonhole guarantee (>= 6 equal components of 8
+    leaves at most 2 mismatches, so at least one of the 4 bands is
+    intact and the pair shares a band bucket)."""
+    min_parts = []
+    for i in range(8):
+        salted = "'s" + str(i) + "|' || sh"
+        min_parts.append(f"min({_hex_hash(salted, dialect)}) AS h{i}")
+    mins = ",\n         ".join(min_parts)
+    eq = " + ".join(
+        f"CASE WHEN p.h{i} = h.h{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    return f"""
+WITH {_shingles_cte(dialect)},
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingles GROUP BY doc_id
+),
+cand AS (
+  SELECT p.doc_id AS doc_id, h.doc_id AS dup_of, {eq} AS n_eq
+  FROM sig p JOIN sig h
+    ON p.doc_id % 2 = 1 AND h.doc_id % 2 = 0
+),
+best AS (
+  SELECT doc_id, dup_of, n_eq,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_eq DESC, dup_of ASC) AS rn
+  FROM cand WHERE n_eq >= 6
+)
+SELECT doc_id, dup_of, CAST(n_eq AS DOUBLE) / 8 AS est_jaccard
+FROM best WHERE rn = 1
+"""
+
+
 def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimate vs true Jaccard for every LSH candidate pair
     (atra_spark.functions.dedup.minhash_calibration — the sketch-
@@ -4192,6 +4250,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "semdedup": q_semdedup,
     "trigram_backoff": q_trigram_backoff,
+    "incremental_neardup": q_incremental_neardup,
 }
 
 
@@ -4271,6 +4330,7 @@ def _custom_oracles() -> dict[str, str]:
         "pack_sequences": sql_pack_sequences("duckdb"),
         "semdedup": sql_semdedup("duckdb"),
         "trigram_backoff": sql_trigram_backoff("duckdb"),
+        "incremental_neardup": sql_incremental_neardup("duckdb"),
         "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
@@ -4297,7 +4357,7 @@ def _custom_oracles() -> dict[str, str]:
 _DRIVER_PRIORITY = [
     "gopher_quality", "c4_line_filter", "paragraph_dedup",
     "hashed_quality_score", "exact_substring_dedup", "weighted_sample",
-    "pack_sequences", "semdedup", "trigram_backoff", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
+    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
     "event_sessions", "dsir_weights", "source_quality", "host_graph",
     "event_window_rollup", "value_percentiles", "weighted_host_pagerank",
     "bigram_pmi", "zipf_table", "url_templates", "recrawl_priority",

@@ -83,6 +83,88 @@ def run_ingest(
         writer.trigger(processingTime="10 seconds").start()
 
 
+def run_dedup_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    index_root: str,
+    threshold: float = 0.7,
+    num_buckets: int = 32,
+    available_now: bool = True,
+) -> None:
+    """Continuous corpus construction with FUZZY dedup: each arriving
+    micro-batch of documents (parquet rows ``doc_id long, text
+    string`` landing in ``landing_dir``) is near-dup-checked against
+    EVERY previously admitted document via the persistent
+    NearDupIndex (operators/neardup_index.py) at O(batch) cost, plus
+    keep-first within the batch itself; survivors land under
+    ``out_dir/clean/batch=<id>`` and flagged rows (with their dup_of
+    lineage) under ``out_dir/dups/batch=<id>``, and the survivors are
+    admitted to the index so LATER batches dedup against them.
+
+    This is the fuzzy third leg of the ingest family: ``run_ingest``
+    dedups exactly on (url, ts) inside the watermark, the archive sink
+    dedups payload digests (revisit records), and this sink dedups
+    near-identical CONTENT across the whole corpus history — the
+    "dedup the new crawl against all prior crawls without re-scanning
+    them" economics.
+
+    Exactly-once across restarts without a transactional sink, same
+    recipe as the archive sink: both outputs are batch-id-keyed
+    directories (cleared before a replayed batch rewrites them) and
+    index admission is idempotent (an atomically-rewritten delta file
+    joins the manifest chain once), with the index manifest committed
+    only AFTER the batch's parquet is down — a crash between them
+    replays into identical state."""
+    import os
+    import shutil
+
+    from ..operators.neardup_index import NearDupIndex
+
+    idx = NearDupIndex(index_root, num_buckets=num_buckets)
+
+    reader = spark.readStream.schema("doc_id long, text string").format("parquet")
+    docs = reader.load(landing_dir)
+
+    def _dedup(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.localCheckpoint()  # probed, flagged, written: pin once
+        vs_history = idx.probe(batch, threshold=threshold)
+        in_batch = idx.probe_within(batch, threshold=threshold)
+        flagged = vs_history.unionByName(in_batch)
+        # a doc flagged both ways reports its strongest match
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("est_jaccard").desc(), F.col("dup_of").asc()
+        )
+        flagged = (
+            flagged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        survivors = batch.join(flagged.select("doc_id"), on="doc_id", how="left_anti")
+        for sub, part in ((survivors, "clean"), (flagged, "dups")):
+            out = os.path.join(out_dir, part, f"batch={batch_id}")
+            if os.path.exists(out):
+                shutil.rmtree(out)  # replayed batch rewrites, never appends
+            sub.write.mode("overwrite").parquet(out)
+        idx.admit(survivors, batch_id)
+        idx.commit()  # AFTER the parquet is down: crash replays converge
+
+    writer = (
+        docs.writeStream.foreachBatch(_dedup)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:  # pragma: no cover - continuous mode needs an external stop
+        writer.trigger(processingTime="10 seconds").start()
+
+
 def run_archive_sink(
     spark: SparkSession,
     landing_dir: str,

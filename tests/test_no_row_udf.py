@@ -9,7 +9,12 @@ import re
 ENGINE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "atra_spark")
 
 ROW_UDF_RE = re.compile(r"(?<![a-zA-Z_.])(?:F\.udf\(|@udf\b|udf\(lambda)")
-RDD_RE = re.compile(r"\.rdd\b|sparkContext\.parallelize|\.mapPartitions\(")
+# .rdd.getNumPartitions() is a metadata-only probe (functions/par.py's
+# scan-parallelism guard) — no rows ever flow through an RDD; the gate
+# targets RDD COMPUTE (map/mapPartitions/parallelize/bare .rdd handles)
+RDD_RE = re.compile(
+    r"\.rdd\b(?!\.getNumPartitions\(\))|sparkContext\.parallelize|\.mapPartitions\("
+)
 
 
 def _py_files():
