@@ -374,6 +374,52 @@ FROM bands a JOIN bands b
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot diff (atra_spark.functions.snapshot.snapshot_diff):
+    old = documents minus doc_id%7==0, new = documents minus doc_id%5==0
+    with doc_id%3==0 texts revised — every key classified
+    added/removed/changed/unchanged by 60-bit content digest. Oracle:
+    sql_snapshot_diff (full-outer join + CASE)."""
+    from atra_spark.functions.snapshot import snapshot_diff
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
+def sql_snapshot_diff(dialect: str) -> str:
+    """Twin of functions.snapshot.snapshot_diff over the same
+    deterministic old/new construction: full-outer join of the two
+    (key, digest) projections, CASE over the null pattern."""
+    dig = _hex_hash("text", dialect)
+    dig_rev = _hex_hash("text || ' [rev2]'", dialect)
+    return f"""
+WITH old AS (
+  SELECT doc_id AS key, {dig} AS old_digest
+  FROM documents WHERE doc_id % 7 <> 0
+),
+new AS (
+  SELECT doc_id AS key,
+         CASE WHEN doc_id % 3 = 0 THEN {dig_rev} ELSE {dig} END AS new_digest
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT COALESCE(old.key, new.key) AS doc_id,
+       CASE WHEN old_digest IS NULL THEN 'added'
+            WHEN new_digest IS NULL THEN 'removed'
+            WHEN old_digest <> new_digest THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       old_digest, new_digest
+FROM old FULL OUTER JOIN new ON old.key = new.key
+"""
+
+
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch near-dup detection via the persistent MinHash band
     index (atra_spark.operators.neardup_index.NearDupIndex): even
@@ -1316,6 +1362,54 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bigram_lm_score(spark.table("documents"))
     rounded = F.floor(F.col("lm_logprob") * 1000000 + 0.5 + 1e-6).cast("double") / 1000000
     return out.select(F.col("id").alias("doc_id"), rounded.alias("lm_logprob"))
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease fluency gate
+    (atra_spark.functions.textstats.readability_scores): sentence /
+    word / vowel-group-syllable counts + the 206.835 formula, all
+    whole-stage JVM. Oracle: sql_readability."""
+    from atra_spark.functions.textstats import readability_scores
+
+    _register(spark, sf_dir)
+    out = readability_scores(spark.table("documents"))
+    rounded = (
+        F.floor(F.col("flesch") * 1000000 + 0.5 + 1e-6).cast("double") / 1000000
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_sentences", "n_words", "n_syllables",
+        rounded.alias("flesch"),
+    )
+
+
+def sql_readability(dialect: str) -> str:
+    """Twin of textstats.readability_scores: identical regex
+    approximations (sentence runs [.!?]+ floor 1, whitespace words,
+    vowel-group syllables floor 1/word), 1e-6 half-up rounding."""
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+syl AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(greatest(1, len(regexp_extract_all(tok, '[aeiouy]+')))) AS BIGINT)
+           AS n_syllables
+  FROM toks GROUP BY doc_id
+),
+sent AS (
+  SELECT doc_id,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+           AS n_sentences
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT s.doc_id, sent.n_sentences, s.n_words, s.n_syllables,
+       CAST(floor((206.835 - 1.015 * s.n_words / sent.n_sentences
+                   - 84.6 * s.n_syllables / s.n_words) * 1000000 + 0.5 + 1e-6)
+            AS DOUBLE) / 1000000 AS flesch
+FROM syl s JOIN sent ON s.doc_id = sent.doc_id
+"""
 
 
 def q_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4251,6 +4345,8 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup": q_semdedup,
     "trigram_backoff": q_trigram_backoff,
     "incremental_neardup": q_incremental_neardup,
+    "snapshot_diff": q_snapshot_diff,
+    "readability": q_readability,
 }
 
 
@@ -4331,6 +4427,8 @@ def _custom_oracles() -> dict[str, str]:
         "semdedup": sql_semdedup("duckdb"),
         "trigram_backoff": sql_trigram_backoff("duckdb"),
         "incremental_neardup": sql_incremental_neardup("duckdb"),
+        "snapshot_diff": sql_snapshot_diff("duckdb"),
+        "readability": sql_readability("duckdb"),
         "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
@@ -4357,7 +4455,7 @@ def _custom_oracles() -> dict[str, str]:
 _DRIVER_PRIORITY = [
     "gopher_quality", "c4_line_filter", "paragraph_dedup",
     "hashed_quality_score", "exact_substring_dedup", "weighted_sample",
-    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
+    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
     "event_sessions", "dsir_weights", "source_quality", "host_graph",
     "event_window_rollup", "value_percentiles", "weighted_host_pagerank",
     "bigram_pmi", "zipf_table", "url_templates", "recrawl_priority",

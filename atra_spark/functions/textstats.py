@@ -494,6 +494,56 @@ def bigram_lm_score(
     )
 
 
+def readability_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948; a standard
+    fluency gate in corpus curation alongside the Gopher/C4 rules):
+
+        206.835 - 1.015 * words/sentences - 84.6 * syllables/words
+
+    with the usual web-text approximations, chosen to be expressible
+    identically in both engines: sentences = runs of ``[.!?]+``
+    (floor 1), words = whitespace tokens, syllables per word = vowel
+    groups ``[aeiouy]+`` in the lowercased token (floor 1 per word).
+
+    Output: (doc_id, n_sentences, n_words, n_syllables, flesch).
+    Empty/whitespace-only documents are absent (no words → undefined).
+
+    100 TB plan: pure whole-stage JVM column math — regexp counts and
+    one higher-order aggregate over the token array; zero shuffles,
+    zero Python."""
+    t = F.col(text_col)
+    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    n_words = F.size(toks)
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    syl = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit(r"[aeiouy]+"), 0)), F.lit(1)
+        ).cast("long"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * n_words / n_sentences
+        - F.lit(84.6) * syl / n_words
+    )
+    return (
+        df.filter(F.length(F.trim(t)) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            n_sentences.cast("long").alias("n_sentences"),
+            n_words.cast("long").alias("n_words"),
+            syl.alias("n_syllables"),
+            flesch.alias("flesch"),
+        )
+    )
+
+
 def trigram_backoff_score(
     df: DataFrame,
     text_col: str = "text",

@@ -2092,6 +2092,93 @@ class TestWeightedSample:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestReadability:
+    """textstats.readability_scores vs hand-computed Flesch values."""
+
+    def test_hand_computed(self, spark):
+        from atra_spark.functions.textstats import readability_scores
+
+        df = spark.createDataFrame(
+            [
+                (1, "The cat sat. It ran!"),
+                (2, "zzz qqq."),   # no-vowel tokens hit the 1-syllable floor
+                (3, "   "),        # whitespace-only: absent
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["id"]: r for r in readability_scores(df).collect()}
+        assert set(got) == {1, 2}
+        r1 = got[1]
+        assert (r1["n_sentences"], r1["n_words"], r1["n_syllables"]) == (2, 5, 5)
+        assert r1["flesch"] == pytest.approx(
+            206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5), abs=1e-9
+        )
+        r2 = got[2]
+        assert (r2["n_sentences"], r2["n_words"], r2["n_syllables"]) == (1, 2, 2)
+        assert r2["flesch"] == pytest.approx(
+            206.835 - 1.015 * 2 - 84.6 * 1, abs=1e-9
+        )
+
+    def test_zero_shuffle_plan(self, spark):
+        from atra_spark.functions.textstats import readability_scores
+
+        df = spark.createDataFrame(
+            [(i, f"word{i} text here.") for i in range(20)],
+            "doc_id long, text string",
+        )
+        plan = (
+            readability_scores(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestSnapshotDiff:
+    """functions.snapshot.snapshot_diff: all four statuses, empty
+    sides, and payloads pruned before the join."""
+
+    def test_all_statuses(self, spark):
+        from atra_spark.functions.snapshot import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(2, "beta"), (3, "gamma prime"), (4, "delta")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+        assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+        digs = {
+            r["doc_id"]: (r["old_digest"], r["new_digest"])
+            for r in snapshot_diff(old, new).collect()
+        }
+        assert digs[1][1] is None and digs[4][0] is None
+        assert digs[2][0] == digs[2][1] and digs[3][0] != digs[3][1]
+
+    def test_empty_sides(self, spark):
+        from atra_spark.functions.snapshot import snapshot_diff
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert [r["status"] for r in snapshot_diff(empty, docs).collect()] == ["added"]
+        assert [r["status"] for r in snapshot_diff(docs, empty).collect()] == ["removed"]
+
+    def test_payload_pruned_before_join(self, spark):
+        """Only (key, digest) reaches the join — the text column must
+        not appear in the join operator's output schema."""
+        from atra_spark.functions.snapshot import snapshot_diff
+
+        old = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+        new = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+        plan = (
+            snapshot_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+        )
+        join_lines = [
+            ln for ln in plan.splitlines() if "Join" in ln and "FullOuter" in ln
+        ]
+        assert join_lines and all("text" not in ln for ln in join_lines)
+
+
 class TestTrigramBackoff:
     """textstats.trigram_backoff_score vs a serial reference of the
     same spec (pruned counts, Stupid Backoff chain, mean ln score)."""
