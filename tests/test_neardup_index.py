@@ -197,6 +197,24 @@ class TestNearDupIndex:
         assert got == want and got
 
 
+class TestNearDupPlanShape:
+    def test_probe_never_shuffles_payloads(self, spark, tmp_path):
+        """Only narrow band rows (bkey, id, signature) reach the
+        probe's exchanges — the text column must not appear in any
+        Exchange operator."""
+        idx = NearDupIndex(str(tmp_path / "ndx"), num_buckets=4)
+        idx.admit(_docs(spark, _corpus(0, 40)), 0)
+        idx.commit()
+        plan = (
+            idx.probe(_docs(spark, _corpus(100, 120)))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+        assert exchanges and all("text" not in ln for ln in exchanges)
+
+
 class TestStreamingDedupIngest:
     """foreachBatch fuzzy-dedup sink: later batches dedup against the
     survivors of earlier ones, flagged rows carry lineage, replays
