@@ -485,31 +485,65 @@ class NearDupIndex:
         self.commit()
 
     # -- maintenance ------------------------------------------------------------
-    def compact(self) -> None:
+    @staticmethod
+    def _compact_bucket(
+        storage, bucket: int, chain: list[str], base_name: str, num_hashes: int
+    ) -> None:
+        """Fold ONE bucket's delta chain into a bkey-sorted base file —
+        runs on the driver (local path) or inside an executor task
+        (distributed path), all I/O through the storage seam."""
+        bkey, ids, sigs = _load_bands(storage, bucket, tuple(chain), num_hashes)
+        cols = {"bkey": bkey, "id": ids}
+        for j, c in enumerate(_sig_cols(num_hashes)):
+            cols[c] = sigs[:, j].copy()
+        _write_band_table(storage, bucket, base_name, cols)
+        for name in chain:
+            if name != base_name:
+                storage.remove(bucket, name)
+
+    def compact(self, spark=None) -> None:
         """Fold each bucket's delta chain into one bkey-sorted base
         file (per-bucket and incremental, through the storage seam —
-        never a global rewrite). Probe caches key on the chain, so a
-        compacted chain misses once and reloads one file."""
+        never a global rewrite). With a SparkSession the fold runs as
+        ONE DISTRIBUTED job, one task per bucket (same shape as
+        ``admit`` — nothing bucket-sized touches the driver); without
+        one it loops buckets driver-side (fine on local/shared fs).
+        Probe caches key on the chain, so a compacted chain misses
+        once and reloads one file."""
         if not self._manifest:
             return
         H = self.num_hashes
         batch = self._manifest["batch"]
         buckets = self._manifest["buckets"]
-        for b_str, ent in buckets.items():
-            chain = list(ent.get("deltas", []))
-            if len(chain) <= 1:
-                continue
-            b = int(b_str)
-            bkey, ids, sigs = _load_bands(self.storage, b, tuple(chain), H)
-            base = f"bands_base_b{batch:05d}.parquet"
-            cols = {"bkey": bkey, "id": ids}
-            for j, c in enumerate(_sig_cols(H)):
-                cols[c] = sigs[:, j].copy()
-            _write_band_table(self.storage, b, base, cols)
-            for name in chain:
-                if name != base:
-                    self.storage.remove(b, name)
-            ent["deltas"] = [base]
+        base = f"bands_base_b{batch:05d}.parquet"
+        work = [
+            (int(b), list(ent.get("deltas", [])))
+            for b, ent in buckets.items()
+            if len(ent.get("deltas", [])) > 1
+        ]
+        if spark is not None and work:
+            storage = self.storage
+            compact_one = NearDupIndex._compact_bucket
+
+            def _task(pdf: pd.DataFrame) -> pd.DataFrame:
+                for row in pdf.itertuples(index=False):
+                    compact_one(
+                        storage, int(row.bucket), json.loads(row.chain), base, H
+                    )
+                return pdf[["bucket"]]
+
+            spark.createDataFrame(
+                [(b, json.dumps(ch)) for b, ch in work],
+                "bucket int, chain string",
+            ).repartition(len(work), F.col("bucket")).groupBy("bucket").applyInPandas(
+                _task,
+                StructType([StructField("bucket", IntegerType())]),
+            ).count()
+        else:
+            for b, ch in work:
+                NearDupIndex._compact_bucket(self.storage, b, ch, base, H)
+        for b, _ch in work:
+            buckets[str(b)]["deltas"] = [base]
         manifest = dict(self._manifest)
         manifest["buckets"] = buckets
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")

@@ -126,7 +126,8 @@ class TestNearDupIndex:
             idx.probe(batch.repartition(7))
         )
 
-    def test_compaction_preserves_results(self, spark, tmp_path):
+    @pytest.mark.parametrize("distributed", [False, True])
+    def test_compaction_preserves_results(self, spark, tmp_path, distributed):
         idx = NearDupIndex(str(tmp_path / "ndx"), num_buckets=4)
         idx.admit(_docs(spark, _corpus(0, 40)), 0)
         idx.commit()
@@ -134,7 +135,7 @@ class TestNearDupIndex:
         idx.commit()
         batch = _docs(spark, _corpus(500, 540))
         before = _probe_set(idx.probe(batch))
-        idx.compact()
+        idx.compact(spark if distributed else None)
         assert all(
             len(e["deltas"]) == 1 for e in idx._manifest["buckets"].values()
         )
