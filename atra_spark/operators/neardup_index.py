@@ -268,13 +268,26 @@ class NearDupIndex:
         text_col: str = "text",
         id_col: str = "doc_id",
         threshold: float = 0.7,
+        max_span: int | None = None,
     ) -> DataFrame:
         """Near-duplicates of ``df`` against the COMMITTED history:
         ``(doc_id, dup_of, est_jaccard)`` with est_jaccard = equal
         signature components / num_hashes >= threshold; dup_of is the
         deterministic best match (max n_eq, then min id). Documents
         with fewer than k tokens carry no signature and are absent, as
-        in every sketch operator in functions/dedup."""
+        in every sketch operator in functions/dedup.
+
+        ``max_span`` caps how many stored rows of ONE band bucket a
+        probe row compares against (the hot-bucket guard every
+        blocking operator in this repo declares: a bucket holding
+        thousands of identical documents would otherwise make one
+        task quadratic). None (default) is exact — required for the
+        oracle-equality contract; under a cap the verdict stays
+        deterministic (spans are enumerated in the folded chain's
+        stable sort order) but recall inside over-full buckets is
+        declared partial — any match that survives still IS a
+        near-dup, so dedup stays sound, and a doc's duplicates in a
+        capped bucket are still mutually banded in later probes."""
         spark = df.sparkSession
         H = self.num_hashes
         n_min = math.ceil(threshold * H)
@@ -308,6 +321,8 @@ class NearDupIndex:
             csig = np.column_stack([pdf[c].to_numpy() for c in _sig_cols(H)])
             left = np.searchsorted(skey, ck, "left")
             right = np.searchsorted(skey, ck, "right")
+            if max_span is not None:
+                right = np.minimum(right, left + max_span)
             oi, od, oe = [], [], []
             for i in np.nonzero(right > left)[0]:
                 span = slice(left[i], right[i])

@@ -154,6 +154,25 @@ class TestNearDupIndex:
                            _docs(spark, _corpus(0, 40)))
         assert got == want
 
+    def test_max_span_caps_hot_buckets(self, spark, tmp_path):
+        """A cap bounds per-bucket compare work: results are a
+        deterministic subset of the exact verdicts, and every returned
+        row is still a true near-dup."""
+        # 30 near-identical docs -> one hot band bucket per band
+        hot = [(i, "the same sentence repeated for every document here "
+                   f"variant {i % 2}") for i in range(30)]
+        idx = NearDupIndex(str(tmp_path / "ndx"), num_buckets=4)
+        idx.admit(_docs(spark, hot), 0)
+        idx.commit()
+        batch = _docs(spark, [(100, hot[0][1]), (101, hot[1][1])])
+        exact = _probe_set(idx.probe(batch))
+        capped = _probe_set(idx.probe(batch, max_span=3))
+        capped2 = _probe_set(idx.probe(batch, max_span=3))
+        assert capped == capped2  # deterministic under the cap
+        assert {d for d, _, _ in capped} <= {d for d, _, _ in exact}
+        for doc_id, dup_of, est in capped:
+            assert est >= 0.7 and dup_of < 30
+
     def test_short_docs_absent(self, spark, tmp_path):
         idx = NearDupIndex(str(tmp_path / "ndx"), num_buckets=4)
         idx.admit(_docs(spark, _corpus(0, 40)), 0)
