@@ -946,6 +946,43 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware fuzzy dedup (atra_spark.functions.dedup.
+    dedup_keep_best): near-dup clusters via MinHash-LSH + connected
+    components, then keep the highest-n_chars member per cluster
+    (ties: lowest doc_id); unclustered docs survive. Oracle:
+    sql_dedup_keep_best (recursive-CTE closure + window argmax)."""
+    from atra_spark.functions.dedup import dedup_keep_best
+
+    _register(spark, sf_dir)
+    return dedup_keep_best(spark.table("documents"), "n_chars")
+
+
+def sql_dedup_keep_best(dialect: str) -> str:
+    pairs = sql_minhash_band_pairs(dialect)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+clus AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+ranked AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars,
+         row_number() OVER (PARTITION BY COALESCE(c.cluster_id, d.doc_id)
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id, n_chars FROM ranked WHERE rn = 1
+"""
+
+
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via random-hyperplane LSH bucketing + Hamming<=2
     multiprobe + exact re-rank. The planes are seeded, so the oracle
@@ -4347,6 +4384,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_neardup": q_incremental_neardup,
     "snapshot_diff": q_snapshot_diff,
     "readability": q_readability,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 
@@ -4429,6 +4467,7 @@ def _custom_oracles() -> dict[str, str]:
         "incremental_neardup": sql_incremental_neardup("duckdb"),
         "snapshot_diff": sql_snapshot_diff("duckdb"),
         "readability": sql_readability("duckdb"),
+        "dedup_keep_best": sql_dedup_keep_best("duckdb"),
         "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
@@ -4455,7 +4494,7 @@ def _custom_oracles() -> dict[str, str]:
 _DRIVER_PRIORITY = [
     "gopher_quality", "c4_line_filter", "paragraph_dedup",
     "hashed_quality_score", "exact_substring_dedup", "weighted_sample",
-    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
+    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
     "event_sessions", "dsir_weights", "source_quality", "host_graph",
     "event_window_rollup", "value_percentiles", "weighted_host_pagerank",
     "bigram_pmi", "zipf_table", "url_templates", "recrawl_priority",

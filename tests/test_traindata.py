@@ -2092,6 +2092,37 @@ class TestWeightedSample:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestDedupKeepBest:
+    """dedup.dedup_keep_best: highest-quality member survives per
+    near-dup cluster; unclustered docs untouched."""
+
+    def test_keeps_best_per_cluster(self, spark):
+        from atra_spark.functions.dedup import dedup_keep_best
+
+        near = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (1, near + " v1", 10),
+            (2, near + " v2", 99),   # best of the cluster
+            (3, near + " v3", 50),
+            (7, "a completely different unique document about spark plans", 5),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, q long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_keep_best(df, "q").collect()
+        }
+        assert got == {2: 1, 7: 7}  # cluster_id = min member id, winner = max q
+
+    def test_tie_breaks_to_lowest_id(self, spark):
+        from atra_spark.functions.dedup import dedup_keep_best
+
+        near = "one shared sentence that every variant document repeats here"
+        rows = [(i, near + f" t{i % 2}", 7) for i in range(1, 5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, q long")
+        got = sorted(r["doc_id"] for r in dedup_keep_best(df, "q").collect())
+        assert got == [1]
+
+
 class TestReadability:
     """textstats.readability_scores vs hand-computed Flesch values."""
 
