@@ -946,6 +946,73 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric quantized ANN: int8 scalar-quantized corpus
+    (atra_spark.functions.similarity.quantize_embeddings — the 4x
+    storage saver a 100 TB vector store runs) scored against the exact
+    float query (vec 0), top-10 by reconstructed cosine. Oracle:
+    sql_embedding_quantized_topk (identical offset/scale/floor(+0.5)
+    arithmetic in SQL)."""
+    from atra_spark.functions.similarity import (
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qd = quantize_embeddings(emb.filter(F.col("vec_id") != 0))
+    out = quantized_cosine_topk(qd, [float(x) for x in q], k=10)
+    rounded = F.floor(F.col("cosine") * 10000 + 0.5 + 1e-6).cast("double") / 10000
+    return out.select(F.col("id").alias("vec_id"), rounded.alias("cosine"))
+
+
+def sql_embedding_quantized_topk(dialect: str) -> str:
+    """Twin of quantize_embeddings + quantized_cosine_topk: per-vector
+    min/max, scale (hi-lo)/255, code = floor((x-lo)/scale + 0.5),
+    reconstruction lo + code*scale, cosine vs the raw vec-0 query."""
+    if dialect == "spark":
+        expl = """
+comps AS (
+  SELECT vec_id, posexplode(embedding) AS (pos, v) FROM embeddings
+)"""
+    else:
+        expl = """
+comps AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+)"""
+    return f"""
+WITH {expl},
+mm AS (
+  SELECT vec_id, min(CAST(v AS DOUBLE)) AS lo, max(CAST(v AS DOUBLE)) AS hi
+  FROM comps GROUP BY vec_id
+),
+recon AS (
+  SELECT c.vec_id, c.pos,
+         CASE WHEN (mm.hi - mm.lo) / 255.0 > 0
+              THEN mm.lo + floor((CAST(c.v AS DOUBLE) - mm.lo)
+                                 / ((mm.hi - mm.lo) / 255.0) + 0.5)
+                   * ((mm.hi - mm.lo) / 255.0)
+              ELSE mm.lo END AS r
+  FROM comps c JOIN mm ON c.vec_id = mm.vec_id
+  WHERE c.vec_id <> 0
+),
+q AS (SELECT pos, CAST(v AS DOUBLE) AS v FROM comps WHERE vec_id = 0),
+scored AS (
+  SELECT recon.vec_id, sum(recon.r * q.v) AS dot, sum(recon.r * recon.r) AS nc
+  FROM recon JOIN q ON recon.pos = q.pos
+  GROUP BY recon.vec_id
+),
+qn AS (SELECT sum(v * v) AS nq FROM q)
+SELECT vec_id, {_rnd('dot / sqrt(nc * (SELECT nq FROM qn))', 4)} AS cosine
+FROM scored
+ORDER BY dot / sqrt(nc * (SELECT nq FROM qn)) DESC, vec_id
+LIMIT 10
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware fuzzy dedup (atra_spark.functions.dedup.
     dedup_keep_best): near-dup clusters via MinHash-LSH + connected
@@ -4385,6 +4452,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "readability": q_readability,
     "dedup_keep_best": q_dedup_keep_best,
+    "embedding_quantized_topk": q_embedding_quantized_topk,
 }
 
 
@@ -4468,6 +4536,7 @@ def _custom_oracles() -> dict[str, str]:
         "snapshot_diff": sql_snapshot_diff("duckdb"),
         "readability": sql_readability("duckdb"),
         "dedup_keep_best": sql_dedup_keep_best("duckdb"),
+        "embedding_quantized_topk": sql_embedding_quantized_topk("duckdb"),
         "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
@@ -4494,7 +4563,7 @@ def _custom_oracles() -> dict[str, str]:
 _DRIVER_PRIORITY = [
     "gopher_quality", "c4_line_filter", "paragraph_dedup",
     "hashed_quality_score", "exact_substring_dedup", "weighted_sample",
-    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
+    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
     "event_sessions", "dsir_weights", "source_quality", "host_graph",
     "event_window_rollup", "value_percentiles", "weighted_host_pagerank",
     "bigram_pmi", "zipf_table", "url_templates", "recrawl_priority",

@@ -50,6 +50,55 @@ def cosine_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization — the standard 4x
+    storage/IO saver for ANN at corpus scale (float32 -> uint8 codes
+    plus two doubles): ``offset = min(v)``, ``scale = (max-min)/255``,
+    ``code_i = floor((x_i - offset)/scale + 0.5)`` (constant vectors
+    get scale 0 and all-zero codes). Pure JVM column math; the codes
+    column is what a 100 TB vector store persists and shuffles —
+    reconstruction happens on the fly at scoring time.
+
+    Returns (id, codes array<int>, offset, scale)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    lo = F.array_min(v)
+    hi = F.array_max(v)
+    scale = (hi - lo) / F.lit(255.0)
+    codes = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.floor((x - lo) / scale + 0.5).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col).alias("id"),
+        codes.alias("codes"),
+        lo.alias("offset"),
+        scale.alias("scale"),
+    )
+
+
+def quantized_cosine_topk(
+    qdf: DataFrame, query: list[float], k: int = 10
+) -> DataFrame:
+    """Asymmetric quantized search: exact float query vs the int8
+    corpus codes of ``quantize_embeddings`` — each candidate is
+    reconstructed on the fly (``offset + code*scale``) inside the
+    same JVM fold as the dot product; no second pass, no Python.
+    Deterministic (cosine desc, id asc) top-k."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    recon = F.transform(
+        F.col("codes"),
+        lambda c: F.col("offset") + c.cast("double") * F.col("scale"),
+    )
+    cos = _dot(recon, q) / (_norm(recon) * _norm(q))
+    return (
+        qdf.select(F.col("id"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

@@ -726,6 +726,57 @@ class TestDecontamination:
         assert out.count() == 0
 
 
+class TestQuantizedEmbeddings:
+    """similarity.quantize_embeddings + quantized_cosine_topk:
+    reconstruction error bounded by scale/2 per component; the
+    asymmetric quantized search agrees with exact search on separated
+    vectors; constant vectors quantize to scale 0 without dividing."""
+
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_reconstruction_error_bound(self, spark):
+        from atra_spark.functions.similarity import quantize_embeddings
+
+        rows = [(i, [((i * 7 + j * 13) % 101) / 25.0 - 2.0 for j in range(16)])
+                for i in range(1, 20)]
+        df = self._emb(spark, rows)
+        out = {r["id"]: r for r in quantize_embeddings(df).collect()}
+        for vid, vec in rows:
+            r = out[vid]
+            for j, x in enumerate(vec):
+                recon = r["offset"] + r["codes"][j] * r["scale"]
+                assert abs(recon - x) <= r["scale"] / 2 + 1e-12
+                assert 0 <= r["codes"][j] <= 255
+
+    def test_constant_vector_scale_zero(self, spark):
+        from atra_spark.functions.similarity import quantize_embeddings
+
+        df = self._emb(spark, [(1, [3.5] * 8)])
+        r = quantize_embeddings(df).collect()[0]
+        assert r["scale"] == 0.0 and set(r["codes"]) == {0} and r["offset"] == 3.5
+
+    def test_topk_matches_exact_on_separated_vectors(self, spark):
+        from atra_spark.functions.similarity import (
+            cosine_topk,
+            quantize_embeddings,
+            quantized_cosine_topk,
+        )
+
+        query = [1.0, 0.0, 0.0, 0.0]
+        rows = [(i, [float((i * 3 + j) % 7 + 1) for j in range(4)])
+                for i in range(1, 40)]
+        df = self._emb(spark, rows)
+        exact = [r["id"] for r in cosine_topk(df, query, k=5).collect()]
+        quant = [
+            r["id"]
+            for r in quantized_cosine_topk(
+                quantize_embeddings(df), query, k=5
+            ).collect()
+        ]
+        assert quant == exact
+
+
 class TestEmbeddingNearDup:
     def test_near_identical_pair_found(self, spark):
         from atra_spark.functions.similarity import embedding_near_dup_pairs
