@@ -946,6 +946,46 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (atra_spark.functions.dedup.
+    cluster_safe_split): split assigned per near-dup CLUSTER via the
+    cluster's 60-bit content hash mod 1000, so near-duplicates never
+    straddle splits. Oracle: sql_cluster_safe_split (recursive-CTE
+    closure + identical md5 hash arithmetic)."""
+    from atra_spark.functions.dedup import cluster_safe_split
+
+    _register(spark, sf_dir)
+    return cluster_safe_split(spark.table("documents"))
+
+
+def sql_cluster_safe_split(dialect: str) -> str:
+    pairs = sql_minhash_band_pairs(dialect)
+    h = _hex_hash("'split|' || CAST(cluster_id AS VARCHAR)", dialect)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+clus AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN {h} % 1000 < 100 THEN 'test'
+            WHEN {h} % 1000 < 200 THEN 'val'
+            ELSE 'train' END AS split
+FROM labeled
+"""
+
+
 def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric quantized ANN: int8 scalar-quantized corpus
     (atra_spark.functions.similarity.quantize_embeddings — the 4x
@@ -4453,6 +4493,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability": q_readability,
     "dedup_keep_best": q_dedup_keep_best,
     "embedding_quantized_topk": q_embedding_quantized_topk,
+    "cluster_safe_split": q_cluster_safe_split,
 }
 
 
@@ -4537,6 +4578,7 @@ def _custom_oracles() -> dict[str, str]:
         "readability": sql_readability("duckdb"),
         "dedup_keep_best": sql_dedup_keep_best("duckdb"),
         "embedding_quantized_topk": sql_embedding_quantized_topk("duckdb"),
+        "cluster_safe_split": sql_cluster_safe_split("duckdb"),
         "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
@@ -4563,7 +4605,7 @@ def _custom_oracles() -> dict[str, str]:
 _DRIVER_PRIORITY = [
     "gopher_quality", "c4_line_filter", "paragraph_dedup",
     "hashed_quality_score", "exact_substring_dedup", "weighted_sample",
-    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
+    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "cluster_safe_split", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
     "event_sessions", "dsir_weights", "source_quality", "host_graph",
     "event_window_rollup", "value_percentiles", "weighted_host_pagerank",
     "bigram_pmi", "zipf_table", "url_templates", "recrawl_priority",

@@ -549,6 +549,56 @@ def dedup_keep_best(
     )
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    test_permille: int = 100,
+    val_permille: int = 100,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the split is assigned per
+    NEAR-DUP CLUSTER, not per document, so a test document's
+    near-duplicates can never land in train (the classic eval-leakage
+    failure a per-row random split commits).
+
+    Composition: MinHash-LSH pairs -> connected components ->
+    cluster_id = min member id (a doc in no cluster is its own
+    cluster) -> split by the cluster's deterministic 60-bit content
+    hash mod 1000: ``< test_permille`` -> test, next ``val_permille``
+    -> val, rest train. Hash-derived, so the split is stable across
+    runs, engines, and partitionings — no RNG state to checkpoint.
+
+    Returns (id, cluster_id, split).
+
+    100 TB plan: identical economics to ``dedup_keep_best`` — CC over
+    the pair graph only, one narrow label join, then pure column math.
+    """
+    clusters = connected_components(
+        minhash_lsh_candidates(
+            df, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, rows_per_band=rows_per_band, k=k,
+        )
+    ).withColumnRenamed("doc_id", id_col)
+    labeled = (
+        df.select(id_col)
+        .join(clusters, on=id_col, how="left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    )
+    m = F.pmod(
+        content_hash(F.concat(F.lit("split|"), F.col("cluster_id").cast("string"))),
+        F.lit(1000),
+    )
+    split = (
+        F.when(m < test_permille, F.lit("test"))
+        .when(m < test_permille + val_permille, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return labeled.select(id_col, "cluster_id", split.alias("split"))
+
+
 def exact_substring_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -2143,6 +2143,41 @@ class TestWeightedSample:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestClusterSafeSplit:
+    """dedup.cluster_safe_split: near-dups share a split; the
+    assignment is hash-deterministic and partitioning-invariant."""
+
+    def test_cluster_members_share_split(self, spark):
+        from atra_spark.functions.dedup import cluster_safe_split
+
+        near = "one shared sentence that every variant document repeats here"
+        rows = [(i, near + f" t{i % 2}") for i in range(40)] + [
+            (100 + i, f"unique doc {i} " + " ".join(f"u{i}x{j}" for j in range(10)))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = cluster_safe_split(df).collect()
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+        assert all(len(s) == 1 for s in by_cluster.values())
+        # the 40 near-dup docs form one cluster -> exactly one split
+        big = [c for c, _ in by_cluster.items() if c == 0]
+        assert big and len([r for r in out if r["cluster_id"] == 0]) == 40
+
+    def test_deterministic_and_partitioning_invariant(self, spark):
+        from atra_spark.functions.dedup import cluster_safe_split
+
+        rows = [(i, f"doc {i} " + " ".join(f"w{i}x{j}" for j in range(8)))
+                for i in range(120)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, cluster_safe_split(df).collect()))
+        b = sorted(map(tuple, cluster_safe_split(df.repartition(7)).collect()))
+        assert a == b
+        splits = {s for _, _, s in a}
+        assert splits == {"train", "val", "test"}  # all three materialize
+
+
 class TestDedupKeepBest:
     """dedup.dedup_keep_best: highest-quality member survives per
     near-dup cluster; unclustered docs untouched."""
