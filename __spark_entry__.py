@@ -946,6 +946,74 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination (atra_spark.functions.
+    textstats.decontaminate_spans): documents with doc_id%17==0 play
+    the benchmark suite; every verbatim 8-token benchmark span is
+    excised from the rest and the clean remainder reassembled in
+    order. Oracle: sql_decontaminate_spans."""
+    from atra_spark.functions.textstats import decontaminate_spans
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    return decontaminate_spans(
+        docs.filter(F.col("doc_id") % 17 != 0),
+        docs.filter(F.col("doc_id") % 17 == 0),
+    )
+
+
+def sql_decontaminate_spans(dialect: str) -> str:
+    """Twin of textstats.decontaminate_spans at window=8: same token
+    convention, 60-bit gram hash, benchmark gram-set semi-join,
+    covered-index union, ordered reassembly."""
+    words = r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')"
+    gram = _hex_hash(
+        "array_to_string(toks[CAST(p + 1 AS INT):CAST(p + 8 AS INT)], ' ')", "duckdb"
+    )
+    return f"""
+WITH corpus AS (SELECT doc_id, {words} AS toks FROM documents WHERE doc_id % 17 <> 0),
+bench AS (SELECT doc_id, {words} AS toks FROM documents WHERE doc_id % 17 = 0),
+tokens AS (
+  SELECT doc_id, CAST(i AS INT) AS idx, toks[CAST(i + 1 AS INT)] AS tok
+  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM corpus) u
+),
+cgrams AS (
+  SELECT doc_id, CAST(p AS INT) AS pos, {gram} AS g
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(CASE WHEN len(toks) >= 8 THEN len(toks) - 7 ELSE 0 END)) AS p
+    FROM corpus
+  ) u
+),
+bgrams AS (
+  SELECT DISTINCT {gram} AS g
+  FROM (
+    SELECT toks,
+           unnest(range(CASE WHEN len(toks) >= 8 THEN len(toks) - 7 ELSE 0 END)) AS p
+    FROM bench
+  ) u
+),
+removal AS (
+  SELECT DISTINCT doc_id, CAST(pos + j AS INT) AS idx
+  FROM (
+    SELECT doc_id, pos, unnest(range(8)) AS j
+    FROM cgrams WHERE g IN (SELECT g FROM bgrams)
+  ) u
+),
+flagged AS (
+  SELECT t.doc_id, t.idx, t.tok, (r.idx IS NOT NULL) AS rm
+  FROM tokens t LEFT JOIN removal r ON t.doc_id = r.doc_id AND t.idx = r.idx
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       coalesce(string_agg(tok, ' ' ORDER BY idx) FILTER (WHERE NOT rm), '')
+         AS clean_text
+FROM flagged
+GROUP BY doc_id
+"""
+
+
 def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split (atra_spark.functions.dedup.
     cluster_safe_split): split assigned per near-dup CLUSTER via the
@@ -4494,6 +4562,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "embedding_quantized_topk": q_embedding_quantized_topk,
     "cluster_safe_split": q_cluster_safe_split,
+    "decontaminate_spans": q_decontaminate_spans,
 }
 
 
@@ -4579,6 +4648,7 @@ def _custom_oracles() -> dict[str, str]:
         "dedup_keep_best": sql_dedup_keep_best("duckdb"),
         "embedding_quantized_topk": sql_embedding_quantized_topk("duckdb"),
         "cluster_safe_split": sql_cluster_safe_split("duckdb"),
+        "decontaminate_spans": sql_decontaminate_spans("duckdb"),
         "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
@@ -4605,7 +4675,7 @@ def _custom_oracles() -> dict[str, str]:
 _DRIVER_PRIORITY = [
     "gopher_quality", "c4_line_filter", "paragraph_dedup",
     "hashed_quality_score", "exact_substring_dedup", "weighted_sample",
-    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "cluster_safe_split", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
+    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "cluster_safe_split", "decontaminate_spans", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
     "event_sessions", "dsir_weights", "source_quality", "host_graph",
     "event_window_rollup", "value_percentiles", "weighted_host_pagerank",
     "bigram_pmi", "zipf_table", "url_templates", "recrawl_priority",

@@ -494,6 +494,99 @@ def bigram_lm_score(
     )
 
 
+def decontaminate_spans(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """SPAN-level benchmark decontamination: excise every
+    ``window``-token span of a corpus document that appears verbatim
+    in the benchmark suite, keeping the clean remainder — the
+    span-surgery upgrade of the doc-level ``decontamination`` flag
+    (drop the contamination, not the document; the n-gram-overlap
+    removal GPT-3/PaLM-style data cards describe).
+
+    Overlapping contaminated windows compose into maximal excised
+    regions, exactly like ``exact_substring_dedup``'s duplicated-span
+    machinery — same token convention, same 60-bit gram hash, same
+    covered-index union + ordered reassembly — but the span test is
+    membership in the BENCHMARK's gram set instead of a corpus-wide
+    keep-first election.
+
+    Returns (doc_id, n_tokens, n_removed, clean_text); every input doc
+    appears, docs shorter than ``window`` pass through untouched.
+
+    100 TB plan: the benchmark gram set is tiny (benchmarks are MBs)
+    and BROADCASTS — the corpus-side semi-join is map-side, no corpus
+    shuffle for the span test (plan-pinned); corpus tokens shuffle
+    exactly once, for the per-doc ordered reassembly.
+    """
+    from .dedup import content_hash  # local import to avoid cycle at module load
+
+    w = int(window)
+
+    def _prep(d: DataFrame, id_expr, tcol: str) -> DataFrame:
+        toks = F.filter(
+            F.split(F.lower(F.trim(F.col(tcol))), r"\s+"), lambda t: t != F.lit("")
+        )
+        return d.select(id_expr.alias("id"), toks.alias("toks"))
+
+    base = _prep(df, F.col(id_col), text_col)
+    gram_idx = F.when(
+        F.size("toks") >= w, F.sequence(F.lit(0), F.size("toks") - w)
+    ).otherwise(F.array().cast("array<int>"))
+
+    def _grams(b: DataFrame) -> DataFrame:
+        return b.select("id", F.explode(gram_idx).alias("pos"), F.col("toks")).select(
+            "id",
+            "pos",
+            content_hash(
+                F.concat_ws(" ", F.slice("toks", F.col("pos") + 1, w))
+            ).alias("g"),
+        )
+
+    bench_g = (
+        _grams(_prep(bench, F.lit(0), bench_text_col)).select("g").distinct()
+    )
+    contaminated = (
+        _grams(base).join(F.broadcast(bench_g), on="g", how="leftsemi")
+        .select("id", "pos")
+    )
+    removal = contaminated.select(
+        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (w - 1))).alias("idx")
+    ).distinct()
+    tokens = base.select("id", F.posexplode("toks").alias("idx", "tok"))
+    flagged = tokens.join(removal.withColumn("rm", F.lit(True)), ["id", "idx"], "left")
+    out = flagged.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.coalesce(F.col("rm"), F.lit(False)).cast("int")).alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("rm").isNull(), F.struct(F.col("idx"), F.col("tok")))
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("id")
+        .join(out, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def readability_scores(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

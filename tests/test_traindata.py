@@ -2143,6 +2143,52 @@ class TestWeightedSample:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestDecontaminateSpans:
+    """textstats.decontaminate_spans: verbatim benchmark spans are
+    excised (overlapping windows compose into maximal regions), the
+    remainder reassembles in order, short docs pass untouched, and the
+    benchmark gram set broadcasts."""
+
+    def test_excises_benchmark_span(self, spark):
+        from atra_spark.functions.textstats import decontaminate_spans
+
+        bench_sent = "what is the capital of france the answer is paris ok"  # 11 toks
+        prefix = "a b c d e"
+        suffix = "v w x y z"
+        docs = spark.createDataFrame(
+            [
+                (1, f"{prefix} {bench_sent} {suffix}"),
+                (2, "totally unrelated text " + " ".join(f"q{j}" for j in range(10))),
+                (3, "too short"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame([(0, bench_sent)], "doc_id long, text string")
+        got = {r["doc_id"]: r for r in decontaminate_spans(docs, bench).collect()}
+        # all 11 benchmark tokens excised (4 overlapping 8-windows
+        # compose); the 5+5 surrounding tokens survive in order
+        assert got[1]["clean_text"] == f"{prefix} {suffix}"
+        assert got[1]["n_removed"] == 11 and got[1]["n_tokens"] == 21
+        assert got[2]["n_removed"] == 0
+        assert got[3]["clean_text"] == "too short" and got[3]["n_removed"] == 0
+
+    def test_bench_gram_join_is_broadcast(self, spark):
+        from atra_spark.functions.textstats import decontaminate_spans
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(20)],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(0, " ".join(f"b{j}" for j in range(12)))], "doc_id long, text string"
+        )
+        plan = (
+            decontaminate_spans(docs, bench)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
 class TestClusterSafeSplit:
     """dedup.cluster_safe_split: near-dups share a split; the
     assignment is hash-deterministic and partitioning-invariant."""
