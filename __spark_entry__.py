@@ -946,6 +946,56 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus halves (atra_spark.
+    functions.textstats.corpus_drift): add-one-smoothed per-token
+    ln(p_a/p_b) over the union vocabulary at combined count >= 10 —
+    the crawl-to-crawl monitoring twin of snapshot_diff. Oracle:
+    sql_corpus_drift."""
+    from atra_spark.functions.textstats import corpus_drift
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    return corpus_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        min_count=10,
+    )
+
+
+def sql_corpus_drift(dialect: str, min_count: int = 10) -> str:
+    """Twin of textstats.corpus_drift: same tokens, full-outer count
+    join, add-one smoothing over the union vocab, 1e-6 rounding."""
+    toks = r"unnest(regexp_split_to_array(lower(trim(text)), '\s+'))"
+    return f"""
+WITH ta AS (
+  SELECT {toks} AS tok FROM documents WHERE doc_id % 2 = 0
+),
+tb AS (
+  SELECT {toks} AS tok FROM documents WHERE doc_id % 2 = 1
+),
+ca AS (SELECT tok, count(*) AS cnt_a FROM ta WHERE tok <> '' GROUP BY tok),
+cb AS (SELECT tok, count(*) AS cnt_b FROM tb WHERE tok <> '' GROUP BY tok),
+joined AS (
+  SELECT COALESCE(ca.tok, cb.tok) AS tok,
+         COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+  FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok
+),
+tot AS (
+  SELECT (SELECT CAST(sum(cnt_a) AS DOUBLE) FROM ca) AS tot_a,
+         (SELECT CAST(sum(cnt_b) AS DOUBLE) FROM cb) AS tot_b,
+         (SELECT CAST(count(*) AS DOUBLE) FROM
+            (SELECT tok FROM ca UNION SELECT tok FROM cb) v) AS vocab
+)
+SELECT tok, cnt_a, cnt_b,
+       CAST(floor(ln(((cnt_a + 1) / (tot_a + vocab))
+                     / ((cnt_b + 1) / (tot_b + vocab))) * 1000000 + 0.5 + 1e-6)
+            AS DOUBLE) / 1000000 AS log_ratio
+FROM joined CROSS JOIN tot
+WHERE cnt_a + cnt_b >= {min_count}
+"""
+
+
 def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level benchmark decontamination (atra_spark.functions.
     textstats.decontaminate_spans): documents with doc_id%17==0 play
@@ -4563,6 +4613,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantized_topk": q_embedding_quantized_topk,
     "cluster_safe_split": q_cluster_safe_split,
     "decontaminate_spans": q_decontaminate_spans,
+    "corpus_drift": q_corpus_drift,
 }
 
 
@@ -4649,6 +4700,7 @@ def _custom_oracles() -> dict[str, str]:
         "embedding_quantized_topk": sql_embedding_quantized_topk("duckdb"),
         "cluster_safe_split": sql_cluster_safe_split("duckdb"),
         "decontaminate_spans": sql_decontaminate_spans("duckdb"),
+        "corpus_drift": sql_corpus_drift("duckdb"),
         "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
@@ -4675,7 +4727,7 @@ def _custom_oracles() -> dict[str, str]:
 _DRIVER_PRIORITY = [
     "gopher_quality", "c4_line_filter", "paragraph_dedup",
     "hashed_quality_score", "exact_substring_dedup", "weighted_sample",
-    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "cluster_safe_split", "decontaminate_spans", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
+    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "cluster_safe_split", "decontaminate_spans", "corpus_drift", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
     "event_sessions", "dsir_weights", "source_quality", "host_graph",
     "event_window_rollup", "value_percentiles", "weighted_host_pagerank",
     "bigram_pmi", "zipf_table", "url_templates", "recrawl_priority",

@@ -587,6 +587,65 @@ def decontaminate_spans(
     )
 
 
+def corpus_drift(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    min_count: int = 20,
+) -> DataFrame:
+    """Token-distribution drift between two corpora (e.g. last crawl
+    vs this crawl, or corpus vs a target domain): per-token smoothed
+    log-probability ratio ``ln(p_a / p_b)`` with add-one smoothing
+    over the UNION vocabulary, for every token whose combined count
+    reaches ``min_count``. Positive = over-represented in ``a``.
+    Sorting by |log_ratio| surfaces what changed; summing
+    ``p_a * log_ratio`` over all rows is the (smoothed) KL estimate.
+
+    Returns (tok, cnt_a, cnt_b, log_ratio).
+
+    100 TB plan: two map-side-combined token counts, one full-outer
+    hash join on the token, two 1-row broadcast totals + a 1-row union
+    vocab size — nothing wide ever shuffles.
+    """
+
+    def _counts(d: DataFrame, name: str) -> DataFrame:
+        toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        return (
+            d.select(F.explode(toks).alias("tok"))
+            .filter(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count("*").alias(name))
+        )
+
+    ca = _counts(a, "cnt_a")
+    cb = _counts(b, "cnt_b")
+    joined = ca.join(cb, on="tok", how="full_outer").select(
+        "tok",
+        F.coalesce(F.col("cnt_a"), F.lit(0)).alias("cnt_a"),
+        F.coalesce(F.col("cnt_b"), F.lit(0)).alias("cnt_b"),
+    )
+    joined = joined.filter(F.col("cnt_a") + F.col("cnt_b") >= min_count)
+    totals = (
+        ca.agg(F.sum("cnt_a").cast("double").alias("tot_a"))
+        .crossJoin(cb.agg(F.sum("cnt_b").cast("double").alias("tot_b")))
+        .crossJoin(
+            ca.select("tok").unionByName(cb.select("tok")).distinct()
+            .agg(F.count("*").cast("double").alias("vocab"))
+        )
+    )
+    out = joined.crossJoin(F.broadcast(totals))
+    lr = F.log(
+        ((F.col("cnt_a") + 1) / (F.col("tot_a") + F.col("vocab")))
+        / ((F.col("cnt_b") + 1) / (F.col("tot_b") + F.col("vocab")))
+    )
+    return out.select(
+        "tok", "cnt_a", "cnt_b",
+        (F.floor(lr * 1000000 + 0.5 + 1e-6).cast("double") / 1000000).alias(
+            "log_ratio"
+        ),
+    )
+
+
 def readability_scores(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

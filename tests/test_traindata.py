@@ -2143,6 +2143,43 @@ class TestWeightedSample:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestCorpusDrift:
+    """textstats.corpus_drift vs a serial reference of the smoothed
+    log-ratio spec."""
+
+    def test_matches_serial_reference(self, spark):
+        import math
+        from collections import Counter
+
+        from atra_spark.functions.textstats import corpus_drift
+
+        a_texts = ["the cat sat on the mat", "the dog ran fast", "cat and dog"]
+        b_texts = ["the cat slept", "a bird flew over the mat", "bird song"]
+        a = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(a_texts)], "doc_id long, text string"
+        )
+        b = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(b_texts)], "doc_id long, text string"
+        )
+        got = {
+            r["tok"]: (r["cnt_a"], r["cnt_b"], r["log_ratio"])
+            for r in corpus_drift(a, b, min_count=2).collect()
+        }
+        ca = Counter(w for t in a_texts for w in t.lower().split())
+        cb = Counter(w for t in b_texts for w in t.lower().split())
+        vocab = len(set(ca) | set(cb))
+        tot_a, tot_b = sum(ca.values()), sum(cb.values())
+        want = {}
+        for tok in set(ca) | set(cb):
+            na, nb = ca[tok], cb[tok]
+            if na + nb < 2:
+                continue
+            lr = math.log(((na + 1) / (tot_a + vocab)) / ((nb + 1) / (tot_b + vocab)))
+            want[tok] = (na, nb, math.floor(lr * 1e6 + 0.5 + 1e-6) / 1e6)
+        assert got == want
+        assert got["dog"][2] > 0 > got["bird"][2]  # direction sanity
+
+
 class TestDecontaminateSpans:
     """textstats.decontaminate_spans: verbatim benchmark spans are
     excised (overlapping windows compose into maximal regions), the
