@@ -946,6 +946,81 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def q_change_rate_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive recrawl priorities from a deterministic 3-round
+    observation history (atra_spark.functions.snapshot.
+    change_rate_priority — Cho/Garcia-Molina change-rate estimation):
+    doc_id%3==0 pages change every round, %3==1 change once, %3==2
+    never; %5==0 pages miss round 2. Oracle: sql_change_rate_priority."""
+    from atra_spark.functions.snapshot import change_rate_priority
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    url = F.concat(
+        F.lit("https://s"), (F.col("doc_id") % 13).cast("string"),
+        F.lit(".example/d"), F.col("doc_id").cast("string"),
+    )
+    parts = []
+    for r in range(3):
+        d = docs if r < 2 else docs.filter(F.col("doc_id") % 5 != 0)
+        salt = (
+            F.when(F.col("doc_id") % 3 == 0, F.lit(f"|{r}"))
+            .when((F.col("doc_id") % 3 == 1) & (F.lit(r) == 2), F.lit("|x"))
+            .otherwise(F.lit(""))
+        )
+        from atra_spark.functions.dedup import content_hash
+
+        parts.append(
+            d.select(
+                url.alias("url"),
+                F.lit(r).alias("round"),
+                content_hash(F.concat(F.col("text"), salt)).alias("digest"),
+            )
+        )
+    hist = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return change_rate_priority(hist, now_round=3)
+
+
+def sql_change_rate_priority(dialect: str) -> str:
+    """Twin of snapshot.change_rate_priority over the same synthetic
+    history: lag window per url, smoothed rate, staleness priority,
+    1e-6 rounding."""
+    url = "'https://s' || CAST(doc_id % 13 AS VARCHAR) || '.example/d' || CAST(doc_id AS VARCHAR)"
+    rows = []
+    for r in range(3):
+        where = "" if r < 2 else "WHERE doc_id % 5 <> 0"
+        salt = (
+            f"CASE WHEN doc_id % 3 = 0 THEN '|{r}' "
+            f"WHEN doc_id % 3 = 1 AND {r} = 2 THEN '|x' ELSE '' END"
+        )
+        dig = _hex_hash(f"text || {salt}", dialect)
+        rows.append(
+            f"SELECT {url} AS url, {r} AS rnd, {dig} AS dig FROM documents {where}"
+        )
+    hist = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH hist AS ({hist}),
+obs AS (
+  SELECT url, rnd, dig,
+         lag(dig) OVER (PARTITION BY url ORDER BY rnd) AS prev_dig
+  FROM hist
+),
+agg AS (
+  SELECT url, count(*) AS n_obs,
+         sum(CASE WHEN prev_dig IS NOT NULL AND dig <> prev_dig THEN 1 ELSE 0 END)
+           AS n_changes,
+         max(rnd) AS last_round
+  FROM obs GROUP BY url
+)
+SELECT url, CAST(n_obs AS BIGINT) AS n_obs, CAST(n_changes AS BIGINT) AS n_changes,
+       CAST(floor((n_changes + 0.5) / (n_obs - 1 + 1.0) * 1000000 + 0.5 + 1e-6)
+            AS DOUBLE) / 1000000 AS change_rate,
+       CAST(floor((3 - last_round) * (n_changes + 0.5) / (n_obs - 1 + 1.0) * 1000000
+                  + 0.5 + 1e-6) AS DOUBLE) / 1000000 AS priority
+FROM agg
+"""
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution drift between two corpus halves (atra_spark.
     functions.textstats.corpus_drift): add-one-smoothed per-token
@@ -4614,6 +4689,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_safe_split": q_cluster_safe_split,
     "decontaminate_spans": q_decontaminate_spans,
     "corpus_drift": q_corpus_drift,
+    "change_rate_priority": q_change_rate_priority,
 }
 
 
@@ -4701,6 +4777,7 @@ def _custom_oracles() -> dict[str, str]:
         "cluster_safe_split": sql_cluster_safe_split("duckdb"),
         "decontaminate_spans": sql_decontaminate_spans("duckdb"),
         "corpus_drift": sql_corpus_drift("duckdb"),
+        "change_rate_priority": sql_change_rate_priority("duckdb"),
         "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
@@ -4727,7 +4804,7 @@ def _custom_oracles() -> dict[str, str]:
 _DRIVER_PRIORITY = [
     "gopher_quality", "c4_line_filter", "paragraph_dedup",
     "hashed_quality_score", "exact_substring_dedup", "weighted_sample",
-    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "cluster_safe_split", "decontaminate_spans", "corpus_drift", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
+    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "cluster_safe_split", "decontaminate_spans", "corpus_drift", "change_rate_priority", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
     "event_sessions", "dsir_weights", "source_quality", "host_graph",
     "event_window_rollup", "value_percentiles", "weighted_host_pagerank",
     "bigram_pmi", "zipf_table", "url_templates", "recrawl_priority",

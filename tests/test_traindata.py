@@ -2143,6 +2143,37 @@ class TestWeightedSample:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestChangeRatePriority:
+    """snapshot.change_rate_priority vs hand-computed estimates."""
+
+    def test_hand_computed(self, spark):
+        from atra_spark.functions.snapshot import change_rate_priority
+
+        hist = spark.createDataFrame(
+            [
+                # hot: changes every interval (2 changes / 2 intervals)
+                ("a", 0, 1), ("a", 1, 2), ("a", 2, 3),
+                # warm: one change in two intervals
+                ("b", 0, 7), ("b", 1, 7), ("b", 2, 8),
+                # cold: never changes
+                ("c", 0, 5), ("c", 1, 5), ("c", 2, 5),
+                # stale: observed once, long ago
+                ("d", 0, 9),
+            ],
+            "url string, round int, digest long",
+        )
+        got = {r["url"]: r for r in change_rate_priority(hist, now_round=3).collect()}
+        # smoothed (c + 0.5) / (intervals + 1), intervals = n_obs - 1
+        assert got["a"]["n_changes"] == 2 and got["a"]["change_rate"] == 0.833333
+        assert got["b"]["change_rate"] == 0.5      # (1+.5)/3
+        assert got["c"]["change_rate"] == 0.166667  # (0+.5)/3
+        assert got["d"]["n_obs"] == 1 and got["d"]["change_rate"] == 0.5  # prior only
+        # staleness ordering: hot beats cold at same last_round; the
+        # long-unseen page accumulates priority from elapsed rounds
+        assert got["a"]["priority"] > got["c"]["priority"]
+        assert got["d"]["priority"] == pytest.approx(3 * 0.5)
+
+
 class TestCorpusDrift:
     """textstats.corpus_drift vs a serial reference of the smoothed
     log-ratio spec."""
