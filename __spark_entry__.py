@@ -946,6 +946,41 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-containment pairs at 3-gram containment >= 0.8
+    (atra_spark.functions.dedup.ngram_containment_pairs — the
+    asymmetric quote/superset relation Jaccard misses; the dedup
+    decision drops the CONTAINED copy). 4dp HALF_UP rounding. Oracle:
+    sql_ngram_containment."""
+    from atra_spark.functions.dedup import ngram_containment_pairs
+
+    _register(spark, sf_dir)
+    out = ngram_containment_pairs(spark.table("documents"))
+    rounded = (
+        F.floor(F.col("containment") * 10000 + 0.5 + 1e-6).cast("double") / 10000
+    )
+    return out.select("contained", "container", rounded.alias("containment"))
+
+
+def sql_ngram_containment(dialect: str) -> str:
+    """Twin of dedup.ngram_containment_pairs: directed shingle
+    self-join, containment = common / |contained|, threshold 0.8."""
+    return f"""
+WITH {_shingles_cte(dialect)},
+card AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS contained, b.doc_id AS container, count(*) AS c
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT common.contained, common.container,
+       {_rnd('c * 1.0 / ca.n', 4)} AS containment
+FROM common
+JOIN card ca ON ca.doc_id = common.contained
+WHERE c * 1.0 / ca.n >= 0.8
+"""
+
+
 def q_change_rate_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive recrawl priorities from a deterministic 3-round
     observation history (atra_spark.functions.snapshot.
@@ -4690,6 +4725,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_spans": q_decontaminate_spans,
     "corpus_drift": q_corpus_drift,
     "change_rate_priority": q_change_rate_priority,
+    "ngram_containment": q_ngram_containment,
 }
 
 
@@ -4778,6 +4814,7 @@ def _custom_oracles() -> dict[str, str]:
         "decontaminate_spans": sql_decontaminate_spans("duckdb"),
         "corpus_drift": sql_corpus_drift("duckdb"),
         "change_rate_priority": sql_change_rate_priority("duckdb"),
+        "ngram_containment": sql_ngram_containment("duckdb"),
         "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
@@ -4804,7 +4841,7 @@ def _custom_oracles() -> dict[str, str]:
 _DRIVER_PRIORITY = [
     "gopher_quality", "c4_line_filter", "paragraph_dedup",
     "hashed_quality_score", "exact_substring_dedup", "weighted_sample",
-    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "cluster_safe_split", "decontaminate_spans", "corpus_drift", "change_rate_priority", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
+    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "cluster_safe_split", "decontaminate_spans", "corpus_drift", "change_rate_priority", "ngram_containment", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
     "event_sessions", "dsir_weights", "source_quality", "host_graph",
     "event_window_rollup", "value_percentiles", "weighted_host_pagerank",
     "bigram_pmi", "zipf_table", "url_templates", "recrawl_priority",

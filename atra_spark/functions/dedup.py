@@ -115,6 +115,68 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """DIRECTED near-containment pairs: containment(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| >= threshold — the
+    asymmetric relation Jaccard misses: a short page quoted inside a
+    long superset page scores near-zero Jaccard but containment ~1.
+    The dedup decision it feeds: drop the CONTAINED copy, keep the
+    container (Lee et al. 2022 discuss exactly this asymmetry).
+
+    Same plan shape and hot-shingle cap semantics as
+    ``ngram_jaccard_pairs`` (shuffle on shingle, map-side combine,
+    consistent cap on both the join and the denominators); the join
+    keeps both directions (A-in-B and B-in-A are different facts).
+
+    Returns (contained, container, containment).
+    """
+    sh = shingles(df, text_col, id_col, k)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("docfreq"))
+            .filter(F.col("docfreq") > max_shingle_df)
+            .cache()
+        )
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_containment_pairs: dropping %d hot shingles with "
+                "document frequency > %d before the self-join",
+                n_hot,
+                max_shingle_df,
+            )
+            sh = sh.join(F.broadcast(hot.select("sh")), on="sh", how="left_anti")
+    sh = sh.cache()
+    card = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("id").alias("contained"), "sh")
+    b = sh.select(F.col("id").alias("container"), "sh")
+    common = (
+        a.join(b, on="sh")
+        .filter(F.col("contained") != F.col("container"))
+        .groupBy("contained", "container")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        common.join(
+            card.select(F.col("id").alias("contained"), F.col("n").alias("na")),
+            on="contained",
+        )
+        .withColumn("containment", F.col("c") / F.col("na"))
+        .filter(F.col("containment") >= threshold)
+        .select("contained", "container", "containment")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -2143,6 +2143,32 @@ class TestWeightedSample:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestNgramContainment:
+    """dedup.ngram_containment_pairs: a short doc quoted inside a long
+    superset scores containment ~1 in ONE direction while Jaccard
+    stays low — the asymmetry the operator exists for."""
+
+    def test_quote_inside_superset(self, spark):
+        from atra_spark.functions.dedup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        quote = "to be or not to be that is the question"
+        filler = " ".join(f"filler{j} pad{j} word{j}" for j in range(30))
+        df = spark.createDataFrame(
+            [(1, quote), (2, f"{filler} {quote} {filler}")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["contained"], r["container"]): r["containment"]
+            for r in ngram_containment_pairs(df).collect()
+        }
+        assert got.get((1, 2)) == 1.0      # the quote is fully contained
+        assert (2, 1) not in got           # the superset is not contained
+        assert ngram_jaccard_pairs(df).count() == 0  # Jaccard misses it
+
+
 class TestChangeRatePriority:
     """snapshot.change_rate_priority vs hand-computed estimates."""
 
