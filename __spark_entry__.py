@@ -946,6 +946,39 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus data card (atra_spark.functions.
+    textstats.corpus_data_card): doc/token/char volumes, mean length,
+    token share — one map-side-combined pass + a 1-row broadcast
+    total. Oracle: sql_corpus_data_card."""
+    from atra_spark.functions.textstats import corpus_data_card
+
+    _register(spark, sf_dir)
+    return corpus_data_card(spark.table("documents"))
+
+
+def sql_corpus_data_card(dialect: str) -> str:
+    """Twin of textstats.corpus_data_card: same tokens, same grid,
+    1e-6 half-up ratios."""
+    toks = r"len(regexp_split_to_array(trim(text), '\s+'))"
+    return f"""
+WITH per AS (
+  SELECT source, lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({toks}) AS BIGINT) AS n_tokens,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source, lang
+),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM per)
+SELECT source, lang, n_docs, n_tokens, n_chars,
+       CAST(floor(n_tokens * 1.0 / n_docs * 1000000 + 0.5 + 1e-6) AS DOUBLE)
+         / 1000000 AS avg_tokens,
+       CAST(floor(n_tokens / tot * 1000000 + 0.5 + 1e-6) AS DOUBLE)
+         / 1000000 AS token_share
+FROM per CROSS JOIN tot
+"""
+
+
 def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed near-containment pairs at 3-gram containment >= 0.8
     (atra_spark.functions.dedup.ngram_containment_pairs — the
@@ -4726,6 +4759,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_drift": q_corpus_drift,
     "change_rate_priority": q_change_rate_priority,
     "ngram_containment": q_ngram_containment,
+    "corpus_data_card": q_corpus_data_card,
 }
 
 
@@ -4815,6 +4849,7 @@ def _custom_oracles() -> dict[str, str]:
         "corpus_drift": sql_corpus_drift("duckdb"),
         "change_rate_priority": sql_change_rate_priority("duckdb"),
         "ngram_containment": sql_ngram_containment("duckdb"),
+        "corpus_data_card": sql_corpus_data_card("duckdb"),
         "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
@@ -4841,7 +4876,7 @@ def _custom_oracles() -> dict[str, str]:
 _DRIVER_PRIORITY = [
     "gopher_quality", "c4_line_filter", "paragraph_dedup",
     "hashed_quality_score", "exact_substring_dedup", "weighted_sample",
-    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "cluster_safe_split", "decontaminate_spans", "corpus_drift", "change_rate_priority", "ngram_containment", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
+    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "cluster_safe_split", "decontaminate_spans", "corpus_drift", "change_rate_priority", "ngram_containment", "corpus_data_card", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
     "event_sessions", "dsir_weights", "source_quality", "host_graph",
     "event_window_rollup", "value_percentiles", "weighted_host_pagerank",
     "bigram_pmi", "zipf_table", "url_templates", "recrawl_priority",

@@ -587,6 +587,39 @@ def decontaminate_spans(
     )
 
 
+def corpus_data_card(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The per-(source, language) rollup a corpus release ships as its
+    data card: document count, whitespace-token and character volumes,
+    mean document length, and the cell's share of the corpus token
+    budget — the table mixing weights are negotiated over.
+
+    Returns (source, lang, n_docs, n_tokens, n_chars, avg_tokens,
+    token_share), 1e-6 half-up rounding on the ratios.
+
+    100 TB plan: ONE map-side-combined groupBy over cheap column math
+    plus a 1-row broadcast total — the whole card is a single pass."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    per = df.groupBy(
+        F.col(source_col).alias("source"), F.col(lang_col).alias("lang")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+        F.sum(F.length(text_col).cast("long")).alias("n_chars"),
+    )
+    total = per.agg(F.sum("n_tokens").cast("double").alias("tot"))
+    rnd6 = lambda c: F.floor(c * 1000000 + 0.5 + 1e-6).cast("double") / 1000000  # noqa: E731
+    return per.crossJoin(F.broadcast(total)).select(
+        "source", "lang", "n_docs", "n_tokens", "n_chars",
+        rnd6(F.col("n_tokens") / F.col("n_docs")).alias("avg_tokens"),
+        rnd6(F.col("n_tokens") / F.col("tot")).alias("token_share"),
+    )
+
+
 def corpus_drift(
     a: DataFrame,
     b: DataFrame,

@@ -2143,6 +2143,41 @@ class TestWeightedSample:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestCorpusDataCard:
+    def test_hand_computed(self, spark):
+        from atra_spark.functions.textstats import corpus_data_card
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c", "web", "en"),
+                (2, "d e", "web", "en"),
+                (3, "f g h i", "web", "de"),
+                (4, "j", "books", "en"),
+            ],
+            "doc_id long, text string, source string, lang string",
+        )
+        got = {
+            (r["source"], r["lang"]): r for r in corpus_data_card(df).collect()
+        }
+        web_en = got[("web", "en")]
+        assert web_en["n_docs"] == 2 and web_en["n_tokens"] == 5
+        assert web_en["avg_tokens"] == 2.5 and web_en["token_share"] == 0.5
+        assert got[("web", "de")]["n_tokens"] == 4
+        assert got[("books", "en")]["token_share"] == 0.1
+
+    def test_single_pass_plan(self, spark):
+        from atra_spark.functions.textstats import corpus_data_card
+
+        df = spark.createDataFrame(
+            [(i, f"t{i} u{i}", "s", "en") for i in range(10)],
+            "doc_id long, text string, source string, lang string",
+        )
+        plan = (
+            corpus_data_card(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 class TestNgramContainment:
     """dedup.ngram_containment_pairs: a short doc quoted inside a long
     superset scores containment ~1 in ONE direction while Jaccard
