@@ -946,6 +946,51 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def q_pack_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary chunking at block=32 tokens (atra_spark.
+    functions.textstats.pack_sentences — chunks break where sentences
+    end; a straddling sentence stays whole in the chunk where it
+    starts). Oracle: sql_pack_sentences."""
+    from atra_spark.functions.textstats import pack_sentences
+
+    _register(spark, sf_dir)
+    return pack_sentences(spark.table("documents"), block=32)
+
+
+def sql_pack_sentences(dialect: str, block: int = 32) -> str:
+    """Twin of textstats.pack_sentences: token-level sentence ends
+    (RE2-safe, no lookbehind), prior-ends window, min-start-idx chunk
+    assignment, ordered reassembly."""
+    words = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"
+    return f"""
+WITH base AS (SELECT doc_id, {words} AS toks FROM documents),
+tokens AS (
+  SELECT doc_id, CAST(i AS INT) AS idx, toks[CAST(i + 1 AS INT)] AS tok
+  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM base) u
+),
+sent AS (
+  SELECT doc_id, idx, tok,
+         COALESCE(sum(CASE WHEN regexp_matches(tok, '[.!?]$') THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS sent_id
+  FROM tokens
+),
+starts AS (
+  SELECT doc_id, sent_id, min(idx) AS start_idx FROM sent GROUP BY doc_id, sent_id
+),
+chunked AS (
+  SELECT s.doc_id, s.idx, s.tok,
+         CAST(floor(st.start_idx / {block}.0) AS BIGINT) AS chunk_id
+  FROM sent s JOIN starts st ON s.doc_id = st.doc_id AND s.sent_id = st.sent_id
+)
+SELECT doc_id, chunk_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(tok, ' ' ORDER BY idx) AS chunk_text
+FROM chunked GROUP BY doc_id, chunk_id
+"""
+
+
 def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) corpus data card (atra_spark.functions.
     textstats.corpus_data_card): doc/token/char volumes, mean length,
@@ -4760,6 +4805,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "change_rate_priority": q_change_rate_priority,
     "ngram_containment": q_ngram_containment,
     "corpus_data_card": q_corpus_data_card,
+    "pack_sentences": q_pack_sentences,
 }
 
 
@@ -4850,6 +4896,7 @@ def _custom_oracles() -> dict[str, str]:
         "change_rate_priority": sql_change_rate_priority("duckdb"),
         "ngram_containment": sql_ngram_containment("duckdb"),
         "corpus_data_card": sql_corpus_data_card("duckdb"),
+        "pack_sentences": sql_pack_sentences("duckdb"),
         "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
@@ -4876,7 +4923,7 @@ def _custom_oracles() -> dict[str, str]:
 _DRIVER_PRIORITY = [
     "gopher_quality", "c4_line_filter", "paragraph_dedup",
     "hashed_quality_score", "exact_substring_dedup", "weighted_sample",
-    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "cluster_safe_split", "decontaminate_spans", "corpus_drift", "change_rate_priority", "ngram_containment", "corpus_data_card", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
+    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "cluster_safe_split", "decontaminate_spans", "corpus_drift", "change_rate_priority", "ngram_containment", "corpus_data_card", "pack_sentences", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
     "event_sessions", "dsir_weights", "source_quality", "host_graph",
     "event_window_rollup", "value_percentiles", "weighted_host_pagerank",
     "bigram_pmi", "zipf_table", "url_templates", "recrawl_priority",

@@ -587,6 +587,70 @@ def decontaminate_spans(
     )
 
 
+def pack_sentences(
+    df: DataFrame,
+    block: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk each document into ~``block``-token training chunks that
+    break at SENTENCE boundaries — the semantic-boundary complement of
+    ``prefix.pack_sequences`` (which hard-splits the global token
+    stream mid-sentence): RAG/embedding corpora want chunks that end
+    where sentences end.
+
+    Sentence rule (engine-portable, no lookbehind — RE2-safe for the
+    oracle): a sentence ends AT a whitespace token whose last char is
+    ``.!?``. Chunk rule: a sentence belongs to
+    ``chunk = floor(tokens_before_its_start / block)`` — the standard
+    approximation: a sentence straddling a boundary stays whole in the
+    chunk where it starts, so chunks can overflow by at most one
+    sentence tail (never split a sentence; documented trade).
+
+    Returns (doc_id, chunk_id, n_tokens, chunk_text); docs chunk
+    independently (no cross-doc state).
+
+    100 TB plan: ONE doc-keyed shuffle shared by the sentence-id
+    window, the cumulative-start window, and the reassembly groupBy —
+    same-key windows chain without re-exchanging."""
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    tokens = df.select(F.col(id_col).alias("id"), toks.alias("toks")).select(
+        "id", F.posexplode("toks").alias("idx", "tok")
+    )
+    w_order = Window.partitionBy("id").orderBy("idx")
+    ends_before = F.coalesce(
+        F.sum(F.col("tok").rlike(r"[.!?]$").cast("int")).over(
+            w_order.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    sent = tokens.withColumn("sent_id", ends_before)
+    # tokens before each sentence's first token = min(idx) of the sentence
+    starts = sent.groupBy("id", "sent_id").agg(F.min("idx").alias("start_idx"))
+    chunked = sent.join(starts, on=["id", "sent_id"]).withColumn(
+        "chunk_id", F.floor(F.col("start_idx") / F.lit(block)).cast("long")
+    )
+    return (
+        chunked.groupBy(F.col("id").alias(id_col), "chunk_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("idx"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def corpus_data_card(
     df: DataFrame,
     text_col: str = "text",

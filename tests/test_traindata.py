@@ -2143,6 +2143,38 @@ class TestWeightedSample:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestPackSentences:
+    """textstats.pack_sentences: chunks break at sentence ends; a
+    straddling sentence stays whole in the chunk where it starts."""
+
+    def test_hand_computed(self, spark):
+        from atra_spark.functions.textstats import pack_sentences
+
+        # sentences of 4, 4, 4 tokens; block=6:
+        #  s0 starts at 0 -> chunk 0; s1 starts at 4 -> chunk 0 (whole,
+        #  overflows to 8 tokens); s2 starts at 8 -> chunk 1
+        text = "a b c one. d e f two. g h i three."
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = {
+            r["chunk_id"]: (r["n_tokens"], r["chunk_text"])
+            for r in pack_sentences(df, block=6).collect()
+        }
+        assert got == {
+            0: (8, "a b c one. d e f two."),
+            1: (4, "g h i three."),
+        }
+
+    def test_no_terminal_punct_single_chunk(self, spark):
+        from atra_spark.functions.textstats import pack_sentences
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{j}" for j in range(10)))], "doc_id long, text string"
+        )
+        rows = pack_sentences(df, block=4).collect()
+        # one sentence (no terminator) starting at 0 -> one chunk
+        assert len(rows) == 1 and rows[0]["n_tokens"] == 10
+
+
 class TestCorpusDataCard:
     def test_hand_computed(self, spark):
         from atra_spark.functions.textstats import corpus_data_card
