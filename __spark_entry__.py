@@ -946,6 +946,64 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def q_worst_window_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document worst 10-bigram-window LM score (atra_spark.
+    functions.textstats.worst_window_quality — the span-level quality
+    signal the doc-level mean hides). Oracle:
+    sql_worst_window_quality."""
+    from atra_spark.functions.textstats import worst_window_quality
+
+    _register(spark, sf_dir)
+    return worst_window_quality(spark.table("documents"))
+
+
+def sql_worst_window_quality(dialect: str, window: int = 10, add_k: float = 0.5) -> str:
+    """Twin of textstats.worst_window_quality: identical bigram model,
+    sliding frame of {window} bigram positions, 1e-6-rounded min
+    election with earliest-start ties."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         toks[CAST(i + 1 AS INT)] AS prev, toks[CAST(i + 2 AS INT)] AS cur
+  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+        FROM base WHERE len(toks) >= 2) u
+),
+bc AS (SELECT prev, cur, count(*) AS bc FROM pairs GROUP BY prev, cur),
+pc AS (SELECT prev, count(*) AS pc FROM pairs GROUP BY prev),
+vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+  FROM (SELECT unnest(toks) AS tok FROM base) t
+),
+scored AS (
+  SELECT p.doc_id, p.pos,
+         ln((bc.bc + {add_k}) / (pc.pc + {add_k} * vocab.v)) AS lp
+  FROM pairs p JOIN bc ON p.prev = bc.prev AND p.cur = bc.cur
+  JOIN pc ON p.prev = pc.prev
+  CROSS JOIN vocab
+),
+windows AS (
+  SELECT doc_id, pos,
+         CAST(floor(avg(lp) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+                    * 1000000 + 0.5 + 1e-6) AS DOUBLE) / 1000000 AS w_lp,
+         count(lp) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS w_n
+  FROM scored
+),
+best AS (
+  SELECT doc_id, pos, w_lp,
+         row_number() OVER (PARTITION BY doc_id ORDER BY w_lp ASC, pos ASC) AS rn
+  FROM windows WHERE w_n = {window}
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS worst_start, w_lp AS worst_logprob
+FROM best WHERE rn = 1
+"""
+
+
 def q_pack_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence-boundary chunking at block=32 tokens (atra_spark.
     functions.textstats.pack_sentences — chunks break where sentences
@@ -4806,6 +4864,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": q_ngram_containment,
     "corpus_data_card": q_corpus_data_card,
     "pack_sentences": q_pack_sentences,
+    "worst_window_quality": q_worst_window_quality,
 }
 
 
@@ -4897,6 +4956,7 @@ def _custom_oracles() -> dict[str, str]:
         "ngram_containment": sql_ngram_containment("duckdb"),
         "corpus_data_card": sql_corpus_data_card("duckdb"),
         "pack_sentences": sql_pack_sentences("duckdb"),
+        "worst_window_quality": sql_worst_window_quality("duckdb"),
         "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
@@ -4923,7 +4983,7 @@ def _custom_oracles() -> dict[str, str]:
 _DRIVER_PRIORITY = [
     "gopher_quality", "c4_line_filter", "paragraph_dedup",
     "hashed_quality_score", "exact_substring_dedup", "weighted_sample",
-    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "cluster_safe_split", "decontaminate_spans", "corpus_drift", "change_rate_priority", "ngram_containment", "corpus_data_card", "pack_sentences", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
+    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "cluster_safe_split", "decontaminate_spans", "corpus_drift", "change_rate_priority", "ngram_containment", "corpus_data_card", "pack_sentences", "worst_window_quality", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
     "event_sessions", "dsir_weights", "source_quality", "host_graph",
     "event_window_rollup", "value_percentiles", "weighted_host_pagerank",
     "bigram_pmi", "zipf_table", "url_templates", "recrawl_priority",

@@ -494,6 +494,83 @@ def bigram_lm_score(
     )
 
 
+def worst_window_quality(
+    df: DataFrame,
+    window: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-document WORST sliding-window LM score: the span-level
+    quality signal a doc-level mean hides — a mostly-fluent page with
+    one embedded spam/gibberish section scores fine on
+    ``bigram_lm_score`` but its worst ``window``-bigram window exposes
+    the section (and where it starts).
+
+    Model: the identical corpus-self-trained add-k bigram statistics
+    as ``bigram_lm_score``; score = mean token ln-probability over
+    each full window of ``window`` consecutive bigram positions;
+    election = minimum (1e-6-rounded) window score, ties to the
+    earliest start.
+
+    Returns (doc_id, worst_start, worst_logprob); documents with
+    fewer than ``window`` bigram positions are absent.
+
+    100 TB plan: the count-relation joins shuffle on the bigram key
+    exactly like ``bigram_lm_score``; the sliding frame and the
+    min-election share ONE doc-keyed exchange."""
+    from pyspark.sql import Window
+
+    toks_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks_arr.alias("toks"))
+    n = F.size("toks")
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("toks", 1, n - 1),
+            F.slice("toks", 2, n - 1),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pairs = base.select("id", F.posexplode(bigrams).alias("pos", "b")).select(
+        "id", "pos", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur")
+    )
+    bigram_c = pairs.groupBy("prev", "cur").agg(F.count("*").alias("bc"))
+    prefix_c = pairs.groupBy("prev").agg(F.count("*").alias("pc"))
+    vocab = base.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").cast("double").alias("v")
+    )
+    k = float(add_k)
+    scored = (
+        pairs.join(bigram_c, on=["prev", "cur"])
+        .join(prefix_c, on="prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id", "pos",
+            F.log(
+                (F.col("bc") + F.lit(k)) / (F.col("pc") + F.lit(k) * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    frame = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    rnd6 = lambda c: F.floor(c * 1000000 + 0.5 + 1e-6).cast("double") / 1000000  # noqa: E731
+    windows = scored.select(
+        "id", "pos",
+        rnd6(F.avg("lp").over(frame)).alias("w_lp"),
+        F.count("lp").over(frame).alias("w_n"),
+    ).filter(F.col("w_n") == window)
+    pick = Window.partitionBy("id").orderBy(F.col("w_lp").asc(), F.col("pos").asc())
+    return (
+        windows.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("pos").cast("long").alias("worst_start"),
+            F.col("w_lp").alias("worst_logprob"),
+        )
+    )
+
+
 def decontaminate_spans(
     df: DataFrame,
     bench: DataFrame,

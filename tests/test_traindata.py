@@ -2143,6 +2143,33 @@ class TestWeightedSample:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestWorstWindowQuality:
+    """textstats.worst_window_quality: the worst window lands inside
+    an embedded gibberish section that the doc-level mean hides."""
+
+    def test_finds_embedded_gibberish(self, spark):
+        from atra_spark.functions.textstats import (
+            bigram_lm_score,
+            worst_window_quality,
+        )
+
+        fluent = "the quick brown fox jumps over the lazy dog and then "
+        spam = " ".join(f"zxq{j}w" for j in range(12))
+        rows = [(i, fluent * 4) for i in range(8)]  # corpus mode: fluent
+        rows.append((100, fluent * 2 + spam + " " + fluent * 2))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        worst = {r["doc_id"]: r for r in worst_window_quality(df).collect()}
+        mean = {r["id"]: r["lm_logprob"] for r in bigram_lm_score(df).collect()}
+        # the flagged window starts inside the spam section of doc 100
+        n_prefix = len((fluent * 2).split())
+        n_spam = 12
+        assert n_prefix - 10 <= worst[100]["worst_start"] <= n_prefix + n_spam
+        # and scores far below the document's own mean
+        assert worst[100]["worst_logprob"] < mean[100] - 1.0
+        # a fully-fluent doc's worst window is near its mean
+        assert abs(worst[0]["worst_logprob"] - mean[0]) < 1.0
+
+
 class TestPackSentences:
     """textstats.pack_sentences: chunks break at sentence ends; a
     straddling sentence stays whole in the chunk where it starts."""
