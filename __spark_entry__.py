@@ -946,6 +946,40 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def q_source_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-duplication rate (atra_spark.functions.dedup.
+    source_dup_ratio): fraction of each source's docs inside a
+    MinHash-LSH near-dup cluster — the mixing-time downweight signal
+    for mirror-heavy sources. Oracle: sql_source_dup_ratio."""
+    from atra_spark.functions.dedup import source_dup_ratio
+
+    _register(spark, sf_dir)
+    return source_dup_ratio(spark.table("documents"))
+
+
+def sql_source_dup_ratio(dialect: str) -> str:
+    pairs = sql_minhash_band_pairs(dialect)
+    return f"""
+WITH pairs AS ({pairs}),
+members AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL
+    SELECT doc_b FROM pairs
+  ) u
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(floor(sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                  / count(*) * 1000000 + 0.5 + 1e-6) AS DOUBLE) / 1000000
+         AS dup_ratio
+FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id
+GROUP BY d.source
+"""
+
+
 def q_worst_window_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document worst 10-bigram-window LM score (atra_spark.
     functions.textstats.worst_window_quality — the span-level quality
@@ -4865,6 +4899,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_data_card": q_corpus_data_card,
     "pack_sentences": q_pack_sentences,
     "worst_window_quality": q_worst_window_quality,
+    "source_dup_ratio": q_source_dup_ratio,
 }
 
 
@@ -4957,6 +4992,7 @@ def _custom_oracles() -> dict[str, str]:
         "corpus_data_card": sql_corpus_data_card("duckdb"),
         "pack_sentences": sql_pack_sentences("duckdb"),
         "worst_window_quality": sql_worst_window_quality("duckdb"),
+        "source_dup_ratio": sql_source_dup_ratio("duckdb"),
         "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
@@ -4983,7 +5019,7 @@ def _custom_oracles() -> dict[str, str]:
 _DRIVER_PRIORITY = [
     "gopher_quality", "c4_line_filter", "paragraph_dedup",
     "hashed_quality_score", "exact_substring_dedup", "weighted_sample",
-    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "cluster_safe_split", "decontaminate_spans", "corpus_drift", "change_rate_priority", "ngram_containment", "corpus_data_card", "pack_sentences", "worst_window_quality", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
+    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "cluster_safe_split", "decontaminate_spans", "corpus_drift", "change_rate_priority", "ngram_containment", "corpus_data_card", "pack_sentences", "worst_window_quality", "source_dup_ratio", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
     "event_sessions", "dsir_weights", "source_quality", "host_graph",
     "event_window_rollup", "value_percentiles", "weighted_host_pagerank",
     "bigram_pmi", "zipf_table", "url_templates", "recrawl_priority",

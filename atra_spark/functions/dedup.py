@@ -611,6 +611,52 @@ def dedup_keep_best(
     )
 
 
+def source_dup_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Per-source near-duplication rate: what fraction of each
+    source's documents sit in a near-dup cluster — the curation
+    signal that downweights mirror- and boilerplate-heavy sources
+    before mixing (a source whose pages mostly duplicate each other
+    contributes far fewer effective tokens than its raw count says).
+
+    Returns (source, n_docs, n_dup_docs, dup_ratio).
+
+    100 TB plan: membership needs only the LSH pair ENDPOINTS (no CC
+    iteration — every endpoint is by definition in a cluster), one
+    narrow membership join, one map-side-combined source rollup.
+    """
+    pairs = minhash_lsh_candidates(
+        df, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, rows_per_band=rows_per_band, k=k,
+    )
+    members = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    labeled = df.select(F.col(id_col), F.col(source_col).alias("source")).join(
+        members, on=id_col, how="left"
+    )
+    rnd6 = lambda c: F.floor(c * 1000000 + 0.5 + 1e-6).cast("double") / 1000000  # noqa: E731
+    return labeled.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(False)).cast("int"))
+        .cast("long")
+        .alias("n_dup_docs"),
+    ).select(
+        "source", "n_docs", "n_dup_docs",
+        rnd6(F.col("n_dup_docs") / F.col("n_docs")).alias("dup_ratio"),
+    )
+
+
 def cluster_safe_split(
     df: DataFrame,
     text_col: str = "text",

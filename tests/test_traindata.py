@@ -2143,6 +2143,22 @@ class TestWeightedSample:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestSourceDupRatio:
+    def test_mirror_heavy_source_flagged(self, spark):
+        from atra_spark.functions.dedup import source_dup_ratio
+
+        near = "one shared sentence that every mirror document repeats here"
+        rows = [(i, near + f" t{i % 2}", "mirror") for i in range(10)] + [
+            (100 + i, f"unique doc {i} " + " ".join(f"u{i}x{j}" for j in range(10)),
+             "fresh")
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {r["source"]: r for r in source_dup_ratio(df).collect()}
+        assert got["mirror"]["dup_ratio"] == 1.0 and got["mirror"]["n_dup_docs"] == 10
+        assert got["fresh"]["dup_ratio"] == 0.0
+
+
 class TestWorstWindowQuality:
     """textstats.worst_window_quality: the worst window lands inside
     an embedded gibberish section that the doc-level mean hides."""
