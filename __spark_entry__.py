@@ -946,6 +946,41 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def q_script_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script mix per document (atra_spark.functions.
+    textstats.script_purity — Cyrillic-homoglyph / wrong-encoding
+    spam signal). Oracle: sql_script_purity (RE2 script classes)."""
+    from atra_spark.functions.textstats import script_purity
+
+    _register(spark, sf_dir)
+    out = script_purity(spark.table("documents"))
+    return out.select(F.col("id").alias("doc_id"), *out.columns[1:])
+
+
+def sql_script_purity(dialect: str) -> str:
+    """Twin of textstats.script_purity: per-script char counts via
+    RE2 \\p{Script} classes, dominant share, 1e-6 rounding."""
+    scripts = ["Latin", "Cyrillic", "Greek", "Han", "Arabic"]
+    cnt = {
+        s: f"(length(text) - length(regexp_replace(text, '\\p{{{s}}}', '', 'g')))"
+        for s in scripts
+    }
+    total = " + ".join(cnt.values())
+    dom = "greatest(" + ", ".join(cnt.values()) + ")"
+    cols = ",\n       ".join(
+        f"CAST({cnt[s]} AS BIGINT) AS n_{s.lower()}" for s in scripts
+    )
+    return f"""
+SELECT doc_id,
+       {cols},
+       CASE WHEN {total} > 0
+            THEN CAST(floor({dom} * 1.0 / ({total}) * 1000000 + 0.5 + 1e-6)
+                      AS DOUBLE) / 1000000
+            ELSE 1.0 END AS script_purity
+FROM documents
+"""
+
+
 def q_source_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source near-duplication rate (atra_spark.functions.dedup.
     source_dup_ratio): fraction of each source's docs inside a
@@ -4900,6 +4935,7 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sentences": q_pack_sentences,
     "worst_window_quality": q_worst_window_quality,
     "source_dup_ratio": q_source_dup_ratio,
+    "script_purity": q_script_purity,
 }
 
 
@@ -4993,6 +5029,7 @@ def _custom_oracles() -> dict[str, str]:
         "pack_sentences": sql_pack_sentences("duckdb"),
         "worst_window_quality": sql_worst_window_quality("duckdb"),
         "source_dup_ratio": sql_source_dup_ratio("duckdb"),
+        "script_purity": sql_script_purity("duckdb"),
         "url_canonical_dedup": sql_url_canonical_dedup("duckdb"),
         "crawl_round": (
             "SELECT url, host, fetched_round, status, n_links "
@@ -5019,7 +5056,7 @@ def _custom_oracles() -> dict[str, str]:
 _DRIVER_PRIORITY = [
     "gopher_quality", "c4_line_filter", "paragraph_dedup",
     "hashed_quality_score", "exact_substring_dedup", "weighted_sample",
-    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "cluster_safe_split", "decontaminate_spans", "corpus_drift", "change_rate_priority", "ngram_containment", "corpus_data_card", "pack_sentences", "worst_window_quality", "source_dup_ratio", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
+    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "cluster_safe_split", "decontaminate_spans", "corpus_drift", "change_rate_priority", "ngram_containment", "corpus_data_card", "pack_sentences", "worst_window_quality", "source_dup_ratio", "script_purity", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
     "event_sessions", "dsir_weights", "source_quality", "host_graph",
     "event_window_rollup", "value_percentiles", "weighted_host_pagerank",
     "bigram_pmi", "zipf_table", "url_templates", "recrawl_priority",

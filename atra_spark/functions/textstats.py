@@ -494,6 +494,40 @@ def bigram_lm_score(
     )
 
 
+_SCRIPTS = ["Latin", "Cyrillic", "Greek", "Han", "Arabic"]
+
+
+def script_purity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode-script mix per document: character counts for the five
+    major scripts plus ``script_purity`` = dominant-script share of
+    all script-classified characters. Mixed-script text (Cyrillic
+    homoglyphs inside Latin words — the classic phishing/SEO-spam
+    obfuscation, and a strong wrong-encoding signal) scores well below
+    1; monoscript text scores 1. Docs with zero script characters
+    (digits/punctuation only) report purity 1.
+
+    Pure JVM regexp count math (``\\p{IsXxx}`` character classes),
+    zero shuffles — the same whole-stage-codegen posture as
+    ``quality_metrics``."""
+    t = F.col(text_col)
+    counts = {
+        s: (F.length(t) - F.length(F.regexp_replace(t, rf"\p{{Is{s}}}", "")))
+        .cast("long")
+        for s in _SCRIPTS
+    }
+    total = sum(counts.values())
+    dominant = F.greatest(*counts.values())
+    purity = F.when(total > 0, dominant / total).otherwise(F.lit(1.0))
+    rnd6 = lambda c: F.floor(c * 1000000 + 0.5 + 1e-6).cast("double") / 1000000  # noqa: E731
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[counts[s].alias(f"n_{s.lower()}") for s in _SCRIPTS],
+        rnd6(purity).alias("script_purity"),
+    )
+
+
 def worst_window_quality(
     df: DataFrame,
     window: int = 10,

@@ -2143,6 +2143,33 @@ class TestWeightedSample:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestScriptPurity:
+    def test_homoglyph_spam_flagged(self, spark):
+        from atra_spark.functions.textstats import script_purity
+
+        rows = [
+            (1, "normal latin text about nothing special"),
+            (2, "pаypаl verify аccount"),  # Cyrillic а inside Latin
+            (3, "Привет мир как дела"),                   # pure Cyrillic
+            (4, "12345 !!! ???"),                          # no script chars
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["id"]: r for r in script_purity(df).collect()}
+        assert got[1]["script_purity"] == 1.0 and got[1]["n_cyrillic"] == 0
+        assert got[2]["n_cyrillic"] == 3 and got[2]["script_purity"] < 0.9
+        assert got[3]["script_purity"] == 1.0 and got[3]["n_latin"] == 0
+        assert got[4]["script_purity"] == 1.0
+
+    def test_zero_shuffle_plan(self, spark):
+        from atra_spark.functions.textstats import script_purity
+
+        df = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+        )
+        plan = script_purity(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
 class TestSourceDupRatio:
     def test_mirror_heavy_source_flagged(self, spark):
         from atra_spark.functions.dedup import source_dup_ratio
