@@ -31,6 +31,7 @@ import re
 from html.parser import HTMLParser
 from typing import Iterable, Iterator
 
+import numpy as _np
 import pandas as pd
 
 from functools import lru_cache
@@ -94,8 +95,12 @@ _TLD_ENC_HINTS = {
 }
 
 
-def _script_score(text: str, expect: str) -> int:
-    """Plausibility of decoded text for the encoding's native script.
+def _script_score_py(text: str, expect: str) -> int:
+    """Pure-Python reference scorer (kept as the equivalence oracle for
+    the vectorized `_script_score` below, and as its fallback for
+    codepoints outside the property tables).
+
+    Plausibility of decoded text for the encoding's native script.
     C1 controls / replacement chars are near-proof of a wrong decode;
     lowercase-dominant letters beat uppercase (a cp1251 page decoded as
     koi8-r flips case, the classic confusion pair)."""
@@ -133,6 +138,93 @@ def _script_score(text: str, expect: str) -> int:
         letters = [c for c in text[:2048] if c.isalpha()]
         if letters:
             frac = sum(1 for c in letters if ord(c) > 0x7F) / len(letters)
+            if frac > 0.4:  # real western text is mostly ASCII letters
+                score -= int((frac - 0.4) * 200)
+    return score
+
+
+# Unicode-property lookup tables for the vectorized scorer. Only the
+# latin/cyrillic/greek branches consult char properties, and those
+# branches only ever see text decoded from SINGLE-BYTE candidate codecs
+# (cp1252/iso-8859-2/cp1254/cp1251/koi8-r/iso-8859-7), whose codepoint
+# images all sit below U+2600 (koi8-r's box-drawing chars at U+25xx are
+# the ceiling). Inputs outside the table (only reachable via direct
+# calls, never from guess_encoding) fall back to the reference scorer.
+_SCRIPT_TBL_SIZE = 0x2600
+_ISLOWER_TBL = _np.fromiter(
+    (chr(c).islower() for c in range(_SCRIPT_TBL_SIZE)), dtype=bool,
+    count=_SCRIPT_TBL_SIZE,
+)
+_ISALPHA_TBL = _np.fromiter(
+    (chr(c).isalpha() for c in range(_SCRIPT_TBL_SIZE)), dtype=bool,
+    count=_SCRIPT_TBL_SIZE,
+)
+
+
+def _script_score(text: str, expect: str) -> int:
+    """Vectorized `_script_score_py` (bit-identical results; the
+    equivalence is pinned by tests/test_extract.py). The scalar loop —
+    one ord() + branch per char x 11 candidate decodes — was ~25% of
+    the whole extraction kernel on the bench corpus; this spelling is
+    a handful of numpy range masks over the codepoint array."""
+    s = text[:2048]
+    try:
+        codes = _np.frombuffer(s.encode("utf-32-le"), dtype=_np.uint32)
+    except UnicodeEncodeError:  # lone surrogates: scalar path handles
+        return _script_score_py(text, expect)
+    if codes.size == 0:
+        return 0
+    needs_tbl = expect in ("latin", "cyrillic", "greek")
+    if needs_tbl and int(codes.max()) >= _SCRIPT_TBL_SIZE:
+        return _script_score_py(text, expect)
+    c1 = ((codes >= 0x80) & (codes <= 0x9F)) | (codes == 0xFFFD)
+    score = -8 * int(c1.sum())
+    hi = (codes >= 0x80) & ~c1
+    if expect == "latin":
+        rng = (codes >= 0xC0) & (codes <= 0x17F)
+        score += int((hi & rng).sum()) - 2 * int((hi & ~rng).sum())
+    elif expect in ("cyrillic", "greek"):
+        lo_b, hi_b = (0x400, 0x4FF) if expect == "cyrillic" else (0x370, 0x3FF)
+        rng = (codes >= lo_b) & (codes <= hi_b)
+        low = _ISLOWER_TBL[codes]
+        in_rng = hi & rng
+        score += (
+            3 * int((in_rng & low).sum())
+            + int((in_rng & ~low).sum())
+            - 3 * int((hi & ~rng).sum())
+        )
+    elif expect == "jp":
+        kana = (codes >= 0x3040) & (codes <= 0x30FF)
+        other = (
+            ((codes >= 0x4E00) & (codes <= 0x9FFF))
+            | ((codes >= 0x3000) & (codes <= 0x303F))
+            | ((codes >= 0xFF00) & (codes <= 0xFFEF))
+        )
+        score += (
+            3 * int((hi & kana).sum())
+            + int((hi & ~kana & other).sum())
+            - 3 * int((hi & ~kana & ~other).sum())
+        )
+    elif expect == "zh":
+        cjk = (codes >= 0x4E00) & (codes <= 0x9FFF)
+        other = ((codes >= 0x3000) & (codes <= 0x303F)) | (
+            (codes >= 0xFF00) & (codes <= 0xFFEF)
+        )
+        score += (
+            2 * int((hi & cjk).sum())
+            + int((hi & ~cjk & other).sum())
+            - 3 * int((hi & ~cjk & ~other).sum())
+        )
+    elif expect == "ko":
+        rng = ((codes >= 0xAC00) & (codes <= 0xD7AF)) | (
+            (codes >= 0x1100) & (codes <= 0x11FF)
+        )
+        score += 3 * int((hi & rng).sum()) - 3 * int((hi & ~rng).sum())
+    if expect == "latin":
+        alpha = _ISALPHA_TBL[codes]
+        n_letters = int(alpha.sum())
+        if n_letters:
+            frac = int((alpha & (codes > 0x7F)).sum()) / n_letters
             if frac > 0.4:  # real western text is mostly ASCII letters
                 score -= int((frac - 0.4) * 200)
     return score

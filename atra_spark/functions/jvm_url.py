@@ -77,12 +77,22 @@ def attach_origin(
     for k in range(1, _MAX_K + 1):
         lastk = F.when(n >= k, F.concat_ws(".", F.slice(labels, n - k + 1, k)))
         work = work.withColumn(f"_l{k}", lastk)
-        j = F.broadcast(
-            exact_df.select(
-                F.col("psl_suffix").alias(f"_l{k}"), F.lit(True).alias(f"_x{k}")
+        # every depth joins the IDENTICAL broadcast subplan (no per-k
+        # aliases inside the broadcast side): Spark's ReuseExchange
+        # canonicalizes the five BroadcastExchange subtrees to one, so
+        # a round pays ONE driver-side relation build instead of five
+        # (~0.4-0.8 s of serial driver wall per round at any core
+        # count — measured round 6, the fixed-cost probe's largest
+        # remaining per-round item). The per-k match flag moves to the
+        # probe side as an isNotNull() over the joined suffix column.
+        j = F.broadcast(exact_df).alias(f"_psl{k}")
+        work = (
+            work.join(
+                j, work[f"_l{k}"] == F.col(f"_psl{k}.psl_suffix"), how="left"
             )
+            .withColumn(f"_x{k}", F.col(f"_psl{k}.psl_suffix").isNotNull())
+            .drop(F.col(f"_psl{k}.psl_suffix"))
         )
-        work = work.join(j, on=f"_l{k}", how="left")
         wild_hit = (
             F.col(f"_l{k-1}").isin(*sorted(wild)) if k >= 2 and wild else F.lit(False)
         )

@@ -226,7 +226,10 @@ def parse_robots(robots: DataFrame) -> DataFrame:
 
 
 def filter_robots(
-    df: DataFrame, robots_parsed: DataFrame, broadcast: bool = True
+    df: DataFrame,
+    robots_parsed: DataFrame,
+    broadcast: bool = True,
+    keep_delay: bool = False,
 ) -> DataFrame:
     """Admission robots check (crawler.rs:664-667): join the per-host
     parsed rules, JVM-side higher-order prefix test (no Python in the
@@ -237,10 +240,17 @@ def filter_robots(
     the robots relation exceeds ``broadcast_robots_max_hosts``): a
     co-partitioned join on host instead of shipping a multi-GB parsed
     relation to every executor — same threshold discipline as the
-    fetch join (plans/crawl.py broadcast_fetch_max_urls)."""
+    fetch join (plans/crawl.py broadcast_fetch_max_urls).
+
+    ``keep_delay=True`` carries ``crawl_delay_ms`` through on the same
+    join, so the politeness scheduler downstream skips its own robots
+    join — one robots join (and one broadcast build) per round instead
+    of two (round-6 fixed-cost diet; ``_with_delay`` detects the
+    pre-joined column)."""
     from ..functions.jvm_url import robots_allowed_col
 
-    rel = robots_parsed.select("host", "disallow")
+    cols = ["host", "disallow"] + (["crawl_delay_ms"] if keep_delay else [])
+    rel = robots_parsed.select(*cols)
     if broadcast:
         rel = F.broadcast(rel)
     joined = df.join(rel, on="host", how="left")

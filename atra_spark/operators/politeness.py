@@ -55,6 +55,12 @@ def _with_delay(
     default_delay_ms: int,
     broadcast: bool = True,
 ) -> DataFrame:
+    if "crawl_delay_ms" in frontier.columns:
+        # pre-joined by filter_robots(keep_delay=True): reuse the
+        # column instead of paying a second robots join per round
+        return frontier.withColumn(
+            "crawl_delay_ms", _delay_col(default_delay_ms).cast("long")
+        )
     if robots_parsed is None:
         return frontier.withColumn("crawl_delay_ms", F.lit(default_delay_ms).cast("long"))
     rel = robots_parsed.select("host", "crawl_delay_ms")

@@ -316,8 +316,12 @@ class CrawlEngine:
         eligible = filter_blacklist(eligible, cfg.blacklist)
         eligible = filter_budget(eligible, cfg)
         if cfg.respect_robots_txt and self.robots_parsed is not None:
+            # keep_delay: crawl_delay_ms rides this join, so the
+            # politeness scheduler below skips its own robots join —
+            # one robots join/broadcast build per round instead of two
             eligible = filter_robots(
-                eligible, self.robots_parsed, broadcast=self._robots_broadcast
+                eligible, self.robots_parsed, broadcast=self._robots_broadcast,
+                keep_delay=True,
             )
 
         scheduler = schedule_hosts if cfg.use_pandas_scheduler else admit_window
@@ -398,10 +402,14 @@ class CrawlEngine:
             "url", "warc_ts", "html", *self._page_meta,
             "host", "is_seed", *DEPTH_COLS,
         ).mapInPandas(_extract, extracted_schema_with_passthrough(passthrough))
-        # materialize the (small) admission state once; every later
-        # consumer (results join, deferred, admission log, host_state)
-        # reads the warm cache instead of re-running the window
-        sched.count()
+        # sched is cached (above); the FIRST consumer — the results
+        # write's broadcast build of the admitted set — fills the cache
+        # and every later consumer (misses, deferred, admission log,
+        # host_state) reads it warm. The former explicit sched.count()
+        # here was one whole extra Spark job per round for state the
+        # next job materializes anyway (round-6 fixed-cost diet); with
+        # it gone the "admission" phase marker times plan construction
+        # only and the window's execution is charged to results_write.
         _phase("admission")
 
         # misses = admitted URLs with no page row (fetch-error analog ->

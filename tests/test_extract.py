@@ -595,3 +595,49 @@ class TestAnchorPairs:
         text, links = extract_html(html, "https://x.example/")
         assert text == "tbody"
         assert links == [("https://x.example/a.html", "onseed", "html_a")]
+
+
+class TestScriptScoreVectorized:
+    """The vectorized _script_score must be bit-identical to the
+    pure-Python reference scorer on every input (round 6: the scalar
+    loop was ~25% of the extraction kernel)."""
+
+    def test_equivalence_fuzz(self):
+        import random
+
+        from atra_spark.functions.extract import (
+            _GUESS_CANDIDATES,
+            _script_score,
+            _script_score_py,
+        )
+
+        random.seed(1234)
+        pools = [
+            list(range(0x20, 0x7F)), list(range(0x80, 0xA0)), [0xFFFD],
+            list(range(0xC0, 0x180)), list(range(0x400, 0x500)),
+            list(range(0x370, 0x400)), list(range(0x3040, 0x3100)),
+            list(range(0x4E00, 0x4E80)), list(range(0x3000, 0x3040)),
+            list(range(0xFF00, 0xFFF0)), list(range(0xAC00, 0xAC80)),
+            list(range(0x1100, 0x1200)), list(range(0x2500, 0x25A1)),
+            list(range(0x2000, 0x2123)),
+        ]
+        for _ in range(300):
+            n = random.randint(0, 256)
+            txt = "".join(
+                chr(random.choice(random.choice(pools))) for _ in range(n)
+            )
+            for _enc, expect in _GUESS_CANDIDATES:
+                assert _script_score(txt, expect) == _script_score_py(txt, expect)
+
+    def test_codepoints_beyond_table_fall_back(self):
+        from atra_spark.functions.extract import _script_score, _script_score_py
+
+        txt = "héllo \U0001F600 wörld"  # astral char: scalar fallback path
+        for expect in ("latin", "cyrillic", "greek"):
+            assert _script_score(txt, expect) == _script_score_py(txt, expect)
+
+    def test_2048_truncation_boundary(self):
+        from atra_spark.functions.extract import _script_score, _script_score_py
+
+        txt = "а" * 2047 + "ЯЯЯЯ"  # lowercase run crossing the cap
+        assert _script_score(txt, "cyrillic") == _script_score_py(txt, "cyrillic")
