@@ -35,11 +35,24 @@ TABLES = [
 ]
 
 
+# last-registered sf_dir per live SparkSession (keyed by applicationId:
+# survives GC id reuse, resets with a fresh session). Registering the
+# same directory twice is pure overhead — ten driver-side parquet
+# schema reads per QUERY call, ~0.2 s each bench rep (round 6) — but a
+# CHANGED sf_dir must re-point the views, so the memo keys on the pair.
+_REGISTERED: dict[str, str] = {}
+
+
 def _register(spark: SparkSession, sf_dir: str) -> None:
+    app_id = spark.sparkContext.applicationId
+    if _REGISTERED.get(app_id) == sf_dir:
+        return
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             spark.read.parquet(p).createOrReplaceTempView(t)
+    _REGISTERED.clear()  # one live session at a time in practice
+    _REGISTERED[app_id] = sf_dir
 
 
 # ==========================================================================

@@ -537,7 +537,13 @@ def connected_components(
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    sym = sym.localCheckpoint(eager=False)
+    # hash-partition the (pinned) edge relation on the join key ONCE:
+    # localCheckpoint preserves the physical partitioning, and the
+    # per-iteration labels relation comes out of a groupBy("node") —
+    # also hash-partitioned — so every iteration's propagation join
+    # needs ZERO new exchange on either side (round 6; before, both
+    # sides re-exchanged every iteration)
+    sym = sym.repartition(F.col("a")).localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -546,9 +552,12 @@ def connected_components(
         msgs = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("label")
         )
+        # lazy checkpoint: the convergence count below materializes it
+        # inside its own job, so each iteration is ONE Spark job, not
+        # two (eager-checkpoint job + count job)
         new_labels = (
             labels.unionByName(msgs).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()  # flat lineage; also materializes for the 2 uses below
+        ).localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="node")

@@ -39,13 +39,21 @@ def pagerank(
     Deterministic given the edge set, so a fixed-iteration SQL twin
     (unrolled CTEs) reproduces it bit-for-bit up to summation order.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # cached: every iteration joins the edge relation, and without the
+    # cache each of the `iterations` actions replays the upstream scan
+    # + the distinct exchange from scratch (measured round 6: the edge
+    # re-derivation was most of the per-iteration wall on the bench
+    # graph). nodes/out_deg are equally re-read per iteration.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .cache()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    # cached: every iteration re-reads these two small relations
     nodes = nodes.cache()
     n = nodes.count()
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg")).cache()
@@ -53,7 +61,8 @@ def pagerank(
 
     d = float(damping)
     pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
-    for _ in range(int(iterations)):
+    n_iter = int(iterations)
+    for _it in range(n_iter):
         ranked = pr.join(out_deg, pr["node"] == out_deg["src"], "left").select(
             pr["node"].alias("node"), "pr", "deg"
         )
@@ -82,8 +91,16 @@ def pagerank(
                     )
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)  # flat lineage across iterations
+            # lazy checkpoints truncate lineage at once but defer
+            # materialization, so the whole iteration chain runs as ONE
+            # Spark job instead of one driver-synchronized checkpoint
+            # job per iteration (round 6; values are bit-identical, the
+            # per-iteration plan is unchanged). The LAST checkpoint is
+            # eager: it drives that single job, after which the cached
+            # e/nodes/out_deg relations can be dropped safely.
+            .localCheckpoint(eager=_it == n_iter - 1)
         )
+    e.unpersist()
     nodes.unpersist()
     out_deg.unpersist()
     return pr
@@ -109,7 +126,14 @@ def hits(
     driver round-trip). L1 (not L2) normalization keeps the SQL twin
     free of sqrt-of-sum ulp drift.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # e cached: both half-updates of every iteration join it (same
+    # round-6 rationale as pagerank — uncached, each action replays
+    # the scan + distinct exchange)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .cache()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -119,7 +143,8 @@ def hits(
     n = nodes.count()
     hub = nodes.select("node", F.lit(1.0 / n).alias("score"))
     auth = None
-    for _ in range(int(iterations)):
+    n_iter = int(iterations)
+    for _it in range(n_iter):
         raw_a = (
             e.join(hub, e["src"] == hub["node"])
             .select(F.col("dst").alias("node"), F.col("score").alias("c"))
@@ -133,7 +158,7 @@ def hits(
             .select(
                 "node", (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("m")).alias("score")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # lazy: one action runs all
         )
         raw_h = (
             e.join(auth, e["dst"] == auth["node"])
@@ -148,12 +173,15 @@ def hits(
             .select(
                 "node", (F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("m")).alias("score")
             )
-            .localCheckpoint(eager=True)
+            # lazy except the last (see pagerank): the final hub
+            # checkpoint runs one job covering every auth/hub step
+            .localCheckpoint(eager=_it == n_iter - 1)
         )
     out = (
         hub.select("node", F.col("score").alias("hub"))
         .join(auth.select("node", F.col("score").alias("auth")), on="node")
     )
+    e.unpersist()
     nodes.unpersist()
     return out
 
@@ -236,6 +264,9 @@ def weighted_pagerank(
     redistributed uniformly. Duplicate (src, dst) rows are combined by
     summing their weights first, so callers can feed raw edge logs.
     """
+    # e cached (round 6): on the host graph, `edges` is itself the
+    # host-collapse aggregation — uncached, every power iteration
+    # re-runs the full URL-edge rollup, not just this groupBy
     e = (
         edges.select(
             F.col(src).alias("src"), F.col(dst).alias("dst"),
@@ -243,6 +274,7 @@ def weighted_pagerank(
         )
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
+        .cache()
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -256,7 +288,8 @@ def weighted_pagerank(
 
     d = float(damping)
     pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
-    for _ in range(int(iterations)):
+    n_iter = int(iterations)
+    for _it in range(n_iter):
         ranked = pr.join(out_w, pr["node"] == out_w["src"], "left").select(
             pr["node"].alias("node"), "pr", "wsum"
         )
@@ -295,8 +328,11 @@ def weighted_pagerank(
                     )
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            # lazy except the last (see pagerank): one job runs the
+            # whole chain, then the caches can drop
+            .localCheckpoint(eager=_it == n_iter - 1)
         )
+    e.unpersist()
     nodes.unpersist()
     out_w.unpersist()
     return pr

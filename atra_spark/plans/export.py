@@ -106,12 +106,15 @@ def warc_records(
         ("Content-Type", "application/http;msgtype=response"),
     ]
     if len(body) <= max_segment:
+        # single-segment: block == whole body, so the block digest IS
+        # the payload digest — one xxh128 pass, not two over the same
+        # bytes (round 6; the archive loop hashes every exported byte)
         fields = (
             [("WARC-Type", "response"), ("WARC-Record-ID", f"<{rid}>")]
             + common
             + [
                 ("WARC-Payload-Digest", payload_digest),
-                ("WARC-Block-Digest", _labeled_digest(body)),
+                ("WARC-Block-Digest", payload_digest),
                 ("Content-Length", str(len(body))),
             ]
         )
@@ -439,6 +442,7 @@ def _derivative_record(
     date = _utc_warc_date(ts, session_tz)
     rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}#{suffix}").urn
     orig = uuid.uuid5(uuid.NAMESPACE_URL, url).urn  # the response record
+    dig = _labeled_digest(payload)  # block == payload: one hash pass
     fields = [
         ("WARC-Type", warc_type),
         ("WARC-Record-ID", f"<{rid}>"),
@@ -446,8 +450,8 @@ def _derivative_record(
         ("WARC-Target-URI", url),
         ("WARC-Refers-To", f"<{orig}>"),
         ("Content-Type", content_type),
-        ("WARC-Payload-Digest", _labeled_digest(payload)),
-        ("WARC-Block-Digest", _labeled_digest(payload)),
+        ("WARC-Payload-Digest", dig),
+        ("WARC-Block-Digest", dig),
         ("Content-Length", str(len(payload))),
     ]
     return _warc_headers(fields) + payload + b"\r\n\r\n"
