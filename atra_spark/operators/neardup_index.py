@@ -65,6 +65,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import shutil
 import tempfile
 from collections import OrderedDict
@@ -200,6 +201,25 @@ class NearDupIndex:
             self._manifest.get("format") != _FORMAT
             or {g: self._manifest.get(g) for g in geo} != geo
         ):
+            # destructive: a geometry/format mismatch re-routes every
+            # band, so the persisted index is unusable — but dropping
+            # hours of admitted state silently on a typo'd parameter is
+            # a footgun (ADVICE r5): name the mismatch before reset
+            import logging
+
+            diffs = {
+                g: (self._manifest.get(g), geo[g])
+                for g in geo
+                if self._manifest.get(g) != geo[g]
+            }
+            if self._manifest.get("format") != _FORMAT:
+                diffs["format"] = (self._manifest.get("format"), _FORMAT)
+            logging.getLogger(__name__).warning(
+                "NearDupIndex at %s: geometry/format mismatch %s — "
+                "dropping the persisted index and starting empty "
+                "(manifest value, requested value)",
+                root, diffs,
+            )
             self.reset()
         self._pending: dict[str, dict] | None = None
         self._pending_batch: int | None = None
@@ -506,15 +526,19 @@ class NearDupIndex:
     ) -> None:
         """Fold ONE bucket's delta chain into a bkey-sorted base file —
         runs on the driver (local path) or inside an executor task
-        (distributed path), all I/O through the storage seam."""
+        (distributed path), all I/O through the storage seam.
+
+        Crash safety (ADVICE r5, medium): write-only — superseded chain
+        files are garbage-collected by ``compact()`` only AFTER the new
+        manifest is published, so a crash or Spark task retry anywhere
+        in here leaves the committed manifest's chain fully readable
+        and the task idempotent (a retry re-reads the still-present
+        chain and rewrites the same base)."""
         bkey, ids, sigs = _load_bands(storage, bucket, tuple(chain), num_hashes)
         cols = {"bkey": bkey, "id": ids}
         for j, c in enumerate(_sig_cols(num_hashes)):
             cols[c] = sigs[:, j].copy()
         _write_band_table(storage, bucket, base_name, cols)
-        for name in chain:
-            if name != base_name:
-                storage.remove(bucket, name)
 
     def compact(self, spark=None) -> None:
         """Fold each bucket's delta chain into one bkey-sorted base
@@ -557,6 +581,13 @@ class NearDupIndex:
         else:
             for b, ch in work:
                 NearDupIndex._compact_bucket(self.storage, b, ch, base, H)
+        # two-phase publish (ADVICE r5, medium): bases are written
+        # above; commit the manifest pointing at [base] FIRST, and only
+        # then GC the now-unreferenced chain files. A crash before the
+        # publish leaves the old manifest + intact chains; a crash
+        # during GC leaves unreferenced band files that the sweep below
+        # removes on the next compaction (every bands file at or below
+        # the compacted batch that the new manifest does not reference).
         for b, _ch in work:
             buckets[str(b)]["deltas"] = [base]
         manifest = dict(self._manifest)
@@ -566,3 +597,12 @@ class NearDupIndex:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path())
         self._manifest = manifest
+        bands_re = re.compile(r"^bands(?:_base)?_b(\d+)\.parquet$")
+        for b, _ch in work:
+            live = set(buckets[str(b)].get("deltas", []))
+            for name in self.storage.list_bucket(b):
+                m_f = bands_re.match(name)
+                # never touch files from batches NEWER than the
+                # compacted manifest batch (staged-but-uncommitted)
+                if m_f and int(m_f.group(1)) <= batch and name not in live:
+                    self.storage.remove(b, name)

@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 import uuid
@@ -624,7 +625,17 @@ class SeenIndex:
         """Fold ONE bucket's delta chain into a deduped base file and
         GC its superseded bloom bitmaps — runs on the driver (local
         path) or inside an executor task (distributed path), all I/O
-        through the storage seam."""
+        through the storage seam.
+
+        Crash safety (ADVICE r5, medium): this phase only WRITES the
+        new base — superseded delta files are garbage-collected by
+        ``compact()`` AFTER the updated manifest is published, so a
+        crash or retried task anywhere in here leaves the committed
+        manifest's whole chain readable (and the task idempotent: a
+        retry re-reads the still-present chain and rewrites the same
+        base). Bloom GC stays here because the manifest references
+        exactly one bitmap per bucket (``keep_bloom_names``), which is
+        always kept."""
         if len(deltas) > 1:
             parts1, parts2, partsk = [], [], []
             for d in deltas:
@@ -636,9 +647,6 @@ class SeenIndex:
                 np.concatenate(parts1), np.concatenate(parts2), np.concatenate(partsk)
             )
             storage.write_pairs(bucket, base_name, s1, s2, sk)
-            for d in deltas:
-                if d != base_name:
-                    storage.remove(bucket, d)
         # GC superseded bloom bitmaps (keep the newest few)
         blooms = sorted(
             f for f in storage.list_bucket(bucket)
@@ -688,6 +696,14 @@ class SeenIndex:
         else:
             for b, ds, bn, bl in work:
                 SeenIndex._compact_bucket(storage, b, ds, bn, {bl}, keep_blooms)
+        # two-phase publish (ADVICE r5, medium): 1) bases written above,
+        # 2) commit the manifest pointing at [base] — only NOW are the
+        # old chains unreferenced — 3) GC superseded delta files. A
+        # crash before (2) leaves the old manifest + its intact chains;
+        # a crash during (3) leaves unreferenced files that the sweep
+        # below removes on the next compaction (it deletes every
+        # hashes file at or below the compacted round that the new
+        # manifest does not reference, so orphans cannot accumulate).
         for b, ds, bn, _bl in work:
             if len(ds) > 1:
                 self._manifest["buckets"][str(b)]["deltas"] = [bn]
@@ -695,6 +711,15 @@ class SeenIndex:
         with os.fdopen(fd, "w") as f:
             json.dump(self._manifest, f)
         os.replace(tmp, self._manifest_path())
+        hashes_re = re.compile(r"^hashes(?:_base)?_r(\d+)\.parquet$")
+        for b, _ds, _bn, _bl in work:
+            live = set(self._manifest["buckets"][str(b)].get("deltas", []))
+            for name in self.storage.list_bucket(b):
+                m_f = hashes_re.match(name)
+                # never touch files from rounds NEWER than the compacted
+                # manifest round (e.g. staged-but-uncommitted adds)
+                if m_f and int(m_f.group(1)) <= rnd and name not in live:
+                    self.storage.remove(b, name)
 
     # -- probe ---------------------------------------------------------------
     def _buckets_meta(self) -> dict[int, tuple[str, tuple[str, ...]]]:

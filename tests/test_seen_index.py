@@ -484,3 +484,51 @@ class TestStorageSeamAndDistributedCompact:
         s1, s2, sk = idx.storage.read_pairs(0, idx._manifest["buckets"]["0"]["deltas"][0]) \
             if "0" in idx._manifest["buckets"] else (None, None, None)
         assert calls["read_pairs"] >= 1 or s1 is not None
+
+
+class TestTwoPhaseCompaction:
+    """ADVICE r5 (medium): compaction must publish the new manifest
+    BEFORE deleting superseded chain files, so a crash mid-compaction
+    can never leave a committed manifest referencing deleted files."""
+
+    def test_bucket_fold_is_write_only(self, spark, tmp_path):
+        root = str(tmp_path / "si")
+        idx = SeenIndex(root, num_buckets=2, bloom_bits=1 << 14)
+        for rnd in range(3):
+            idx.add_urls(_urls_df(spark, SEEN[rnd * 50 : (rnd + 1) * 50]), rnd)
+            idx.commit()
+        # simulate the crash window: run ONLY the per-bucket fold (what
+        # executor tasks do), no manifest publish, no GC
+        for b, ent in idx._manifest["buckets"].items():
+            SeenIndex._compact_bucket(
+                idx.storage, int(b), list(ent["deltas"]),
+                "hashes_base_r00002.parquet", {ent["bloom"]}, 2,
+            )
+        # the committed manifest's chain files must all still exist -> a
+        # fresh index over the same root probes correctly
+        idx2 = SeenIndex(root, num_buckets=2, bloom_bits=1 << 14)
+        got = sorted(
+            r["url"] for r in idx2.prune_new(_cands_df(spark, SEEN[:150] + NEW)).collect()
+        )
+        assert got == sorted(NEW)
+
+    def test_gc_after_publish_leaves_no_orphans(self, spark, tmp_path):
+        root = str(tmp_path / "si")
+        idx = SeenIndex(root, num_buckets=2, bloom_bits=1 << 14)
+        for rnd in range(3):
+            idx.add_urls(_urls_df(spark, SEEN[rnd * 50 : (rnd + 1) * 50]), rnd)
+            idx.commit()
+        # leave a stale pre-fold base around (the crash-between-publish-
+        # and-GC artifact) and compact: the sweep must remove it
+        idx.storage.write_bytes(0, "hashes_base_r00000.parquet", b"junk")
+        idx.compact()
+        for b, ent in idx._manifest["buckets"].items():
+            files = [
+                f for f in idx.storage.list_bucket(int(b))
+                if f.startswith("hashes")
+            ]
+            assert files == list(ent["deltas"])  # exactly the live base
+        got = sorted(
+            r["url"] for r in idx.prune_new(_cands_df(spark, SEEN[:150] + NEW)).collect()
+        )
+        assert got == sorted(NEW)
