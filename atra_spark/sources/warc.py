@@ -46,7 +46,8 @@ _RECORD_COLS = (
     "warc_type string, url string, warc_date string, payload_digest string, "
     "block_digest string, segment_number int, segment_origin_id string, "
     "segment_total_length long, warc_profile string, refers_to_uri string, "
-    "refers_to_date string, http_status int, mime string, body binary"
+    "refers_to_date string, http_status int, mime string, payload_off int, "
+    "body binary"
 )
 
 _PAGE_COLS = (
@@ -133,7 +134,7 @@ def scan_warc_records(
                     data = f.read()
                 rows = []
                 for off, length, hdrs, body in iter_warc_spans(data):
-                    status, mime, _off = _parse_http_meta(body)
+                    status, mime, p_off = _parse_http_meta(body)
                     seg = hdrs.get("WARC-Segment-Number")
                     tot = hdrs.get("WARC-Segment-Total-Length")
                     rows.append(
@@ -155,6 +156,7 @@ def scan_warc_records(
                             hdrs.get("WARC-Refers-To-Date"),
                             status,
                             mime,
+                            p_off,
                             bytes(body) if keep_body else None,
                         )
                     )
@@ -202,30 +204,23 @@ def read_warc_pages(
         (F.col("warc_type") == "response") & F.col("segment_number").isNull()
     )
 
-    def strip(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for i in range(len(pdf)):
-                status, mime, payload = _parse_http_head(bytes(pdf["body"].iat[i]))
-                out.append(
-                    (
-                        pdf["url"].iat[i],
-                        pdf["warc_date"].iat[i],
-                        payload,
-                        status,
-                        mime,
-                        pdf["payload_digest"].iat[i],
-                        pdf["warc_file"].iat[i],
-                        pdf["offset"].iat[i],
-                        1,
-                    )
-                )
-            if out:
-                yield pd.DataFrame(
-                    out, columns=[c.split()[0] for c in _PAGE_COLS.split(", ")]
-                )
-
-    pages = plain.mapInPandas(strip, _PAGE_COLS)
+    # header strip fully JVM-side (round 6): the scan already computed
+    # each record's HTTP status/mime and the payload's byte offset
+    # inside the block, so the unsegmented fast path is a pure
+    # substring projection — the former second mapInPandas pass here
+    # round-tripped every payload byte through Arrow/Python again just
+    # to slice it (output byte-identical; roundtrip pinned in tests)
+    pages = plain.select(
+        "url",
+        "warc_date",
+        F.expr("substring(body, payload_off + 1, length(body))").alias("html"),
+        "http_status",
+        "mime",
+        "payload_digest",
+        "warc_file",
+        "offset",
+        F.lit(1).alias("n_segments"),
+    )
 
     # chain key: the response record's OWN id; continuations point at
     # it. No driver-side emptiness probe — the grouped branch stays in
@@ -293,10 +288,19 @@ def read_warc_pages(
         "offset",
     )
     # one (digest -> bytes) row per digest; identical digests carry
-    # identical bodies, so first() is value-deterministic
-    canon = resolved.groupBy(
-        F.col("payload_digest").alias("_cd")
-    ).agg(F.first("html").alias("_chtml"))
+    # identical bodies, so first() is value-deterministic. The
+    # left-semi pre-filter keeps every payload WITHOUT a revisit out
+    # of the groupBy exchange (round 6): only the duplicated digests'
+    # bytes shuffle, not the whole archive — the §8 "decide with small
+    # rows" rule applied to the canon election.
+    rev_digests = rev.select(F.col("payload_digest").alias("_cd")).distinct()
+    canon = (
+        resolved.join(
+            rev_digests, resolved["payload_digest"] == rev_digests["_cd"], "left_semi"
+        )
+        .groupBy(F.col("payload_digest").alias("_cd"))
+        .agg(F.first("html").alias("_chtml"))
+    )
     rev_resolved = (
         rev.join(canon, F.col("payload_digest") == F.col("_cd"), "left")
         .select(
