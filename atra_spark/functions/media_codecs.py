@@ -237,34 +237,29 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
     clear = 1 << min_code_size
     eoi = clear + 1
     out = bytearray()
-    # bit reader, LSB-first
+    # bit reader, LSB-first — inlined into the loop (round 6; the
+    # per-code closure call was the GIF path's hotspot). Reads stay
+    # 3-byte slices: a whole-stream big-int would make every code read
+    # O(stream bytes) and the decode quadratic on large images.
     bitpos = 0
     nbits = len(data) * 8
+    from_bytes = int.from_bytes
 
-    def read_code(width: int) -> int:
-        nonlocal bitpos
-        if bitpos + width > nbits:
-            raise DecodeError("gif: LZW stream truncated")
-        byte0 = bitpos >> 3
-        val = int.from_bytes(data[byte0 : byte0 + 3], "little")
-        val = (val >> (bitpos & 7)) & ((1 << width) - 1)
-        bitpos += width
-        return val
-
-    table: list[bytes] = []
-
-    def reset_table():
-        nonlocal table
-        table = [bytes([i]) for i in range(clear)] + [b"", b""]
-
-    reset_table()
+    base_table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base_table)
     width = min_code_size + 1
+    mask = (1 << width) - 1
     prev: bytes | None = None
     while len(out) < n_pixels:
-        code = read_code(width)
+        if bitpos + width > nbits:
+            raise DecodeError("gif: LZW stream truncated")
+        b0 = bitpos >> 3
+        code = (from_bytes(data[b0 : b0 + 3], "little") >> (bitpos & 7)) & mask
+        bitpos += width
         if code == clear:
-            reset_table()
+            table = list(base_table)
             width = min_code_size + 1
+            mask = (1 << width) - 1
             prev = None
             continue
         if code == eoi:
@@ -286,6 +281,7 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
         prev = entry
         if len(table) == (1 << width) and width < 12:
             width += 1
+            mask = (1 << width) - 1
     if len(out) < n_pixels:
         raise DecodeError("gif: LZW output short")
     return bytes(out[:n_pixels])
@@ -1277,20 +1273,22 @@ def block_mean_resize(gray: np.ndarray, out_h: int = 8, out_w: int = 8) -> np.nd
     ii[1:, 1:] = gray.astype(np.int64).cumsum(0).cumsum(1)
     ys = (np.arange(out_h + 1) * h) // out_h
     xs = (np.arange(out_w + 1) * w) // out_w
-    out = np.empty((out_h, out_w), dtype=np.float64)
-    for i in range(out_h):
-        for j in range(out_w):
-            y0, y1, x0, x1 = ys[i], ys[i + 1], xs[j], xs[j + 1]
-            # images smaller than the grid produce empty cells; widen
-            # to the nearest pixel so every cell has a defined mean
-            if y1 == y0:
-                y1 = y0 + 1
-            if x1 == x0:
-                x1 = x0 + 1
-            area = (y1 - y0) * (x1 - x0)
-            s = ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
-            out[i, j] = s / area
-    return out
+    # vectorized over the whole cell grid (round 6 — the 64-iteration
+    # scalar loop was a media-kernel hotspot): images smaller than the
+    # grid produce empty cells; widen to the nearest pixel so every
+    # cell has a defined mean (np.maximum(hi, lo+1) == the scalar
+    # "if hi == lo: hi = lo + 1" rule, since hi >= lo by construction)
+    y0, x0 = ys[:-1], xs[:-1]
+    y1 = np.maximum(ys[1:], y0 + 1)
+    x1 = np.maximum(xs[1:], x0 + 1)
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    s = (
+        ii[np.ix_(y1, x1)]
+        - ii[np.ix_(y0, x1)]
+        - ii[np.ix_(y1, x0)]
+        + ii[np.ix_(y0, x0)]
+    )
+    return s / area
 
 
 def audio_fingerprints(samples: np.ndarray, frame: int = 256, hop: int = 128) -> list[int]:
@@ -1323,12 +1321,10 @@ def ahash64(arr: np.ndarray) -> int:
     cell (r,c) -> bit 63 - (r*8 + c). Returned as an unsigned int."""
     cells = block_mean_resize(to_gray(arr), 8, 8)
     mean = cells.mean()
-    bits = 0
-    flat = cells.reshape(-1)
-    for i in range(64):
-        if flat[i] > mean:
-            bits |= 1 << (63 - i)
-    return bits
+    # row-major cell i -> bit 63 - i is exactly MSB-first byte packing
+    # (vectorized round 6; comparisons identical to the scalar loop)
+    mask = cells.reshape(-1) > mean
+    return int.from_bytes(np.packbits(mask).tobytes(), "big")
 
 
 def to_signed64(u: int) -> int:
