@@ -928,6 +928,36 @@ def q_minhash_lsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(spark.table("documents"))
 
 
+def q_minhash_band_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of the ``minhash_band_pairs`` contract query as the
+    DataFrame-API operator (atra_spark.functions.dedup.
+    minhash_lsh_candidates — zero-shuffle row-local signatures, pinned
+    sig relation, one band Generate). Identical output to executing
+    sql_minhash_band_pairs("spark"): min-over-distinct == min-over-all
+    shingles, same 60-bit md5 hash family, same band/bucket pairing;
+    the DuckDB oracle text is unchanged."""
+    from atra_spark.functions.dedup import minhash_lsh_candidates
+
+    _register(spark, sf_dir)
+    return minhash_lsh_candidates(spark.table("documents"))
+
+
+def q_dedup_ngram_jaccard_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of the ``dedup_ngram_jaccard`` contract query as the
+    DataFrame-API operator (atra_spark.functions.dedup.
+    ngram_jaccard_pairs): one shingle shuffle + map-side-combined
+    common counts, instead of the SQL text whose shingle CTE Spark
+    re-evaluates per reference. Same distinct-shingle universe, same
+    integer counts, same double division and HALF_UP 4dp rounding as
+    the (unchanged) oracle SQL."""
+    from atra_spark.functions.dedup import ngram_jaccard_pairs
+
+    _register(spark, sf_dir)
+    out = ngram_jaccard_pairs(spark.table("documents"), threshold=0.5)
+    rnd = F.floor(F.col("jaccard") * 10000 + 0.5 + 1e-6).cast("double") / 10000
+    return out.select("doc_a", "doc_b", rnd.alias("jaccard"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the MinHash-LSH
     candidate pair graph (iterative min-label propagation; cluster_id =
@@ -4872,6 +4902,16 @@ _CUSTOM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
     "minhash_lsh_df": q_minhash_lsh_df,
+    # round 6: the Spark side of these two contract queries moves from
+    # executing the oracle's SQL TEXT (whose shingle/sig CTEs Spark
+    # inlines and so re-evaluates once per reference — up to 8x) to the
+    # DataFrame-API operators, which pin the sig relation and compute
+    # shingles once. The ORACLE text is untouched (_SQL_OPS still
+    # serves oracle_sql()), and the DF twins were already proven
+    # row/hash-identical against the same oracle (minhash_lsh_df has
+    # carried a green driver row on sql_minhash_band_pairs since r4).
+    "minhash_band_pairs": q_minhash_band_pairs_df,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard_df,
     "dedup_clusters": q_dedup_clusters,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,

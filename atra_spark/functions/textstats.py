@@ -67,8 +67,6 @@ def repetition_metrics(
 
     from .par import fan_out
 
-    df = fan_out(df)
-
     def run_fold(arr: F.Column, with_chars: bool) -> F.Column:
         """Fold a SORTED array into (n_distinct, dupchars, totchars,
         maxrun) via linear run-length scan."""
@@ -103,27 +101,39 @@ def repetition_metrics(
 
         return F.aggregate(F.array_sort(arr), init, merge)
 
+    # lines/tokens materialize as columns FIRST (round 6): inlined, the
+    # interpreted higher-order transform re-ran split+lower+filter for
+    # EVERY bigram element — O(tokens^2) per document — and each fold's
+    # second reference re-split the text again.
     lines_arr = F.filter(
         F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != ""
     )
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
     )
+    staged = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        lines_arr.alias("_lines"),
+        toks.alias("_toks"),
+    )
+    tk = F.col("_toks")
     bigs_arr = F.when(
-        F.size(toks) >= 2,
+        F.size(tk) >= 2,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+            F.sequence(F.lit(0), F.size(tk) - 2),
+            lambda i: F.concat_ws(" ", F.get(tk, i), F.get(tk, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # _bigs materialized too: the fold and the count below both read it
+    staged = staged.select("doc_id", "_lines", bigs_arr.alias("_bigs"))
 
-    lf = run_fold(lines_arr, with_chars=True)
-    bf = run_fold(bigs_arr, with_chars=False)
-    n_lines = F.size(lines_arr).cast("long")
-    n_bigs = F.size(bigs_arr).cast("long")
+    lf = run_fold(F.col("_lines"), with_chars=True)
+    bf = run_fold(F.col("_bigs"), with_chars=False)
+    n_lines = F.size("_lines").cast("long")
+    n_bigs = F.size("_bigs").cast("long")
 
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return staged.select(
+        "doc_id",
         lf.alias("_lf"),
         bf.alias("_bf"),
         n_lines.alias("_nl"),
@@ -267,12 +277,18 @@ def rolling_fingerprints(
     from .dedup import content_hash
     from .par import fan_out
 
+    # token array materialized first (round 6): with split inlined in
+    # the gram lambda, interpreted HOF evaluation re-ran
+    # split+lower+trim per gram — O(tokens^2) per document
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    n = F.size(toks)
+    staged0 = fan_out(df).select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    n = F.size("_toks")
     idx = F.when(n >= window, F.sequence(F.lit(1), n - (window - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    grams = F.transform(idx, lambda i: content_hash(F.concat_ws(" ", F.slice(toks, i, window))))
+    grams = F.transform(
+        idx, lambda i: content_hash(F.concat_ws(" ", F.slice("_toks", i, window)))
+    )
     pairs = F.array_sort(
         F.transform(
             grams,
@@ -281,7 +297,7 @@ def rolling_fingerprints(
             ),
         )
     )
-    staged = fan_out(df).select(F.col(id_col).alias("id"), pairs.alias("_pairs"))
+    staged = staged0.select("id", pairs.alias("_pairs"))
     # sorted by (bucket, fp): each bucket run's FIRST element is that
     # bucket's minimum — filter with the index lambda (element_at is
     # 1-based, so element_at(_pairs, i) is the 0-based predecessor)
