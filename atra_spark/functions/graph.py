@@ -55,9 +55,10 @@ def pagerank(
         .distinct()
     )
     nodes = nodes.cache()
-    n = nodes.count()
+    n = nodes.count()  # also materializes e's cache (nodes derive from e)
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg")).cache()
-    out_deg.count()
+    # no explicit count: the first iteration's job fills the cache —
+    # an eager count here was one whole extra Spark job (round 6)
 
     d = float(damping)
     pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
@@ -284,7 +285,7 @@ def weighted_pagerank(
     )
     n = nodes.count()
     out_w = e.groupBy("src").agg(F.sum("w").alias("wsum")).cache()
-    out_w.count()
+    # cache fills on first iteration's job (see pagerank)
 
     d = float(damping)
     pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))

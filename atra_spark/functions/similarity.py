@@ -363,13 +363,14 @@ def kmeans_assign(
         scored = vecs.crossJoin(F.broadcast(c)).select(
             "vec_id", "cid", _round_col(d, round_dp).alias("dist")
         )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+        # argmin as an ALGEBRAIC min over struct(dist, cid) — struct
+        # ordering is lexicographic, so min == the row_number-over-
+        # (dist, cid) winner the round-5 window picked, but with
+        # map-side partial aggregation and no sort (round 6; identical
+        # assignment by construction, scored has no nulls)
+        best = scored.groupBy("vec_id").agg(F.min(F.struct("dist", "cid")).alias("_w"))
+        return best.select(
+            "vec_id", F.col("_w.cid").alias("cid"), F.col("_w.dist").alias("dist")
         )
 
     for _ in range(n_iter):
