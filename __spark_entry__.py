@@ -5100,22 +5100,36 @@ def _custom_oracles() -> dict[str, str]:
     }
 
 
-# The driver samples a prefix of queries() each round (50 of 79 in r4).
-# Rounds 1-4 left exactly these 24 queries never driver-sampled (they sat
-# at positions 55-78); lead with them so CORRECTNESS_r05 finally carries
-# hard driver rows for every operator family. All 79 stay gated
-# row-for-row against the same oracles by tests/test_entry_contract.py
-# regardless of sampling order.
+# The driver samples a prefix of queries() each round (50 of 103 in
+# r5). Round-6 rotation (VERDICT r5 "Next round" #1 + optimization-
+# round hygiene): lead with the flagship crawl-engine queries — their
+# last driver rows are from round 3 and round 6 touched the hot paths
+# they exercise — then the queries whose EXECUTION this optimization
+# round changed (plan rewrites, DF-API spark sides, kernel
+# vectorization), then operators whose latest driver row is r4. Every
+# registered query stays gated row-for-row against the same oracles by
+# tests/test_entry_contract.py regardless of sampling order.
 _DRIVER_PRIORITY = [
-    "gopher_quality", "c4_line_filter", "paragraph_dedup",
-    "hashed_quality_score", "exact_substring_dedup", "weighted_sample",
-    "pack_sequences", "semdedup", "trigram_backoff", "incremental_neardup", "snapshot_diff", "readability", "dedup_keep_best", "embedding_quantized_topk", "cluster_safe_split", "decontaminate_spans", "corpus_drift", "change_rate_priority", "ngram_containment", "corpus_data_card", "pack_sentences", "worst_window_quality", "source_dup_ratio", "script_purity", "host_state_fold", "state_lookup_index", "chunk_dedup", "bm25_topk",
-    "event_sessions", "dsir_weights", "source_quality", "host_graph",
-    "event_window_rollup", "value_percentiles", "weighted_host_pagerank",
-    "bigram_pmi", "zipf_table", "url_templates", "recrawl_priority",
-    "shard_pack", "quality_deciles", "token_budget_selection",
-    "minhash_calibration", "pii_scrub", "anchor_texts",
-    "url_canonical_dedup", "site_boilerplate", "normalize_text",
+    # flagship crawl engine (last sampled r3; hot path rewritten r5/r6)
+    "crawl_round", "crawl_order", "crawl_seen", "sitemap_candidates",
+    "tfidf_topk",
+    # execution changed in round 6 — plan/kernel rewrites
+    "minhash_band_pairs", "dedup_ngram_jaccard", "dedup_clusters",
+    "minhash_lsh_df", "minhash_calibration", "dedup_keep_best",
+    "cluster_safe_split", "source_dup_ratio", "ngram_containment",
+    "repetition_metrics", "rolling_fingerprints", "duplicate_passages",
+    "decontamination", "pagerank", "hits", "weighted_host_pagerank",
+    "kmeans_clusters", "semdedup", "warc_roundtrip", "warc_revisit",
+    "wet_roundtrip", "surt_keys", "media_features", "media_resize",
+    "media_frame_sample", "media_phash_pairs", "audio_fingerprints",
+    "audio_near_dup", "corpus_materialize", "simhash",
+    "simhash_near_pairs", "chunk_dedup",
+    # latest driver row r4, oldest operator families first
+    "queue_age_filter", "blacklist_regex_filter", "state_counters",
+    "budget_predicate", "text_quality", "doc_fingerprint",
+    "lang_id_markers", "token_count_nostop", "bpe_merges", "bpe_vocab",
+    "mixing_weights", "stratified_sample", "hash_sample",
+    "embedding_lsh_topk",
 ]
 
 

@@ -335,10 +335,16 @@ def duplicate_passage_pairs(
     drop is logged (same hot-key guard as ngram_jaccard_pairs).
     Returns (id_a, id_b, shared_fps) with id_a < id_b.
     """
+    # pinned (lazy localCheckpoint): the hot-fingerprint probe below
+    # materializes this relation, and the pair join then reads it on
+    # BOTH sides instead of re-running the fingerprint fold three
+    # times (round 6; finalization computes any partitions the probe's
+    # limit short-circuited)
     fps = (
         rolling_fingerprints(df, text_col=text_col, id_col=id_col, window=window)
         .select("id", "fp")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     freq = fps.groupBy("fp").agg(F.count("*").alias("docfreq"))
     hot_cond = F.col("docfreq") > max_fp_docs
@@ -407,15 +413,20 @@ def decontamination_overlap(
     boilerplate, not contamination, and would otherwise flag the whole
     corpus.
     """
+    # pinned (lazy localCheckpoint): the hot-fingerprint probe below
+    # materializes both relations, and the final semi-join reuses them
+    # instead of re-running the fingerprint folds (round 6)
     tf = (
         rolling_fingerprints(train, text_col=text_col, id_col=id_col, window=window)
         .select("id", "fp")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     ef = (
         rolling_fingerprints(eval_df, text_col=text_col, id_col=id_col, window=window)
         .select("id", "fp")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     freq = tf.unionByName(ef).groupBy("fp").agg(F.count("*").alias("docfreq"))
     hot_cond = F.col("docfreq") > max_fp_docs
