@@ -768,7 +768,13 @@ def exact_substring_dedup(
     them. Bound: docs up to 2^20 tokens (packed position key).
 
     Returns (doc_id, n_tokens, n_removed, dedup_text) — every input
-    doc appears, empty/short docs pass through untouched.
+    doc appears. NOTE (ADVICE r5): ``dedup_text`` is reassembled from
+    the LOWERCASED, whitespace-collapsed token stream the gram hashes
+    are computed over, so casing and original whitespace are folded
+    for every document — including empty/short docs, which keep all
+    their (lowercased) tokens but not their original byte form. Use
+    the (doc_id, token-index) removal decisions against the original
+    text when a casing-preserving corpus rewrite is required.
     """
     w = int(window)
     toks = F.filter(

@@ -655,7 +655,11 @@ def decontaminate_spans(
     keep-first election.
 
     Returns (doc_id, n_tokens, n_removed, clean_text); every input doc
-    appears, docs shorter than ``window`` pass through untouched.
+    appears. NOTE (ADVICE r5): ``clean_text`` is reassembled from the
+    LOWERCASED, whitespace-collapsed token stream the gram hashes use,
+    so casing/original whitespace are folded for every document — docs
+    shorter than ``window`` keep all their (lowercased) tokens, not
+    their original byte form.
 
     100 TB plan: the benchmark gram set is tiny (benchmarks are MBs)
     and BROADCASTS — the corpus-side semi-join is map-side, no corpus

@@ -116,7 +116,16 @@ def run_dedup_ingest(
     index admission is idempotent (an atomically-rewritten delta file
     joins the manifest chain once), with the index manifest committed
     only AFTER the batch's parquet is down — a crash between them
-    replays into identical state."""
+    replays into identical state.
+
+    Known gap (ADVICE r5, declared): documents with fewer than k
+    tokens carry no MinHash signature, so sub-k-token documents are
+    admitted every batch and never flagged — even exact duplicates of
+    each other. A deployment that cares about short-doc dedup should
+    compose an exact content-hash check (content_hash + a SeenIndex-
+    style digest store) for the sub-k leg in the same foreachBatch;
+    the fuzzy index is by construction blind below the shingle
+    window."""
     import os
     import shutil
 

@@ -664,6 +664,7 @@ class TestStreamingWindowRollup:
         landing = tmp_path / "landing"
         landing.mkdir()
         for i, wave in enumerate(waves):
+            path = str(landing / f"wave{i}.parquet")
             pq.write_table(
                 pa.table(
                     {
@@ -673,8 +674,16 @@ class TestStreamingWindowRollup:
                         "value": pa.array([w[3] for w in wave], pa.float64()),
                     }
                 ),
-                str(landing / f"wave{i}.parquet"),
+                path,
             )
+            # FileStreamSource orders files by modification time; fast
+            # back-to-back writes can collide on coarse mtimes under
+            # load, making maxFilesPerTrigger=1 process the watermark-
+            # flush waves out of order (observed flake). Stamp strictly
+            # increasing mtimes so the wave order is deterministic.
+            import os as _os
+
+            _os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
         stream = (
             spark.readStream.schema("event_id long, ts timestamp, event_type string, value double")
             .option("maxFilesPerTrigger", "1")
