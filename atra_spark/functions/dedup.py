@@ -489,14 +489,18 @@ def chunk_dedup(
 
     Returns (doc_id, n_chunks, n_kept, dedup_text).
     """
+    from .par import fan_out
+
     c = int(chunk_tokens)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(c))).cast("int")
     idx = F.when(
         F.size(toks) > 0, F.sequence(F.lit(0), n_chunks - 1)
     ).otherwise(F.array().cast("array<int>"))
+    # fan_out: the chunk explode + hash otherwise run on the scan's
+    # split count — one core for a small single-file corpus (round 6)
     chunks = (
-        df.select(F.col(id_col).alias("id"), toks.alias("toks"), F.explode(idx).alias("chunk_idx"))
+        fan_out(df).select(F.col(id_col).alias("id"), toks.alias("toks"), F.explode(idx).alias("chunk_idx"))
         .select(
             "id",
             "chunk_idx",
@@ -776,11 +780,15 @@ def exact_substring_dedup(
     the (doc_id, token-index) removal decisions against the original
     text when a casing-preserving corpus rewrite is required.
     """
+    from .par import fan_out
+
     w = int(window)
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
     )
-    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    # fan_out: tokens and gram hashes otherwise build on the scan's
+    # split count before their first exchange (round 6)
+    base = fan_out(df).select(F.col(id_col).alias("id"), toks.alias("toks"))
 
     tokens = base.select(
         "id", F.posexplode("toks").alias("idx", "tok")

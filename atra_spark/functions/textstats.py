@@ -484,8 +484,13 @@ def bigram_lm_score(
     vocabulary slice; rare-bigram smoothing makes pruned tails a
     bounded perturbation.
     """
+    from .par import fan_out
+
     toks_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = df.select(F.col(id_col).alias("id"), toks_arr.alias("toks"))
+    # fan_out: the bigram explode feeding three map-side-combined
+    # aggregations otherwise runs on the scan's split count — ONE task
+    # for a small single-file corpus (round 6)
+    base = fan_out(df).select(F.col(id_col).alias("id"), toks_arr.alias("toks"))
     n = F.size("toks")
     bigrams = F.when(
         n >= 2,
@@ -582,8 +587,10 @@ def worst_window_quality(
     min-election share ONE doc-keyed exchange."""
     from pyspark.sql import Window
 
+    from .par import fan_out
+
     toks_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = df.select(F.col(id_col).alias("id"), toks_arr.alias("toks"))
+    base = fan_out(df).select(F.col(id_col).alias("id"), toks_arr.alias("toks"))
     n = F.size("toks")
     bigrams = F.when(
         n >= 2,
@@ -757,10 +764,12 @@ def pack_sentences(
     same-key windows chain without re-exchanging."""
     from pyspark.sql import Window
 
+    from .par import fan_out
+
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
-    tokens = df.select(F.col(id_col).alias("id"), toks.alias("toks")).select(
+    tokens = fan_out(df).select(F.col(id_col).alias("id"), toks.alias("toks")).select(
         "id", F.posexplode("toks").alias("idx", "tok")
     )
     w_order = Window.partitionBy("id").orderBy("idx")
@@ -966,8 +975,12 @@ def trigram_backoff_score(
     the 1-row corpus total broadcasts. Persist the count relations to
     amortize repeated scoring runs.
     """
+    from .par import fan_out
+
     toks_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = df.select(F.col(id_col).alias("id"), toks_arr.alias("toks"))
+    # fan_out: the occurrence explode feeds three count aggregations;
+    # without it the map side runs on the scan's split count (round 6)
+    base = fan_out(df).select(F.col(id_col).alias("id"), toks_arr.alias("toks"))
     n = F.size("toks")
     tris = F.when(
         n >= 3,
@@ -1079,8 +1092,13 @@ def dsir_logweight(
 
     if target_cond is None:
         target_cond = F.col(lang_col) == "en"
+    from .par import fan_out
+
     b = int(buckets)
-    toks = df.select(
+    # fan_out: the token explode feeds the distribution aggregation AND
+    # the per-doc scoring sum; on a small single-split scan the map
+    # side otherwise runs on one core (round 6)
+    toks = fan_out(df).select(
         F.col(id_col).alias("id"),
         # NULL-condition rows (e.g. NULL lang) count as NOT-target:
         # without the coalesce, a bucket fed only by NULL-cond tokens
