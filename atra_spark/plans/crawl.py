@@ -685,7 +685,12 @@ class CrawlEngine:
                 F.lit(wall).cast("long").alias("wall_ms"),
             )
         )
-        jobs["metrics"] = lambda: st.write_snapshot("metrics", metrics, rnd)
+        # ~num_buckets rows total: coalesce to one output file (the
+        # partial aggregations upstream stay parallel; only the final
+        # 32-row reduce collapses) — the driver reads this snapshot
+        # back every round via pyarrow, and 32 near-empty parquet
+        # files per round were pure file-op overhead (round 6)
+        jobs["metrics"] = lambda: st.write_snapshot("metrics", metrics.coalesce(1), rnd)
         # incremental seen-index maintenance indexes this round's full
         # state delta — the newly discovered URLs (Discovered) AND the
         # fetch transitions (Processed/InternalError), both read from
