@@ -526,6 +526,40 @@ def _build_profiles() -> dict[str, dict[str, int]]:
 _PROFILES = _build_profiles()
 
 
+def _gram_code(g: str) -> int:
+    """Bijective int64 code for a 3-char gram: 21 bits per codepoint
+    (max codepoint 0x10FFFF < 2^21), so distinct grams get distinct
+    codes and gram identity is preserved across the encoding."""
+    a, b, c = (ord(ch) for ch in g)
+    return (a << 42) | (b << 21) | c
+
+
+def _trigram_rank_codes(text: str, top: int = _PROFILE_TOP):
+    """Vectorized twin of :func:`_trigram_ranks`: the top trigram
+    CODES (see ``_gram_code``) in ``Counter.most_common`` order — the
+    array index IS the rank. Count ties break by first occurrence
+    (``np.unique``'s first-occurrence index under a stable lexsort),
+    exactly the stable-sort insertion-order tie-break of the dict
+    version; equivalence is pinned by
+    tests/test_extract.py::TestLangIdVectorizedEquivalence."""
+    import numpy as np
+
+    t = " ".join(_WORD_CLEAN_RE.sub("", text.lower()).split())
+    t = f" {t} "
+    if len(t) < 3:
+        return np.empty(0, dtype=np.int64)
+    try:
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+    except UnicodeEncodeError:
+        # lone surrogates (lossily-decoded web text) can't round-trip
+        # utf-32; fall back to per-char ord for this doc
+        cp = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
+    codes = (cp[:-2] << 42) | (cp[1:-1] << 21) | cp[2:]
+    uniq, first, counts = np.unique(codes, return_index=True, return_counts=True)
+    order = np.lexsort((first, -counts))[:top]
+    return uniq[order]
+
+
 def _raw_detect_scalar(
     text: str, langs: tuple[str, ...] = None
 ) -> tuple[str | None, float]:
@@ -546,10 +580,12 @@ def _raw_detect_scalar(
     return best_lang, (1.0 - (best_dist / worst) if worst else 0.0)
 
 
-# per-group (vocab, rank-matrix) cache for the vectorized distance:
-# vocab maps gram -> column; M[i, j] is group[i]'s rank for vocab gram
-# j (PROFILE_TOP when absent, exactly prof.get(g, max_rank))
-_GROUP_MATRICES: dict[tuple[str, ...], tuple[dict[str, int], "np.ndarray"]] = {}
+# per-group (sorted gram codes, rank-matrix) cache for the vectorized
+# distance: M[i, j] is group[i]'s rank for the j-th smallest vocab gram
+# code (PROFILE_TOP when absent, exactly prof.get(g, max_rank)) —
+# sorted-code column order makes the doc-side vocab lookup ONE
+# np.searchsorted instead of a per-gram Python dict probe
+_GROUP_MATRICES: dict[tuple[str, ...], tuple["np.ndarray", "np.ndarray"]] = {}
 
 
 def _group_matrix(group: tuple[str, ...]):
@@ -557,16 +593,19 @@ def _group_matrix(group: tuple[str, ...]):
     if got is None:
         import numpy as np
 
-        vocab: dict[str, int] = {}
+        vocab: dict[int, int] = {}
         for lang in group:
             for g in _PROFILES[lang]:
-                if g not in vocab:
-                    vocab[g] = len(vocab)
+                cg = _gram_code(g)
+                if cg not in vocab:
+                    vocab[cg] = len(vocab)
+        codes = np.fromiter(vocab.keys(), dtype=np.int64, count=len(vocab))
+        sort_ix = np.argsort(codes)
         M = np.full((len(group), len(vocab)), _PROFILE_TOP, dtype=np.int32)
         for i, lang in enumerate(group):
             for g, r in _PROFILES[lang].items():
-                M[i, vocab[g]] = r
-        got = (vocab, M)
+                M[i, vocab[_gram_code(g)]] = r
+        got = (codes[sort_ix], M[:, sort_ix])
         _GROUP_MATRICES[group] = got
     return got
 
@@ -575,30 +614,35 @@ def _raw_detect(text: str, langs: tuple[str, ...] = None) -> tuple[str | None, f
     """Cavnar-Trenkle pass over ``langs`` (default: all profiled):
     (best language, raw out-of-place confidence in [0, 1]).
 
-    Vectorized: the per-language out-of-place distance
-    sum(|prof.get(g, TOP) - r|) is one numpy |M[:, ids] - ranks| row
-    sum over the group's rank matrix — this runs per document inside
-    the extraction hot loop, where the scalar fold was 40% of total
-    extraction CPU. Exactly equivalent to `_raw_detect_scalar`
-    (doc grams unseen by every profile contribute TOP - r to all
-    languages alike; distance ties break to the lexicographically
-    smallest language, as the scalar `lang < best_lang` did)."""
+    Vectorized end to end: doc trigrams are extracted, counted and
+    rank-ordered as int64 codes (``_trigram_rank_codes`` — no Python
+    string slicing or Counter in the hot loop), the profile-vocab
+    lookup is one ``np.searchsorted`` against the group's sorted code
+    array, and the per-language out-of-place distance
+    sum(|prof.get(g, TOP) - r|) is one |M[:, cols] - ranks| row sum.
+    This runs per document inside the extraction hot loop, where the
+    scalar fold was 40% of total extraction CPU. Exactly equivalent to
+    `_raw_detect_scalar` (gram<->code mapping is bijective; doc grams
+    unseen by every profile contribute TOP - r to all languages alike;
+    distance ties break to the lexicographically smallest language, as
+    the scalar `lang < best_lang` did)."""
     import numpy as np
 
-    doc = _trigram_ranks(text[:1024])
-    if not doc:
+    codes = _trigram_rank_codes(text[:1024])
+    n = len(codes)
+    if n == 0:
         return None, 0.0
     group = tuple(langs) if langs else _PROFILED_LANGS
-    vocab, M = _group_matrix(group)
+    sorted_codes, M = _group_matrix(group)
     max_rank = _PROFILE_TOP
-    worst = len(doc) * max_rank
-    n = len(doc)
-    ids = np.fromiter((vocab.get(g, -1) for g in doc), dtype=np.int64, count=n)
-    ranks = np.fromiter(doc.values(), dtype=np.int64, count=n)
-    known = ids >= 0
+    worst = n * max_rank
+    ranks = np.arange(n, dtype=np.int64)
+    pos = np.searchsorted(sorted_codes, codes)
+    pos_c = np.minimum(pos, len(sorted_codes) - 1)
+    known = sorted_codes[pos_c] == codes
     # doc rank r < TOP always, so |TOP - r| == TOP - r
     oov = int((max_rank - ranks[~known]).sum())
-    d = np.abs(M[:, ids[known]] - ranks[known]).sum(axis=1) + oov
+    d = np.abs(M[:, pos_c[known]] - ranks[known]).sum(axis=1) + oov
     m = int(d.min())
     best_lang = min(group[i] for i in np.nonzero(d == m)[0])
     return best_lang, (1.0 - (m / worst) if worst else 0.0)

@@ -522,6 +522,18 @@ class TestLangIdVectorizedEquivalence:
             got, total = L._script_counts(w)
             assert got == want and total == sum(want.values()), w[:40]
 
+    def test_trigram_rank_codes_match_counter(self):
+        # the int64-coded numpy trigram ranking (round 6) must list the
+        # SAME grams in the SAME most_common order as the Counter dict
+        # version — including the count-tie first-occurrence tie-break
+        from atra_spark.functions import langdata as L
+
+        for text in self._texts():
+            w = text[:1024]
+            ref = [L._gram_code(g) for g in L._trigram_ranks(w)]
+            got = L._trigram_rank_codes(w).tolist()
+            assert ref == got, (w[:40], ref[:5], got[:5])
+
     def test_raw_detect_matches_scalar(self):
         from atra_spark.functions import langdata as L
 
