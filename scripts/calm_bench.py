@@ -34,6 +34,9 @@ STEAL_MAX = 25.0     # cpu-s charged during the BEST crawl rep
 MAX_ATTEMPTS = int(os.environ.get("CALM_BENCH_ATTEMPTS", "4"))
 BUDGET_S = float(os.environ.get("CALM_BENCH_BUDGET_S", "10800"))
 BENCH_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH")
+# round label: names the accepted-output file and the attempt logs so
+# later rounds don't overwrite earlier ledgers
+TAG = os.environ.get("CALM_BENCH_TAG", "r5")
 
 
 def wait_calm(deadline: float) -> bool:
@@ -65,7 +68,7 @@ def main() -> None:
         if not wait_calm(deadline):
             print("[gate] budget exhausted waiting for calm", flush=True)
             break
-        log = os.path.join(BENCH_DIR, f"bench_r5_attempt{attempt}.log")
+        log = os.path.join(BENCH_DIR, f"bench_{TAG}_attempt{attempt}.log")
         print(f"[run] attempt {attempt} -> {log}", flush=True)
         env = dict(os.environ, ATRA_BENCH_CRAWL_REPS="3")
         with open(log, "w") as fh:
@@ -79,7 +82,7 @@ def main() -> None:
         ok, why = accepted(doc)
         print(f"[run] attempt {attempt}: {why}; suite={doc['value']}", flush=True)
         if ok:
-            out = os.path.join(BENCH_DIR, "bench_r5_final.json")
+            out = os.path.join(BENCH_DIR, f"bench_{TAG}_final.json")
             with open(out, "w") as fh:
                 json.dump(doc, fh, indent=1)
             print(f"[done] accepted -> {out}", flush=True)
