@@ -44,9 +44,19 @@ def pagerank(
     # + the distinct exchange from scratch (measured round 6: the edge
     # re-derivation was most of the per-iteration wall on the bench
     # graph). nodes/out_deg are equally re-read per iteration.
+    # Pre-partitioned by ``src`` (the module docstring's 100 TB plan,
+    # now actually done): distinct() leaves the cache partitioned by
+    # (src, dst), so every contribution join re-exchanged the FULL
+    # edge relation per iteration. One up-front src repartition makes
+    # the cached partitioning THE join partitioning — per iteration
+    # only the narrow (node, pr) rank relation moves, and out_deg's
+    # groupBy(src) collapses into the same layout (guide §2.4). The
+    # oracle's 1e-6-guarded 6-decimal rounding absorbs the partial-sum
+    # reorder, same as any partition-count change would.
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
+        .repartition("src")
         .cache()
     )
     nodes = (
@@ -129,12 +139,19 @@ def hits(
     """
     # e cached: both half-updates of every iteration join it (same
     # round-6 rationale as pagerank — uncached, each action replays
-    # the scan + distinct exchange)
+    # the scan + distinct exchange). HITS joins the edges on BOTH
+    # endpoints (src for the auth update, dst for the hub update), so
+    # keep one cached copy per layout — the classic space-for-shuffle
+    # trade: 2x the (narrow, 2-column) edge storage buys zero
+    # edge-relation movement in every half-update; only the (node,
+    # score) relation shuffles per iteration.
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
+        .repartition("src")
         .cache()
     )
+    e_dst = e.repartition("dst").cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -162,7 +179,7 @@ def hits(
             .localCheckpoint(eager=False)  # lazy: one action runs all
         )
         raw_h = (
-            e.join(auth, e["dst"] == auth["node"])
+            e_dst.join(auth, e_dst["dst"] == auth["node"])
             .select(F.col("src").alias("node"), F.col("score").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("raw"))
@@ -183,6 +200,7 @@ def hits(
         .join(auth.select("node", F.col("score").alias("auth")), on="node")
     )
     e.unpersist()
+    e_dst.unpersist()
     nodes.unpersist()
     return out
 
@@ -267,7 +285,9 @@ def weighted_pagerank(
     """
     # e cached (round 6): on the host graph, `edges` is itself the
     # host-collapse aggregation — uncached, every power iteration
-    # re-runs the full URL-edge rollup, not just this groupBy
+    # re-runs the full URL-edge rollup, not just this groupBy.
+    # Pre-partitioned by src so the per-iteration contribution join
+    # moves only the rank relation (see pagerank above).
     e = (
         edges.select(
             F.col(src).alias("src"), F.col(dst).alias("dst"),
@@ -275,6 +295,7 @@ def weighted_pagerank(
         )
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
+        .repartition("src")
         .cache()
     )
     nodes = (
